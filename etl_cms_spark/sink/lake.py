@@ -1,0 +1,344 @@
+"""LakeTable — a from-scratch exactly-once upsert sink.
+
+No Iceberg runtime jar ships in this environment, so the engine
+implements the subset of lake-table semantics the north rule needs
+directly over Parquet + JSON manifests (the interface is the same
+shape as an Iceberg ``MERGE INTO`` path, so a catalog-backed
+implementation can slot in):
+
+* **Snapshots**: every commit writes ``_manifests/v{N}.json`` and
+  atomically swaps ``_manifests/CURRENT`` (os.replace) — readers see
+  the old or the new snapshot, never a torn one.  A crash after data
+  files are written but before CURRENT is swapped leaves orphan files
+  and an intact old snapshot (Iceberg's model exactly).
+* **Bucketed copy-on-write MERGE**: rows are hash-bucketed by key
+  (``pmod(xxhash64(key), n_buckets)``).  An epoch's merge reads ONLY
+  the buckets that received changes, merges via max-LSN, and rewrites
+  just those buckets; untouched buckets are carried by reference in
+  the new manifest.  Upsert cost is O(changed data), not O(table).
+* **Exactly-once**: commits are keyed by epoch in the manifest
+  (``epochs`` map = the commit manifest of the north rule).  Replaying
+  an already-committed epoch is a no-op; replaying *uncommitted* work
+  converges because identity is key-hash derived and merge is
+  max-LSN idempotent.
+* **Schema evolution**: add/rename column events bump the manifest
+  schema without rewriting data; reads normalize old files via
+  ``coalesce(new, old)`` + null-fill (Iceberg name-mapping, done with
+  column names instead of field ids).
+
+Lineage: every epoch commit records (lsn range, rows upserted/
+deleted, snapshot version, wall-clock, events/s) — SURVEY.md §7 M4.
+
+The reference analogue of all of this is the flat-file control
+directory + mutable ID counters (reference
+python_etl/utility_classes.py:5-100, CMS_SynPuf_ETL_CDM_v5.py:299-370)
+which forced strictly sequential runs; the manifest + hash-identity
+design is what makes the same semantics parallel and replayable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LSN_COL = "_lsn"
+_BUCKET_COL = "_bucket"
+
+
+def _atomic_write_json(path: str, obj: Any) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class LakeTable:
+    """An upsert-able, snapshot-versioned, schema-evolving table."""
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 32):
+        self.spark = spark
+        self.root = root
+        self.n_buckets = n_buckets
+        self._manifest_dir = os.path.join(root, "_manifests")
+
+    # ---------------- manifest plumbing ----------------
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self._manifest_dir, "CURRENT"))
+
+    def _current_version(self) -> int:
+        with open(os.path.join(self._manifest_dir, "CURRENT")) as f:
+            return int(f.read().strip())
+
+    def _load_manifest(self, version: int | None = None) -> dict:
+        v = self._current_version() if version is None else version
+        with open(os.path.join(self._manifest_dir, f"v{v}.json")) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, manifest: dict) -> int:
+        v = manifest["version"]
+        _atomic_write_json(os.path.join(self._manifest_dir, f"v{v}.json"), manifest)
+        cur = os.path.join(self._manifest_dir, "CURRENT")
+        tmp = f"{cur}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, cur)
+        return v
+
+    def create(self, key_cols: list[str], schema: dict[str, str]) -> None:
+        """schema: logical column name -> Spark SQL type string.
+        Key columns must be part of the schema."""
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        if self.exists():
+            raise ValueError(f"table already exists at {self.root}")
+        manifest = {
+            "version": 0,
+            "key_cols": list(key_cols),
+            "schema": dict(schema),
+            "renames": {},  # physical-name -> logical-name (cumulative)
+            "buckets": {},  # bucket-id(str) -> relative data dir
+            "epochs": {},  # epoch(str) -> lineage record
+            "n_buckets": self.n_buckets,
+        }
+        self._commit_manifest(manifest)
+
+    # ---------------- read path ----------------
+
+    def schema(self) -> dict[str, str]:
+        return dict(self._load_manifest()["schema"])
+
+    def committed_epochs(self) -> set[int]:
+        return {int(e) for e in self._load_manifest()["epochs"]}
+
+    def lineage(self) -> list[dict]:
+        m = self._load_manifest()
+        return [m["epochs"][k] for k in sorted(m["epochs"], key=int)]
+
+    def _normalize(self, df: DataFrame, manifest: dict) -> DataFrame:
+        """Apply rename mapping + null-fill so any mix of old/new
+        physical files presents the current logical schema."""
+        for old, new in manifest["renames"].items():
+            if old in df.columns and new in df.columns:
+                df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
+            elif old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        for name, typ in manifest["schema"].items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(None).cast(typ))
+            else:
+                df = df.withColumn(name, F.col(name).cast(typ))
+        return df
+
+    def _read_buckets(self, manifest: dict, bucket_ids: list[int] | None) -> DataFrame:
+        sel = manifest["buckets"]
+        if bucket_ids is not None:
+            sel = {b: d for b, d in sel.items() if int(b) in set(bucket_ids)}
+        dirs = sorted({os.path.join(self.root, d) for d in sel.values()})
+        cols = [*manifest["schema"].keys(), _LSN_COL, _BUCKET_COL]
+        if not dirs:
+            fields = [
+                T.StructField(n, T._parse_datatype_string(t))
+                for n, t in manifest["schema"].items()
+            ] + [
+                T.StructField(_LSN_COL, T.LongType()),
+                T.StructField(_BUCKET_COL, T.IntegerType()),
+            ]
+            return self.spark.createDataFrame([], T.StructType(fields))
+        df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        # bucket ids are stored as `_bucket=N` leaf dirs; reading the
+        # leaf directly drops the partition column, so recompute it
+        # from the key hash (deterministic by construction).
+        if _BUCKET_COL in df.columns:
+            df = df.drop(_BUCKET_COL)
+        df = self._normalize(df, manifest)
+        df = df.withColumn(_BUCKET_COL, self.bucket_expr(manifest["key_cols"]))
+        return df.select(*cols)
+
+    def read(self, bucket_ids: list[int] | None = None) -> DataFrame:
+        """Current snapshot as a DataFrame (system columns dropped)."""
+        m = self._load_manifest()
+        return self._read_buckets(m, bucket_ids).drop(_LSN_COL, _BUCKET_COL)
+
+    def read_at(self, version: int) -> DataFrame:
+        """Time travel: read an older snapshot."""
+        m = self._load_manifest(version)
+        return self._read_buckets(m, None).drop(_LSN_COL, _BUCKET_COL)
+
+    def bucket_expr(self, key_cols: list[str]):
+        return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(self.n_buckets)).cast("int")
+
+    # ---------------- write path ----------------
+
+    def merge_epoch(
+        self,
+        updates: DataFrame,
+        epoch: int,
+        op_col: str = "op",
+        lsn_col: str = "lsn",
+        extra_lineage: dict | None = None,
+    ) -> dict:
+        """MERGE an epoch's deduped change batch into the table.
+
+        ``updates`` must carry the key columns, ``op`` ('I'/'U'/'D'),
+        ``lsn``, and payload columns (a subset/superset of the logical
+        schema is normalized).  Must already be deduped to one row per
+        key (operators.dedup.latest_by_lsn) — enforced cheaply by the
+        max-LSN merge anyway, so violations degrade to extra work, not
+        wrong answers.
+
+        Returns the lineage record; if ``epoch`` was already committed
+        the call is a NO-OP and returns the recorded lineage
+        (exactly-once on replay).
+        """
+        manifest = self._load_manifest()
+        if str(epoch) in manifest["epochs"]:
+            rec = dict(manifest["epochs"][str(epoch)])
+            rec["skipped_duplicate_epoch"] = True
+            return rec
+
+        t0 = time.time()
+        key_cols = manifest["key_cols"]
+        schema = manifest["schema"]
+
+        up = updates.withColumn(_BUCKET_COL, self.bucket_expr(key_cols))
+        up = up.withColumn(_LSN_COL, F.col(lsn_col).cast("long"))
+        # one tiny job: per-op counts + lsn range + changed buckets.
+        stats_rows = (
+            up.groupBy(op_col)
+            .agg(
+                F.count("*").alias("n"),
+                F.min(_LSN_COL).alias("lo"),
+                F.max(_LSN_COL).alias("hi"),
+                F.collect_set(_BUCKET_COL).alias("bks"),
+            )
+            .collect()
+        )
+        if not stats_rows:
+            rec = self._lineage_record(epoch, 0, 0, None, None, manifest["version"] + 1, t0, extra_lineage)
+            manifest["version"] += 1
+            manifest["epochs"][str(epoch)] = rec
+            self._commit_manifest(manifest)
+            return rec
+        changed_buckets = sorted({b for r in stats_rows for b in r["bks"]})
+        lsn_lo = min(r["lo"] for r in stats_rows)
+        lsn_hi = max(r["hi"] for r in stats_rows)
+        n_deletes = sum(r["n"] for r in stats_rows if r[op_col] == "D")
+        n_upserts = sum(r["n"] for r in stats_rows if r[op_col] != "D")
+
+        # normalize updates to logical schema (+ mark deletes): a
+        # changelog producer may still emit pre-rename column names
+        # after a RENAME_COL event — map them forward.
+        for old, new in manifest["renames"].items():
+            if old in up.columns and new not in up.columns:
+                up = up.withColumnRenamed(old, new)
+        proj = [
+            (F.col(c) if c in up.columns else F.lit(None)).cast(t).alias(c)
+            for c, t in schema.items()
+        ]
+        up_norm = up.select(
+            *proj,
+            F.col(_LSN_COL),
+            F.col(_BUCKET_COL),
+            (F.col(op_col) == "D").alias("_is_delete"),
+        )
+        target = self._read_buckets(manifest, changed_buckets).withColumn(
+            "_is_delete", F.lit(False)
+        )
+        merged = target.unionByName(up_norm)
+        # max-LSN wins per key; deletes drop the key (E5 + MERGE).
+        payload = [c for c in merged.columns if c not in key_cols]
+        winner = (
+            merged.groupBy(*key_cols)
+            .agg(F.max_by(F.struct(*payload), F.col(_LSN_COL)).alias("_w"))
+            .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
+            .where(~F.col("_is_delete"))
+            .drop("_is_delete")
+        )
+
+        new_version = manifest["version"] + 1
+        rel_dir = f"data/v{new_version}"
+        out_dir = os.path.join(self.root, rel_dir)
+        (
+            winner.repartition(max(1, len(changed_buckets)), F.col(_BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET_COL)
+            .parquet(out_dir)
+        )
+        # manifest: changed buckets -> new dir; untouched carried over.
+        written = {
+            int(p.split("=", 1)[1])
+            for p in os.listdir(out_dir)
+            if p.startswith(f"{_BUCKET_COL}=")
+        }
+        for b in changed_buckets:
+            if b in written:
+                manifest["buckets"][str(b)] = f"{rel_dir}/{_BUCKET_COL}={b}"
+            else:
+                # every key in the bucket was deleted.
+                manifest["buckets"].pop(str(b), None)
+
+        rec = self._lineage_record(
+            epoch, n_upserts, n_deletes, lsn_lo, lsn_hi, new_version, t0, extra_lineage
+        )
+        rec["changed_buckets"] = changed_buckets
+        manifest["version"] = new_version
+        manifest["epochs"][str(epoch)] = rec
+        self._commit_manifest(manifest)
+        return rec
+
+    def apply_schema_change(self, change: dict, epoch: int | None = None) -> None:
+        """``{"add": "name:type"}`` or ``{"rename": "old:new"}`` —
+        metadata-only commit, no data rewrite (Iceberg-style)."""
+        manifest = self._load_manifest()
+        if "add" in change:
+            name, typ = change["add"].split(":", 1)
+            if name not in manifest["schema"]:
+                manifest["schema"][name] = typ
+        elif "rename" in change:
+            old, new = change["rename"].split(":", 1)
+            if old in manifest["schema"]:
+                manifest["schema"] = {
+                    (new if k == old else k): v for k, v in manifest["schema"].items()
+                }
+                # chain renames: physical files may carry any older name.
+                manifest["renames"] = {
+                    p: (new if l == old else l) for p, l in manifest["renames"].items()
+                }
+                manifest["renames"][old] = new
+        else:
+            raise ValueError(f"unsupported schema change: {change}")
+        manifest["version"] += 1
+        if epoch is not None:
+            manifest["epochs"].setdefault(
+                str(epoch),
+                {"epoch": epoch, "schema_change": change, "snapshot_version": manifest["version"]},
+            )
+        self._commit_manifest(manifest)
+
+    @staticmethod
+    def _lineage_record(epoch, n_upserts, n_deletes, lsn_lo, lsn_hi, version, t0, extra):
+        dt = time.time() - t0
+        rec = {
+            "epoch": epoch,
+            "rows_upserted": n_upserts,
+            "rows_deleted": n_deletes,
+            "lsn_min": lsn_lo,
+            "lsn_max": lsn_hi,
+            "snapshot_version": version,
+            "merge_seconds": round(dt, 3),
+            "events_per_sec": round((n_upserts + n_deletes) / dt, 1) if dt > 0 else None,
+        }
+        if extra:
+            rec.update(extra)
+        return rec
