@@ -1,0 +1,131 @@
+"""Scalar function library (SURVEY.md §2.H, F1-F13).
+
+Column-expression re-implementations of every scalar transform in the
+reference — all JVM-side built-ins (whole-stage codegen), zero Python
+UDFs.  Reference citations inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# F3 constants — reference python_etl/constants.py:7-16.
+GENDER_CONCEPTS = {1: 8507, 2: 8532}  # male / female
+RACE_CONCEPTS = {1: 8527, 2: 8516, 3: 0, 5: 8522}  # white/black/other/hispanic->0
+ETHNICITY_CONCEPTS = {1: 38003564, 2: 38003564, 3: 38003564, 5: 38003563}
+
+# F4 — SSA state codes, reference CMS_SynPuf_ETL_CDM_v5.py:158-210.
+SSA_STATE_CODES = {
+    "01": "AL", "02": "AK", "03": "AZ", "04": "AR", "05": "CA",
+    "06": "CO", "07": "CT", "08": "DE", "09": "DC", "10": "FL",
+    "11": "GA", "12": "HI", "13": "ID", "14": "IL", "15": "IN",
+    "16": "IA", "17": "KS", "18": "KY", "19": "LA", "20": "ME",
+    "21": "MD", "22": "MA", "23": "MI", "24": "MN", "25": "MS",
+    "26": "MO", "27": "MT", "28": "NE", "29": "NV", "30": "NH",
+    "31": "NJ", "32": "NM", "33": "NY", "34": "NC", "35": "ND",
+    "36": "OH", "37": "OK", "38": "OR", "39": "PA", "41": "RI",
+    "42": "SC", "43": "SD", "44": "TN", "45": "TX", "46": "UT",
+    "47": "VT", "49": "VA", "50": "WA", "51": "WV", "52": "WI",
+    "53": "WY",
+}
+
+
+def yyyymmdd_to_date(c: Column) -> Column:
+    """F1 — 'YYYYMMDD' string → DATE, empty-safe
+    (reference get_date_YYYY_MM_DD, CMS_SynPuf_ETL_CDM_v5.py:249-252)."""
+    return F.to_date(F.nullif(c, F.lit("")), "yyyyMMdd")
+
+
+def birth_date_parts(c: Column) -> tuple[Column, Column, Column]:
+    """F2 — year/month/day split (reference :608-610)."""
+    d = yyyymmdd_to_date(c) if c.__class__ else c
+    return F.year(d), F.month(d), F.dayofmonth(d)
+
+
+def _case_map(c: Column, mapping: dict, default=0) -> Column:
+    expr = None
+    for k, v in mapping.items():
+        cond = c == F.lit(k)
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    return expr.otherwise(F.lit(default))
+
+
+def gender_concept(c: Column) -> Column:
+    """F3 (reference :601-607)."""
+    return _case_map(c.cast("int"), GENDER_CONCEPTS)
+
+
+def race_concept(c: Column) -> Column:
+    return _case_map(c.cast("int"), RACE_CONCEPTS)
+
+
+def ethnicity_concept(c: Column) -> Column:
+    return _case_map(c.cast("int"), ETHNICITY_CONCEPTS)
+
+
+def ssa_state(c: Column) -> Column:
+    """F4 — SSA code → state abbrev via a literal map (broadcast-free:
+    a 53-entry map_from_arrays folds into the plan as a constant)."""
+    keys = F.array(*[F.lit(k) for k in SSA_STATE_CODES])
+    vals = F.array(*[F.lit(v) for v in SSA_STATE_CODES.values()])
+    return F.element_at(
+        F.map_from_arrays(keys, vals), F.lpad(c.cast("string"), 2, "0")
+    )
+
+
+def location_key(state: Column, county: Column) -> Column:
+    """F8 — '{state}-{county}' natural key with zero-padding
+    (reference :630,814,824-835)."""
+    return F.concat_ws(
+        "-", F.lpad(state.cast("string"), 2, "0"), F.lpad(county.cast("string"), 3, "0")
+    )
+
+
+def normalize_vocab(vocab: Column, code: Column) -> tuple[Column, Column]:
+    """F5 — CPT4→HCPCS, ICD9CM/ICD9Proc→ICD9; strip '.' from codes
+    (reference :448-453)."""
+    v = (
+        F.when(vocab == "CPT4", F.lit("HCPCS"))
+        .when(vocab.isin("ICD9CM", "ICD9Proc"), F.lit("ICD9"))
+        .otherwise(vocab)
+    )
+    return v, F.replace(code, F.lit("."), F.lit(""))
+
+
+def add_months_clamped(d: Column, n) -> Column:
+    """F6 — month-delta with end-of-month day clamping; Spark's
+    add_months clamps exactly like the reference's calendar.monthrange
+    logic (reference get_payer_plan_period_date, :803-808)."""
+    return F.add_months(d, n)
+
+
+def null_guarded_sum(*cols: Column) -> Column:
+    """F9 — sum with empty/NULL treated as 0 (reference :1550-1555)."""
+    out = None
+    for c in cols:
+        term = F.coalesce(c.cast("double"), F.lit(0.0))
+        out = term if out is None else out + term
+    return out
+
+
+def max_coverage_months(*cols: Column) -> Column:
+    """F10 — greatest of the coverage-month columns
+    (reference beneficiary.py:27-29)."""
+    return F.greatest(*cols)
+
+
+def default_end_date(end: Column, start: Column, days_supply: Column) -> Column:
+    """F12 — COALESCE(end, start + days_supply, start + 1 day)
+    (reference SQL/create_CDMv5_drug_era_non_stockpile.sql:28-36)."""
+    return F.coalesce(
+        end,
+        F.date_add(start, F.coalesce(days_supply.cast("int"), F.lit(1))),
+        F.date_add(start, 1),
+    )
+
+
+def month_end(d: Column) -> Column:
+    """F13 — end-of-month (reference beneficiary.py:146-163 uses
+    calendar.monthrange; Spark's last_day is identical)."""
+    return F.last_day(d)

@@ -1,0 +1,197 @@
+"""Document deduplication operators (training-data pipeline).
+
+Four escalating strategies, all Spark-first:
+
+* ``exact_dedup``          — hash-groupBy on a canonical fingerprint.
+* ``ngram_jaccard_pairs``  — exact n-gram Jaccard via shingle
+  explode + self-join (the precise but shuffle-heavy baseline).
+* ``minhash_lsh_pairs``    — MinHash signatures computed per-row with
+  array expressions (NO shuffle for the signature), LSH banding, and
+  a bucket join that only compares candidates; the 100 TB path.
+* ``simhash``              — 16/32-bit SimHash computed with
+  aggregate/zip_with array folds, bucket by hash for near-dup
+  clustering.
+
+Scale notes: minhash signatures are per-row narrow ops (pipelined,
+codegen); the only shuffle is the band-bucket join whose size is the
+candidate-pair count, not O(n^2).  Exact jaccard verification runs
+only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_cms_spark.functions.text import fingerprint, tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of byte-identical (post-normalization) docs: keeper =
+    min id per fingerprint; returns (fingerprint, keeper_id, dup_count)
+    for groups with >1 member."""
+    return (
+        df.groupBy(fingerprint(F.col(text_col)).alias("fp"))
+        .agg(
+            F.min(F.col(id_col)).alias("keeper_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all pairs sharing at
+    least one shingle.  Output: (id_a, id_b, jaccard), id_a < id_b.
+
+    The shingle self-join bounds comparisons to pairs with overlap;
+    still O(sum of shingle-bucket^2) — use minhash_lsh_pairs beyond
+    ~10^6 docs."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("_sh"),
+    ).withColumn("_size", F.size("_sh"))
+    exploded = sh.select("_id", "_size", F.explode("_sh").alias("_s"))
+    a = exploded.select(
+        F.col("_id").alias("id_a"), F.col("_size").alias("size_a"), "_s"
+    )
+    b = exploded.select(
+        F.col("_id").alias("id_b"), F.col("_size").alias("size_b"), "_s"
+    )
+    inter = (
+        a.join(b, "_s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(
+            F.col("_inter") / (F.col("size_a") + F.col("size_b") - F.col("_inter")), 4
+        ),
+    )
+    return jac.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_signature(text: Column, n_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<bigint>, computed entirely with
+    array expressions over the row's own shingles — zero shuffle."""
+    sh = F.array_distinct(word_shingles(text, shingle_n))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda seed: F.coalesce(
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, seed))),
+            F.lit(0).cast("long"),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates.
+
+    n_hashes/bands rows-per-band tune the S-curve; candidates are
+    pairs agreeing on >=1 band.  With ``verify_threshold`` set, exact
+    Jaccard is computed on candidates only (shingle intersection via
+    array ops on the joined rows — no second explode)."""
+    rows_per_band = n_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("_sig"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    banded = base.select(
+        "_id",
+        "_sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(F.col("_sig"), b * rows_per_band + j + 1).cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    ),
+                    b,
+                ),
+            )
+        ).alias("_band", "_bhash"),
+    )
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_band", "_bhash"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_band", "_bhash"
+    )
+    cand = (
+        a.join(b, ["_band", "_bhash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    out = cand.withColumn(
+        "jaccard", F.round(inter / F.greatest(union, F.lit(1)), 4)
+    ).select("id_a", "id_b", "jaccard")
+    if verify_threshold is not None:
+        out = out.where(F.col("jaccard") >= verify_threshold)
+    return out
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens: per bit j, sign of the sum of
+    (+1/-1) votes from xxhash64(token, j).  Pure array fold."""
+    toks = tokens(F.lower(text))
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda j: F.when(F.pmod(F.xxhash64(t, j), 2) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ).cast("long"),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            # 2^j via double pow (exact for j < 53); shiftleft needs a
+            # literal shift amount so it can't take the lambda index.
+            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash_clusters(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """Docs sharing an identical SimHash — cheap near-dup clusters."""
+    return (
+        df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col), bits).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min("_id").alias("keeper_id"), F.count("*").alias("cluster_size"))
+        .where(F.col("cluster_size") > 1)
+    )

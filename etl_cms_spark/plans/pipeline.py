@@ -99,42 +99,51 @@ class CDCPipeline:
             return rec
 
         # 1. schema-evolution events (tiny — driver-side apply).
-        schema_events = (
-            batch.where(F.col("op") == "SCHEMA")
-            .select("lsn", "schema_change")
-            .orderBy("lsn")
-            .collect()
-        )
-        for ev in schema_events:
-            self.table.apply_schema_change(json.loads(ev["schema_change"]))
-
-        data = batch.where(F.col("op") != "SCHEMA").drop("schema_change")
+        if "schema_change" in batch.columns:
+            schema_events = (
+                batch.where(F.col("op") == "SCHEMA")
+                .select("lsn", "schema_change")
+                .orderBy("lsn")
+                .collect()
+            )
+            for ev in schema_events:
+                self.table.apply_schema_change(json.loads(ev["schema_change"]))
+            data = batch.where(F.col("op") != "SCHEMA").drop("schema_change")
+        else:
+            data = batch
 
         # 2. per-key max-LSN dedup (single shuffle; salted if skewed).
         dedup = salted_latest_by_lsn if self.salt_hot_keys else latest_by_lsn
         latest = dedup(data, KEY_COLS, "lsn")
 
         # 3. broadcast-dict concept mapping (Arrow UDF — no per-row Python).
+        #    Persisted: the epoch runs 3 jobs over this batch (lineage
+        #    stats, quarantine, merge write) — without the cache the
+        #    dedup shuffle + UDF would execute three times.
         map_fn = map_concepts_udf if self.mapper == "udf" else map_concepts_join
-        mapped = map_fn(self.spark, latest)
-
-        # 4. route: unmapped upserts leave the main table (delete) and
-        #    land in the quarantine log.
-        is_unmapped = (F.col("domain") == "unmapped") & (F.col("op") != "D")
-        updates = mapped.withColumn(
-            "op", F.when(is_unmapped, F.lit("D")).otherwise(F.col("op"))
-        )
-        quarantined = mapped.where(is_unmapped).withColumn("epoch", F.lit(epoch))
-        # epoch-keyed overwrite => replaying the epoch rewrites, not
-        # duplicates, the quarantine slice (idempotent append).
-        qn = quarantined.count()
-        if qn:
-            quarantined.write.mode("overwrite").parquet(
-                os.path.join(self.quarantine_dir, f"epoch={epoch}")
+        mapped = map_fn(self.spark, latest).persist()
+        try:
+            # 4. route: unmapped upserts leave the main table (delete)
+            #    and land in the quarantine log.
+            is_unmapped = (F.col("domain") == "unmapped") & (F.col("op") != "D")
+            updates = mapped.withColumn(
+                "op", F.when(is_unmapped, F.lit("D")).otherwise(F.col("op"))
             )
+            quarantined = mapped.where(is_unmapped).withColumn("epoch", F.lit(epoch))
+            # epoch-keyed overwrite => replaying the epoch rewrites, not
+            # duplicates, the quarantine slice (idempotent append).
+            qn = quarantined.count()
+            if qn:
+                quarantined.write.mode("overwrite").parquet(
+                    os.path.join(self.quarantine_dir, f"epoch={epoch}")
+                )
 
-        # 5. exactly-once merge with lineage.
-        rec = self.table.merge_epoch(updates, epoch, extra_lineage={"rows_quarantined": qn})
+            # 5. exactly-once merge with lineage.
+            rec = self.table.merge_epoch(
+                updates, epoch, extra_lineage={"rows_quarantined": qn}
+            )
+        finally:
+            mapped.unpersist()
         self._save_checkpoint(epoch, rec.get("lsn_max"))
         self.metrics.append(rec)
         return rec

@@ -1,0 +1,887 @@
+"""Query catalog: every operator from SURVEY.md §2 as a (Spark
+callable, DuckDB oracle SQL) pair over the driver's testdata tables.
+
+Conventions that make the driver's order-insensitive value-hash
+comparison exact:
+* money/double aggregations run in DECIMAL (exact) and cast the final
+  value to DOUBLE — both engines then produce bit-identical doubles;
+* embedding math uses explicit double folds in the same evaluation
+  order on both sides;
+* every top-k has a deterministic tie-break;
+* every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_cms_spark.functions import text as X
+from etl_cms_spark.operators.dedup import (
+    first_write_wins,
+    latest_by_lsn,
+)
+from etl_cms_spark.operators.demux import route
+from etl_cms_spark.operators.eras import build_eras, build_eras_faithful, sessionize
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c, p=12, s=2):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+def _one():
+    return F.lit(1).cast("decimal(9,2)")
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# =====================================================================
+# A. TPC-H-style relational suite (scan, filter, join, agg — SURVEY §2
+#    S1, P*, J1-J6, G5; reference's era SQL uses the same shapes)
+# =====================================================================
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2))) * (CAST(1 AS DECIMAL(9,2)) + CAST(l_tax AS DECIMAL(9,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (_one() - F.col("l_discount").cast("decimal(9,2)"))
+    charge = disc_price * (_one() + F.col("l_tax").cast("decimal(9,2)"))
+    n = F.count("*")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+        (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+        (F.sum(F.col("l_discount").cast("decimal(9,2)")).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS orderkey,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue,
+      o.o_orderdate AS orderdate, o.o_orderpriority AS orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (_one() - F.col("l_discount").cast("decimal(9,2)"))
+    joined = (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+@q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    disc_price = _dec("l_extendedprice") * (_one() - F.col("l_discount").cast("decimal(9,2)"))
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(disc_price).cast("double").alias("revenue")
+    )
+
+
+# =====================================================================
+# B. Broadcast dictionary lookups / anti-join / fan-out (J1, J2, J7)
+# =====================================================================
+
+_TYPE_DIM = [
+    ("click", 1, "engagement"),
+    ("view", 2, "engagement"),
+    ("purchase", 3, "revenue"),
+    ("signup", 4, "growth"),
+]  # 'error' deliberately unmapped.
+
+
+@q(
+    "concept_lookup_broadcast",
+    """
+    WITH dim(event_type, type_id, class) AS (
+      VALUES ('click', 1, 'engagement'), ('view', 2, 'engagement'),
+             ('purchase', 3, 'revenue'), ('signup', 4, 'growth'))
+    SELECT e.event_type AS event_type,
+           COALESCE(d.type_id, 0) AS type_id,
+           COALESCE(d.class, 'unmapped') AS class,
+           COUNT(*) AS n
+    FROM events e LEFT JOIN dim d ON e.event_type = d.event_type
+    GROUP BY 1, 2, 3
+    """,
+)
+def concept_lookup_broadcast(spark, sf_dir):
+    """J1 — the reference's source_code_concept_dict probe
+    (CMS_SynPuf_ETL_CDM_v5.py:437-498) as a broadcast hash join."""
+    e = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(_TYPE_DIM, "event_type string, type_id int, class string")
+    return (
+        e.join(F.broadcast(dim), "event_type", "left")
+        .groupBy(
+            "event_type",
+            F.coalesce("type_id", F.lit(0)).alias("type_id"),
+            F.coalesce("class", F.lit("unmapped")).alias("class"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "unmapped_anti_join",
+    """
+    WITH dim(event_type) AS (VALUES ('click'), ('view'), ('purchase'), ('signup'))
+    SELECT event_type, COUNT(*) AS n FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.event_type = e.event_type)
+    GROUP BY 1
+    """,
+)
+def unmapped_anti_join(spark, sf_dir):
+    """J7 — unmapped-code quarantine channel
+    (reference CMS_SynPuf_ETL_CDM_v5.py:1306-1308)."""
+    e = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame([(t,) for t, _, _ in _TYPE_DIM], "event_type string")
+    return (
+        e.join(F.broadcast(dim), "event_type", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "multimap_fanout",
+    """
+    WITH dim(event_type, tag) AS (
+      VALUES ('click', 'A'), ('click', 'B'), ('purchase', 'C'))
+    SELECT d.tag AS tag, COUNT(*) AS n
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY 1
+    """,
+)
+def multimap_fanout(spark, sf_dir):
+    """J2 — 1→N mapping fan-out (the reference's multi-valued
+    concept_relationship_dict, CMS_SynPuf_ETL_CDM_v5.py:480-487)."""
+    e = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", "A"), ("click", "B"), ("purchase", "C")], "event_type string, tag string"
+    )
+    return (
+        e.join(F.broadcast(dim), "event_type")
+        .groupBy("tag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =====================================================================
+# C. CDC dedup / argmax / first-write-wins (E1-E5, G3, G4)
+# =====================================================================
+
+@q(
+    "cdc_latest_by_key",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+          FROM events) WHERE rn = 1
+    """,
+)
+def cdc_latest_by_key(spark, sf_dir):
+    """E5 — per key keep max-LSN event (event_id is the LSN here)."""
+    e = _t(spark, sf_dir, "events")
+    out = latest_by_lsn(e.select("user_id", "event_id", "event_type", "value"), ["user_id"], "event_id")
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@q(
+    "first_write_wins",
+    """
+    SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id ASC) rn
+          FROM events) WHERE rn = 1
+    """,
+)
+def first_write_wins_q(spark, sf_dir):
+    """E2 — write-once dimension semantics
+    (reference get_CareSite/get_Provider, CMS_SynPuf_ETL_CDM_v5.py:258-284)."""
+    e = _t(spark, sf_dir, "events")
+    out = first_write_wins(e.select("user_id", "event_id", "event_type"), ["user_id"], "event_id")
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("first_event_id"),
+        F.col("event_type").alias("first_event_type"),
+    )
+
+
+@q(
+    "latest_order_per_customer",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS last_orderkey,
+           o_totalprice AS last_totalprice
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+          FROM orders) WHERE rn = 1
+    """,
+)
+def latest_order_per_customer(spark, sf_dir):
+    """G3 — argmax/latest-row-per-group (reference LatestYearData,
+    beneficiary.py:126-132) via max_by."""
+    o = _t(spark, sf_dir, "orders")
+    last = F.max_by(
+        F.struct("o_orderkey", "o_totalprice"), F.struct("o_orderdate", "o_orderkey")
+    )
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        last["o_orderkey"].alias("last_orderkey"),
+        last["o_totalprice"].alias("last_totalprice"),
+    )
+
+
+@q(
+    "observation_period",
+    """
+    SELECT user_id, MIN(ts) AS period_start, MAX(ts) AS period_end, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def observation_period(spark, sf_dir):
+    """G2 — min/max per group (reference CMS_SynPuf_ETL_CDM_v5.py:844-860)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("period_start"),
+            F.max("ts").alias("period_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@q(
+    "stable_id_dedup",
+    """
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (ORDER BY user_id, event_type) AS surrogate_id
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    """,
+)
+def stable_id_dedup(spark, sf_dir):
+    """E1 — keyed dedup minting deterministic surrogate ids
+    (reference determine_visits, CMS_SynPuf_ETL_CDM_v5.py:541-590);
+    dense row_number variant for oracle comparability."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type").dropDuplicates()
+    w = Window.orderBy("user_id", "event_type")
+    return e.withColumn("surrogate_id", F.row_number().over(w).cast("long"))
+
+
+# =====================================================================
+# D. Gaps-and-islands / sessions / windows (W1-W4, J5, G5)
+# =====================================================================
+
+_ERA_ORACLE = """
+    WITH o AS (
+      SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) AS e
+      FROM orders),
+    flagged AS (
+      SELECT custkey, s, e,
+        CASE WHEN prev_max_end IS NULL OR s > prev_max_end + INTERVAL 30 DAY
+             THEN 1 ELSE 0 END AS new_island
+      FROM (SELECT custkey, s, e,
+              MAX(e) OVER (PARTITION BY custkey ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+            FROM o) x),
+    islands AS (
+      SELECT custkey, s, e,
+        SUM(new_island) OVER (PARTITION BY custkey ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged)
+    SELECT custkey, CAST(MIN(s) AS VARCHAR) AS era_start,
+           CAST(MAX(e) AS VARCHAR) AS era_end,
+           COUNT(*) AS event_count
+    FROM islands GROUP BY custkey, island
+"""
+
+
+def _order_dates(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.col("o_orderdate").cast("date").alias("e"),
+    )
+
+
+def _eras_as_str(df):
+    # dates → ISO strings so Spark and DuckDB hash identically
+    # (pandas renders DATE as midnight Timestamp on the DuckDB side).
+    return df.select(
+        "custkey",
+        F.col("era_start").cast("string").alias("era_start"),
+        F.col("era_end").cast("string").alias("era_end"),
+        "event_count",
+    )
+
+
+@q("order_eras_30d", _ERA_ORACLE)
+def order_eras_30d(spark, sf_dir):
+    """W1-W3 one-pass gaps-and-islands (reference
+    SQL/create_CDMv5_condition_era.sql re-expressed, SURVEY §2.F)."""
+    return _eras_as_str(build_eras(_order_dates(spark, sf_dir), ["custkey"], "s", "e", 30))
+
+
+@q("order_eras_faithful", _ERA_ORACLE)
+def order_eras_faithful(spark, sf_dir):
+    """Same semantics via the reference's literal 2-window +
+    range-join shape (create_CDMv5_condition_era.sql:48-117)."""
+    return _eras_as_str(
+        build_eras_faithful(_order_dates(spark, sf_dir), ["custkey"], "s", "e", 30)
+    )
+
+
+@q(
+    "sessionize_30m",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_session
+      FROM (SELECT user_id, ts,
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events) x),
+    sess AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS event_count
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_30m(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionize(e, ["user_id"], "ts", "30 minutes")
+
+
+@q(
+    "running_max_value",
+    """
+    SELECT user_id, event_id,
+      MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+    FROM events
+    """,
+)
+def running_max_value(spark, sf_dir):
+    """W1 — running MAX with ROWS UNBOUNDED PRECEDING frame
+    (reference create_CDMv5_condition_era.sql:61)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select("user_id", "event_id", F.max("value").over(w).alias("run_max"))
+
+
+@q(
+    "lag_prev_event",
+    """
+    SELECT user_id, event_id,
+      LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
+    FROM events
+    """,
+)
+def lag_prev_event(spark, sf_dir):
+    """W4 — lag() analytic (reference insert_visit_occurrence.sql:41)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id", F.lag("event_id").over(w).alias("prev_event_id")
+    )
+
+
+# =====================================================================
+# E. Demux / unpivot / union / scalar suite (I, G7, S4, F1-F13)
+# =====================================================================
+
+@q(
+    "demux_route_counts",
+    """
+    SELECT CASE WHEN event_type IN ('click','view') THEN 'engagement'
+                WHEN event_type = 'purchase' THEN 'revenue'
+                WHEN event_type = 'signup' THEN 'growth'
+                ELSE 'ops' END AS dest,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def demux_route_counts(spark, sf_dir):
+    """I — domain-routed multi-output demux
+    (reference domain_destination_file_list, CMS_SynPuf_ETL_CDM_v5.py:212-229)."""
+    e = _t(spark, sf_dir, "events")
+    routed = route(
+        e,
+        {
+            "engagement": F.col("event_type").isin("click", "view"),
+            "revenue": F.col("event_type") == "purchase",
+            "growth": F.col("event_type") == "signup",
+        },
+        default="ops",
+    )
+    return routed.groupBy("dest").agg(
+        F.count("*").alias("n"), F.count_distinct("user_id").alias("n_users")
+    )
+
+
+@q(
+    "unpivot_measures",
+    """
+    SELECT measure, COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem)
+    GROUP BY measure
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """G7 — unpivot via stack() (the reference's 4-plan coverage
+    pivot, beneficiary.py:134-142)."""
+    l = _t(spark, sf_dir, "lineitem")
+    unp = l.selectExpr(
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) as (measure, val)"
+    )
+    return unp.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("val").cast("decimal(12,2)")).cast("double").alias("total"),
+    )
+
+
+@q(
+    "union_year_files",
+    """
+    SELECT tag, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT 'open' AS tag, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT 'filled', o_totalprice FROM orders WHERE o_orderstatus = 'F')
+    GROUP BY tag
+    """,
+)
+def union_year_files(spark, sf_dir):
+    """S4 — tagged UNION ALL of per-period files (reference
+    combine_beneficiary_files, FileControl.py:9-48)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select(
+        F.lit("open").alias("tag"), "o_totalprice"
+    )
+    b = o.where(F.col("o_orderstatus") == "F").select(
+        F.lit("filled").alias("tag"), "o_totalprice"
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("tag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@q(
+    "scalar_suite",
+    """
+    SELECT o_orderkey,
+      YEAR(CAST(o_orderdate AS DATE)) AS order_year,
+      MONTH(CAST(o_orderdate AS DATE)) AS order_month,
+      CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS next_month,
+      CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
+      DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+      LPAD(SPLIT_PART(o_orderpriority, '-', 1), 3, '0') AS prio_code,
+      CONCAT_WS('-', o_orderstatus, SPLIT_PART(o_orderpriority, '-', 1)) AS status_key,
+      GREATEST(o_totalprice, 1000.0) AS floored_price,
+      COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_resolved
+    FROM orders
+    """,
+)
+def scalar_suite(spark, sf_dir):
+    """F1/F2/F6/F8/F10/F11/F12/F13 equivalents in one projection."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    prio = F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1))
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("order_year"),
+        F.month(d).cast("long").alias("order_month"),
+        F.add_months(d, 1).cast("string").alias("next_month"),
+        F.last_day(d).cast("string").alias("eom"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).cast("long").alias("days_to_y2k"),
+        F.lpad(prio, 3, "0").alias("prio_code"),
+        F.concat_ws("-", F.col("o_orderstatus"), prio).alias("status_key"),
+        F.greatest(F.col("o_totalprice"), F.lit(1000.0)).alias("floored_price"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_resolved"
+        ),
+    )
+
+
+# =====================================================================
+# F. Training-data pipeline: documents
+# =====================================================================
+
+_NORM = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+
+@q(
+    "doc_exact_dedup",
+    f"""
+    WITH both_copies AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 100000, text FROM documents)
+    SELECT MD5({_NORM}) AS fp, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+    FROM both_copies
+    GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def doc_exact_dedup(spark, sf_dir):
+    """Exact dedup by normalized-content fingerprint.  The corpus has
+    no natural dupes, so a shifted-id copy is unioned in (same on the
+    oracle side) to exercise the group/keeper logic."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    both = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return (
+        both.groupBy(X.fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+@q(
+    "doc_fingerprint",
+    f"SELECT doc_id, MD5({_NORM}) AS fp FROM documents",
+)
+def doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+@q(
+    "doc_token_stats",
+    r"""
+    SELECT doc_id,
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+      length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+      length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def doc_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@q(
+    "doc_quality",
+    r"""
+    SELECT doc_id,
+      ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(length(text), 1), 4) AS alpha_ratio,
+      ROUND(length(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))
+            / GREATEST(length(string_split_regex(lower(trim(text)), '\s+')), 1), 4) AS stopword_ratio,
+      ROUND(0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(length(text), 1))
+          + 0.3 * LEAST(length(text) / 500.0, 1.0)
+          + 0.3 * LEAST((length(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t)))
+                         / GREATEST(length(string_split_regex(lower(trim(text)), '\s+')), 1)) * 5, 1.0), 4) AS quality
+    FROM documents
+    """,
+)
+def doc_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(X.alpha_ratio(F.col("text")), 4).alias("alpha_ratio"),
+        F.round(X.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@q(
+    "doc_lang_id",
+    r"""
+    WITH scores AS (
+      SELECT doc_id,
+        length(regexp_extract_all(lower(text), '\b(der|und|das)\b')) AS s_de,
+        length(regexp_extract_all(lower(text), '\b(the|and|of)\b')) AS s_en,
+        length(regexp_extract_all(lower(text), '\b(el|que|los)\b')) AS s_es,
+        length(regexp_extract_all(lower(text), '\b(le|et|les)\b')) AS s_fr
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_fr THEN 'es'
+           ELSE 'fr' END AS lang_pred
+    FROM scores
+    """,
+)
+def doc_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred"))
+
+
+# =====================================================================
+# G. Similarity / embeddings
+# =====================================================================
+
+_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot}) / (SQRT({na}) * SQRT({nb}))"
+
+
+@q(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))
+    SELECT vec_id, ROUND({_cos_sql('e.embedding', 'q.qv')}, 4) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k (the ANN correctness baseline);
+    query = the lowest-id embedding."""
+    from etl_cms_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    return cosine_topk(emb, "embedding", "vec_id", qv, k=10)
+
+
+@q(
+    "embedding_neardup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+    FROM (SELECT * FROM embeddings WHERE vec_id < 300) a
+    JOIN (SELECT * FROM embeddings WHERE vec_id < 300) b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.95
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact form)."""
+    from etl_cms_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return cosine_neardup_pairs(emb, "embedding", "vec_id", threshold=0.95)
+
+
+@q(
+    "ngram_jaccard_neardup",
+    r"""
+    WITH both_copies AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+      UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 300),
+    toks AS (SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS t
+             FROM both_copies),
+    sh AS (SELECT doc_id,
+             list_distinct(CASE WHEN length(t) < 3 THEN []
+               ELSE list_transform(range(1, length(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS shingles
+           FROM toks),
+    ex AS (SELECT doc_id, length(shingles) AS sz, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, ROUND(inter / (sz_a + sz_b - inter), 4) AS jaccard
+    FROM pairs WHERE inter / (sz_a + sz_b - inter) >= 0.8
+    """,
+)
+def ngram_jaccard_neardup(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs; the corpus has no natural
+    dupes so a shifted-id copy is unioned in on both sides."""
+    from etl_cms_spark.operators.textdedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id", "text")
+    both = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return ngram_jaccard_pairs(both, "text", "doc_id", n=3, threshold=0.8)
+
+
+# ---- non-SQL-expressible ops (driver records rows-only checks) ----
+
+@q("minhash_lsh_neardup")
+def minhash_lsh_neardup(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (xxhash64-based — no DuckDB
+    equivalent; correctness asserted in tests/test_text_ops.py as
+    lsh_pairs ⊆ exact_jaccard_pairs)."""
+    from etl_cms_spark.operators.textdedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id", "text")
+    both = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return minhash_lsh_pairs(both, "text", "doc_id", n_hashes=16, bands=4, verify_threshold=0.8)
+
+
+@q("simhash_clusters")
+def simhash_clusters_q(spark, sf_dir):
+    from etl_cms_spark.operators.textdedup import simhash_clusters
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    both = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return simhash_clusters(both, "text", "doc_id")
+
+
+@q("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate ANN (scale path; exactness asserted
+    vs brute force in tests/test_similarity.py)."""
+    from etl_cms_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    return ivf_topk(emb, "embedding", "vec_id", qv, k=10, n_cells=16, n_probes=4)
+
+
+@q("media_feature_extract")
+def media_feature_extract(spark, sf_dir):
+    """Multimodal plumbing: binary payloads → mapInPandas feature
+    extraction (decode stubbed deterministically)."""
+    from etl_cms_spark.operators.multimodal import extract_features, synthesize_media
+
+    d = _t(spark, sf_dir, "documents").limit(200)
+    media = synthesize_media(d, "doc_id", "text")
+    return extract_features(media)
+
+
+@q("cdc_pipeline_state")
+def cdc_pipeline_state(spark, sf_dir):
+    """End-to-end CDC flagship: deterministic changelog → epoch loop →
+    exactly-once merged lake state.  Not SQL-expressible (stateful
+    multi-epoch merge); replay/convergence asserted in tests/."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = gen_source_changes(spark, n_events=2000, n_keys=400, n_repos=20)
+    root = tempfile.mkdtemp(prefix="cdc_entry_")
+    try:
+        p = CDCPipeline(spark, root, n_buckets=8)
+        p.run(changes, n_epochs=2)
+        return p.current_state().orderBy("repo", "path").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

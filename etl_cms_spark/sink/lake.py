@@ -50,6 +50,12 @@ from pyspark.sql import types as T
 
 _LSN_COL = "_lsn"
 _BUCKET_COL = "_bucket"
+# tombstone marker: deletes persist as marked rows so max-LSN merge
+# converges under ANY application order (streaming micro-batches are
+# not LSN-ordered across batches; a physical delete would let a
+# late-arriving older update resurrect the key).  GC of tombstones
+# older than a replay horizon belongs to a compaction pass.
+_DELETED_COL = "_deleted"
 
 
 def _atomic_write_json(path: str, obj: Any) -> None:
@@ -145,7 +151,7 @@ class LakeTable:
         if bucket_ids is not None:
             sel = {b: d for b, d in sel.items() if int(b) in set(bucket_ids)}
         dirs = sorted({os.path.join(self.root, d) for d in sel.values()})
-        cols = [*manifest["schema"].keys(), _LSN_COL, _BUCKET_COL]
+        cols = [*manifest["schema"].keys(), _LSN_COL, _BUCKET_COL, _DELETED_COL]
         if not dirs:
             fields = [
                 T.StructField(n, T._parse_datatype_string(t))
@@ -153,6 +159,7 @@ class LakeTable:
             ] + [
                 T.StructField(_LSN_COL, T.LongType()),
                 T.StructField(_BUCKET_COL, T.IntegerType()),
+                T.StructField(_DELETED_COL, T.BooleanType()),
             ]
             return self.spark.createDataFrame([], T.StructType(fields))
         df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
@@ -161,19 +168,25 @@ class LakeTable:
         # from the key hash (deterministic by construction).
         if _BUCKET_COL in df.columns:
             df = df.drop(_BUCKET_COL)
+        if _DELETED_COL not in df.columns:
+            df = df.withColumn(_DELETED_COL, F.lit(False))
+        df = df.withColumn(_DELETED_COL, F.coalesce(F.col(_DELETED_COL), F.lit(False)))
         df = self._normalize(df, manifest)
         df = df.withColumn(_BUCKET_COL, self.bucket_expr(manifest["key_cols"]))
         return df.select(*cols)
 
     def read(self, bucket_ids: list[int] | None = None) -> DataFrame:
-        """Current snapshot as a DataFrame (system columns dropped)."""
+        """Current snapshot as a DataFrame (tombstones filtered,
+        system columns dropped)."""
         m = self._load_manifest()
-        return self._read_buckets(m, bucket_ids).drop(_LSN_COL, _BUCKET_COL)
+        df = self._read_buckets(m, bucket_ids)
+        return df.where(~F.col(_DELETED_COL)).drop(_LSN_COL, _BUCKET_COL, _DELETED_COL)
 
     def read_at(self, version: int) -> DataFrame:
         """Time travel: read an older snapshot."""
         m = self._load_manifest(version)
-        return self._read_buckets(m, None).drop(_LSN_COL, _BUCKET_COL)
+        df = self._read_buckets(m, None)
+        return df.where(~F.col(_DELETED_COL)).drop(_LSN_COL, _BUCKET_COL, _DELETED_COL)
 
     def bucket_expr(self, key_cols: list[str]):
         return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(self.n_buckets)).cast("int")
@@ -250,20 +263,17 @@ class LakeTable:
             *proj,
             F.col(_LSN_COL),
             F.col(_BUCKET_COL),
-            (F.col(op_col) == "D").alias("_is_delete"),
+            (F.col(op_col) == "D").alias(_DELETED_COL),
         )
-        target = self._read_buckets(manifest, changed_buckets).withColumn(
-            "_is_delete", F.lit(False)
-        )
+        target = self._read_buckets(manifest, changed_buckets)
         merged = target.unionByName(up_norm)
-        # max-LSN wins per key; deletes drop the key (E5 + MERGE).
+        # max-LSN wins per key (E5 + MERGE); deletes persist as
+        # tombstone rows so out-of-order replays cannot resurrect keys.
         payload = [c for c in merged.columns if c not in key_cols]
         winner = (
             merged.groupBy(*key_cols)
             .agg(F.max_by(F.struct(*payload), F.col(_LSN_COL)).alias("_w"))
             .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
-            .where(~F.col("_is_delete"))
-            .drop("_is_delete")
         )
 
         new_version = manifest["version"] + 1
@@ -285,7 +295,8 @@ class LakeTable:
             if b in written:
                 manifest["buckets"][str(b)] = f"{rel_dir}/{_BUCKET_COL}={b}"
             else:
-                # every key in the bucket was deleted.
+                # bucket produced no rows (shouldn't happen with
+                # tombstones, but keep the manifest consistent).
                 manifest["buckets"].pop(str(b), None)
 
         rec = self._lineage_record(

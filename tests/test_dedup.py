@@ -1,0 +1,47 @@
+from pyspark.sql import functions as F
+
+from etl_cms_spark.operators.dedup import (
+    dense_stable_id,
+    first_write_wins,
+    keyed_dedup_stable_id,
+    latest_by_lsn,
+    latest_by_lsn_window,
+)
+from etl_cms_spark.operators.skew import salted_latest_by_lsn
+from tests.conftest import assert_df_equal
+
+
+def test_latest_by_lsn_forms_agree(changes):
+    a = latest_by_lsn(changes, ["repo", "path"], "lsn")
+    b = latest_by_lsn_window(changes, ["repo", "path"], "lsn")
+    c = salted_latest_by_lsn(changes, ["repo", "path"], "lsn", n_salts=8)
+    cols = ["repo", "path", "lsn", "op", "commit"]
+    assert_df_equal(a.select(cols), b.select(cols), "max_by vs window")
+    assert_df_equal(a.select(cols), c.select(cols), "max_by vs salted")
+
+
+def test_latest_by_lsn_is_max(changes):
+    out = latest_by_lsn(changes, ["repo", "path"], "lsn")
+    mx = changes.groupBy("repo", "path").agg(F.max("lsn").alias("lsn"))
+    assert_df_equal(out.select("repo", "path", "lsn"), mx, "kept lsn == max lsn")
+
+
+def test_first_write_wins(changes):
+    out = first_write_wins(changes, ["repo", "path"], "lsn")
+    mn = changes.groupBy("repo", "path").agg(F.min("lsn").alias("lsn"))
+    assert_df_equal(out.select("repo", "path", "lsn"), mn)
+
+
+def test_stable_ids_deterministic(changes):
+    a = keyed_dedup_stable_id(changes, ["repo", "path"])
+    b = keyed_dedup_stable_id(changes, ["repo", "path"])
+    assert_df_equal(a, b, "hash ids replay-stable")
+    n = a.count()
+    assert a.select("surrogate_id").distinct().count() == n
+
+
+def test_dense_ids_are_dense(changes):
+    d = dense_stable_id(changes, ["repo", "path"])
+    n = d.count()
+    row = d.agg(F.min("surrogate_id"), F.max("surrogate_id"), F.count_distinct("surrogate_id")).first()
+    assert row[0] == 1 and row[1] == n and row[2] == n

@@ -1,0 +1,68 @@
+import os
+
+from pyspark.sql import types as T
+
+from etl_cms_spark.sources.csv_layouts import (
+    explode_lines,
+    read_csv_fixed,
+    repeated_cols_to_array,
+    zip_claim_lines,
+)
+
+
+def _write_csv(tmp_root, name, header, rows):
+    p = os.path.join(tmp_root, name)
+    with open(p, "w") as f:
+        f.write(header + "\n")
+        for r in rows:
+            f.write(r + "\n")
+    return p
+
+
+def test_fixed_schema_and_empty_as_null(spark, tmp_root):
+    p = _write_csv(
+        tmp_root, "bene.csv", "id,dt,amt",
+        ["A1,20200101,10.5", "A2,,", "A3,20200301,"],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("dt", T.StringType()),
+            T.StructField("amt", T.DoubleType()),
+        ]
+    )
+    df = read_csv_fixed(spark, p, schema)
+    rows = {r.id: (r.dt, r.amt) for r in df.collect()}
+    assert rows["A2"] == (None, None)
+    assert rows["A3"] == ("20200301", None)
+
+
+def test_multi_path_union(spark, tmp_root):
+    p1 = _write_csv(tmp_root, "a.csv", "id,dt,amt", ["A,20200101,1"])
+    p2 = _write_csv(tmp_root, "b.csv", "id,dt,amt", ["B,20200101,2"])
+    schema = "id string, dt string, amt double"
+    df = read_csv_fixed(spark, [p1, p2], T._parse_datatype_string(schema))
+    assert df.count() == 2
+
+
+def test_repeated_cols_to_array(spark):
+    df = spark.createDataFrame(
+        [("c1", "250.0", "", None), ("c2", "", "", "")],
+        "clm string, dx_1 string, dx_2 string, dx_3 string",
+    )
+    out = repeated_cols_to_array(df, "dx_", 3, "dx_list")
+    got = {r.clm: list(r.dx_list) for r in out.collect()}
+    assert got == {"c1": ["250.0"], "c2": []}
+
+
+def test_zip_and_explode_claim_lines(spark):
+    df = spark.createDataFrame(
+        [("c1", "n1", "n2", None, "h1", None, None)],
+        "clm string, npi_1 string, npi_2 string, npi_3 string, "
+        "hcpcs_1 string, hcpcs_2 string, hcpcs_3 string",
+    )
+    zipped = zip_claim_lines(df, {"npi": "npi_", "hcpcs": "hcpcs_"}, 3)
+    lines = explode_lines(zipped)
+    rows = sorted((r.line_number, r.npi, r.hcpcs) for r in lines.collect())
+    # line 3 (all-null) dropped; line 2 kept (npi present, hcpcs null)
+    assert rows == [(1, "n1", "h1"), (2, "n2", None)]

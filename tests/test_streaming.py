@@ -1,0 +1,50 @@
+import os
+
+from pyspark.sql import functions as F
+
+from etl_cms_spark.fixtures.generator import gen_source_changes
+from etl_cms_spark.operators.dedup import latest_by_lsn
+from etl_cms_spark.plans.mapping import CONCEPT_MAP
+from etl_cms_spark.plans.pipeline import CDCPipeline
+from etl_cms_spark.streaming.stream import start_stream
+from tests.conftest import assert_df_equal
+
+
+def test_streaming_matches_batch(spark, tmp_root):
+    changes = gen_source_changes(spark, n_events=2000, n_keys=400, n_repos=10)
+    log_dir = os.path.join(tmp_root, "changelog")
+    # several files so the file source produces multiple micro-batches.
+    changes.repartition(6).write.parquet(log_dir)
+
+    q, pipeline = start_stream(
+        spark, log_dir, os.path.join(tmp_root, "lake"), max_files_per_trigger=2
+    )
+    q.awaitTermination(300)
+    assert len(pipeline.table.lineage()) >= 2  # really incremental
+
+    batch_p = CDCPipeline(spark, os.path.join(tmp_root, "lake_batch"))
+    batch_p.run(changes, n_epochs=3)
+    cols = ["repo", "path", "commit", "content_sha"]
+    assert_df_equal(
+        pipeline.current_state().select(cols),
+        batch_p.current_state().select(cols),
+        "stream == batch",
+    )
+
+
+def test_stream_restart_is_exactly_once(spark, tmp_root):
+    changes = gen_source_changes(spark, n_events=1000, n_keys=200, n_repos=10)
+    log_dir = os.path.join(tmp_root, "changelog")
+    changes.repartition(4).write.parquet(log_dir)
+    lake = os.path.join(tmp_root, "lake")
+
+    q1, p1 = start_stream(spark, log_dir, lake, max_files_per_trigger=2)
+    q1.awaitTermination(300)
+    state1 = p1.current_state()
+    n_epochs_1 = len(p1.table.lineage())
+
+    # restart the stream over the same checkpoint: no new data -> no new epochs.
+    q2, p2 = start_stream(spark, log_dir, lake, max_files_per_trigger=2)
+    q2.awaitTermination(300)
+    assert len(p2.table.lineage()) == n_epochs_1
+    assert_df_equal(p2.current_state(), state1, "restart is no-op")

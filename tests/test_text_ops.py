@@ -1,0 +1,98 @@
+from pyspark.sql import functions as F
+
+from etl_cms_spark.functions import text as X
+from etl_cms_spark.operators.textdedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_clusters,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("  x ",)], "t string")
+    got = [r[0] for r in df.select(X.token_count(F.col("t"))).collect()]
+    assert got == [3, 0, 1]
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [("Hello, World!",), ("hello   world",), ("different",)], "t string"
+    )
+    fps = [r[0] for r in df.select(X.fingerprint(F.col("t"))).collect()]
+    assert fps[0] == fps[1] and fps[0] != fps[2]
+
+
+def test_quality_and_ratios(spark):
+    df = spark.createDataFrame([("the quick brown fox 123!",)], "t string")
+    row = df.select(
+        X.alpha_ratio(F.col("t")).alias("a"),
+        X.digit_ratio(F.col("t")).alias("d"),
+        X.stopword_ratio(F.col("t")).alias("s"),
+        X.quality_score(F.col("t")).alias("q"),
+    ).first()
+    assert 0 < row.a < 1 and 0 < row.d < 1
+    assert abs(row.s - 0.2) < 1e-9  # 'the' is 1 of 5 tokens
+    assert 0 <= row.q <= 1
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog of it",), ("der hund und das haus und",), ("le chat et les maisons et le",)],
+        "t string",
+    )
+    got = [r[0] for r in df.select(X.lang_id(F.col("t"))).collect()]
+    assert got == ["en", "de", "fr"]
+
+
+def test_exact_dedup_finds_dupe_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "Same Text, Here!"), (3, "unique")],
+        "doc_id long, text string",
+    )
+    out = exact_dedup(df, "text", "doc_id").collect()
+    assert len(out) == 1 and out[0]["keeper_id"] == 1 and out[0]["dup_count"] == 2
+
+
+def _dup_docs(spark):
+    base = "spark merge window hash join filter group sort key value batch stream"
+    near = base + " extra"
+    other = "completely different words nothing shared with anything else at all ok"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "doc_id long, text string"
+    )
+
+
+def test_ngram_jaccard_pairs(spark):
+    out = ngram_jaccard_pairs(_dup_docs(spark), "text", "doc_id", n=3, threshold=0.5)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5
+    assert all(4 not in p for p in pairs)
+
+
+def test_minhash_recall_on_exact_dupes(spark):
+    out = minhash_lsh_pairs(
+        _dup_docs(spark), "text", "doc_id", n_hashes=16, bands=4, verify_threshold=0.5
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in pairs  # identical docs always agree on all bands
+    assert all(4 not in p for p in pairs)
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, documents):
+    """On the real documents table: every LSH-confirmed pair (exact
+    jaccard computed on candidates) must appear in the exhaustive
+    exact-jaccard pairs at the same threshold (no false positives;
+    recall is probabilistic by design)."""
+    docs = documents.limit(200)
+    lsh = minhash_lsh_pairs(docs, "text", "doc_id", n_hashes=16, bands=8, verify_threshold=0.7)
+    exact = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.7)
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh.collect()}
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert lsh_pairs <= exact_pairs
+
+
+def test_simhash_clusters_identical_docs(spark):
+    out = simhash_clusters(_dup_docs(spark), "text", "doc_id").collect()
+    assert any(r.cluster_size >= 2 and r.keeper_id == 1 for r in out)
