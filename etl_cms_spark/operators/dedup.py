@@ -45,6 +45,29 @@ def latest_by_lsn(
     return agg.select(*key_cols, *[F.col(f"_latest.{c}").alias(c) for c in payload])
 
 
+def latest_by_lsn_join(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    lsn_col: str = "lsn",
+) -> DataFrame:
+    """Join-back form: hash-aggregate max(lsn) per key (pure longs →
+    HashAggregate with map-side combine), then semi-join the raw rows
+    on (key, lsn).
+
+    WHY: ``max_by(struct(payload))`` compiles to SortAggregate (struct
+    agg buffers are not hash-aggregable), which sorts every partition;
+    this form keeps both sides hash-based.  CAVEAT: exact duplicate
+    (key, lsn) rows (at-least-once delivery) both survive — they are
+    byte-identical by construction, so any downstream per-key reducer
+    (e.g. the lake merge) resolves them deterministically; use
+    ``latest_by_lsn`` when strict one-row-per-key output is required.
+    """
+    mx = df.groupBy(*key_cols).agg(F.max(lsn_col).alias(lsn_col))
+    # hint on the build (right) side: hash relation over (key, max lsn)
+    # pairs; avoids SMJ's sort of the full payload side.
+    return df.join(mx.hint("SHUFFLE_HASH"), [*key_cols, lsn_col], "leftsemi")
+
+
 def latest_by_lsn_window(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -70,10 +70,29 @@ def _atomic_write_json(path: str, obj: Any) -> None:
 class LakeTable:
     """An upsert-able, snapshot-versioned, schema-evolving table."""
 
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 32):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 32,
+        merge_mode: str = "cow",
+    ):
+        """merge_mode:
+        * "cow" — copy-on-write: each epoch rewrites the touched
+          buckets with winners resolved.  Reads are plain scans.
+          Cost per epoch: O(touched table); best for low-frequency,
+          large-ratio batches.
+        * "mor" — merge-on-read: each epoch only appends the deduped
+          batch as per-bucket DELTA files — no target read, no
+          table-side shuffle; winners are resolved at read time across
+          base+deltas.  Cost per epoch: O(batch).  Call ``compact()``
+          periodically to fold deltas back into the base (Iceberg's
+          MoR + maintenance model).
+        """
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        self.merge_mode = merge_mode
         self._manifest_dir = os.path.join(root, "_manifests")
 
     # ---------------- manifest plumbing ----------------
@@ -113,7 +132,7 @@ class LakeTable:
             "key_cols": list(key_cols),
             "schema": dict(schema),
             "renames": {},  # physical-name -> logical-name (cumulative)
-            "buckets": {},  # bucket-id(str) -> relative data dir
+            "buckets": {},  # bucket-id(str) -> list of relative data dirs (base + deltas)
             "epochs": {},  # epoch(str) -> lineage record
             "n_buckets": self.n_buckets,
         }
@@ -146,11 +165,25 @@ class LakeTable:
                 df = df.withColumn(name, F.col(name).cast(typ))
         return df
 
-    def _read_buckets(self, manifest: dict, bucket_ids: list[int] | None) -> DataFrame:
+    @staticmethod
+    def _bucket_dirs(manifest: dict, bucket: str) -> list[str]:
+        v = manifest["buckets"][bucket]
+        return [v] if isinstance(v, str) else list(v)
+
+    def _read_buckets(
+        self, manifest: dict, bucket_ids: list[int] | None, resolve: bool = True
+    ) -> DataFrame:
         sel = manifest["buckets"]
         if bucket_ids is not None:
             sel = {b: d for b, d in sel.items() if int(b) in set(bucket_ids)}
-        dirs = sorted({os.path.join(self.root, d) for d in sel.values()})
+        dirs = sorted(
+            {
+                os.path.join(self.root, d)
+                for b in sel
+                for d in self._bucket_dirs(manifest, b)
+            }
+        )
+        has_deltas = any(len(self._bucket_dirs(manifest, b)) > 1 for b in sel)
         cols = [*manifest["schema"].keys(), _LSN_COL, _BUCKET_COL, _DELETED_COL]
         if not dirs:
             fields = [
@@ -173,7 +206,19 @@ class LakeTable:
         df = df.withColumn(_DELETED_COL, F.coalesce(F.col(_DELETED_COL), F.lit(False)))
         df = self._normalize(df, manifest)
         df = df.withColumn(_BUCKET_COL, self.bucket_expr(manifest["key_cols"]))
-        return df.select(*cols)
+        df = df.select(*cols)
+        if resolve and has_deltas:
+            # merge-on-read: resolve the max-LSN winner per key across
+            # base + delta files.
+            key_cols = manifest["key_cols"]
+            payload = [c for c in cols if c not in key_cols]
+            df = (
+                df.groupBy(*key_cols)
+                .agg(F.max_by(F.struct(*payload), F.col(_LSN_COL)).alias("_w"))
+                .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
+                .select(*cols)  # canonical column order regardless of path
+            )
+        return df
 
     def read(self, bucket_ids: list[int] | None = None) -> DataFrame:
         """Current snapshot as a DataFrame (tombstones filtered,
@@ -200,6 +245,7 @@ class LakeTable:
         op_col: str = "op",
         lsn_col: str = "lsn",
         extra_lineage: dict | None = None,
+        stats: dict | None = None,
     ) -> dict:
         """MERGE an epoch's deduped change batch into the table.
 
@@ -209,6 +255,12 @@ class LakeTable:
         key (operators.dedup.latest_by_lsn) — enforced cheaply by the
         max-LSN merge anyway, so violations degrade to extra work, not
         wrong answers.
+
+        ``stats`` (optional) skips the internal stats job when the
+        caller already computed {n_total, n_deletes, lsn_lo, lsn_hi,
+        changed_buckets} — the pipeline does this via ``observe()`` on
+        the batch-materialization job, saving one job per epoch (the
+        per-epoch serial floor is what limits scaling efficiency).
 
         Returns the lineage record; if ``epoch`` was already committed
         the call is a NO-OP and returns the recorded lineage
@@ -226,28 +278,36 @@ class LakeTable:
 
         up = updates.withColumn(_BUCKET_COL, self.bucket_expr(key_cols))
         up = up.withColumn(_LSN_COL, F.col(lsn_col).cast("long"))
-        # one tiny job: per-op counts + lsn range + changed buckets.
-        stats_rows = (
-            up.groupBy(op_col)
-            .agg(
-                F.count("*").alias("n"),
-                F.min(_LSN_COL).alias("lo"),
-                F.max(_LSN_COL).alias("hi"),
-                F.collect_set(_BUCKET_COL).alias("bks"),
+        if stats is None:
+            # one job: per-op counts + lsn range + changed buckets.
+            stats_rows = (
+                up.groupBy(op_col)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.min(_LSN_COL).alias("lo"),
+                    F.max(_LSN_COL).alias("hi"),
+                    F.collect_set(_BUCKET_COL).alias("bks"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        if not stats_rows:
+            stats = {
+                "n_total": sum(r["n"] for r in stats_rows),
+                "n_deletes": sum(r["n"] for r in stats_rows if r[op_col] == "D"),
+                "lsn_lo": min((r["lo"] for r in stats_rows), default=None),
+                "lsn_hi": max((r["hi"] for r in stats_rows), default=None),
+                "changed_buckets": sorted({b for r in stats_rows for b in r["bks"]}),
+            }
+        if not stats["n_total"]:
             rec = self._lineage_record(epoch, 0, 0, None, None, manifest["version"] + 1, t0, extra_lineage)
             manifest["version"] += 1
             manifest["epochs"][str(epoch)] = rec
             self._commit_manifest(manifest)
             return rec
-        changed_buckets = sorted({b for r in stats_rows for b in r["bks"]})
-        lsn_lo = min(r["lo"] for r in stats_rows)
-        lsn_hi = max(r["hi"] for r in stats_rows)
-        n_deletes = sum(r["n"] for r in stats_rows if r[op_col] == "D")
-        n_upserts = sum(r["n"] for r in stats_rows if r[op_col] != "D")
+        changed_buckets = sorted(stats["changed_buckets"])
+        lsn_lo = stats["lsn_lo"]
+        lsn_hi = stats["lsn_hi"]
+        n_deletes = stats["n_deletes"]
+        n_upserts = stats["n_total"] - n_deletes
 
         # normalize updates to logical schema (+ mark deletes): a
         # changelog producer may still emit pre-rename column names
@@ -265,22 +325,49 @@ class LakeTable:
             F.col(_BUCKET_COL),
             (F.col(op_col) == "D").alias(_DELETED_COL),
         )
-        target = self._read_buckets(manifest, changed_buckets)
-        merged = target.unionByName(up_norm)
-        # max-LSN wins per key (E5 + MERGE); deletes persist as
-        # tombstone rows so out-of-order replays cannot resurrect keys.
-        payload = [c for c in merged.columns if c not in key_cols]
-        winner = (
-            merged.groupBy(*key_cols)
-            .agg(F.max_by(F.struct(*payload), F.col(_LSN_COL)).alias("_w"))
-            .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
+        payload = [c for c in up_norm.columns if c not in key_cols]
+        # one winner per key within the batch (SortAggregate over the
+        # batch only — exact duplicate (key, lsn) rows from
+        # at-least-once delivery are byte-identical, so ties resolve
+        # deterministically).
+        u = up_norm.groupBy(*key_cols).agg(
+            F.max_by(F.struct(*payload), F.col(_LSN_COL)).alias("_u")
         )
+        if self.merge_mode == "mor":
+            # merge-on-read: the deduped batch IS the delta — no
+            # target read, no table-side shuffle.
+            winner = u.select(*key_cols, *[F.col(f"_u.{c}").alias(c) for c in payload])
+        else:
+            target = self._read_buckets(manifest, changed_buckets)
+            # max-LSN wins per key (E5 + MERGE); deletes persist as
+            # tombstone rows so out-of-order replays cannot resurrect
+            # keys.  FULL OUTER shuffled-hash join rather than
+            # union + max_by: struct-buffer aggregation would compile
+            # to SortAggregate (sorting every partition of
+            # table+batch); the hash join shuffles each side once with
+            # zero sorts.
+            t = target.select(*key_cols, F.struct(*payload).alias("_t"))
+            joined = t.join(u.hint("SHUFFLE_HASH"), list(key_cols), "full")
+            pick = (
+                F.when(F.col("_t").isNull(), F.col("_u"))
+                .when(F.col("_u").isNull(), F.col("_t"))
+                .when(F.col(f"_u.{_LSN_COL}") >= F.col(f"_t.{_LSN_COL}"), F.col("_u"))
+                .otherwise(F.col("_t"))
+            )
+            winner = joined.select(
+                *key_cols, *[pick[c].alias(c) for c in payload]
+            )
 
         new_version = manifest["version"] + 1
         rel_dir = f"data/v{new_version}"
         out_dir = os.path.join(self.root, rel_dir)
+        # task count: enough for parallelism, not one per bucket — a
+        # task writes several bucket dirs via partitionBy; 64 tiny
+        # tasks on 2 cores would just pay scheduling overhead.
+        default_par = self.spark.sparkContext.defaultParallelism
+        n_tasks = max(1, min(len(changed_buckets), default_par * 2))
         (
-            winner.repartition(max(1, len(changed_buckets)), F.col(_BUCKET_COL))
+            winner.repartition(n_tasks, F.col(_BUCKET_COL))
             .write.mode("overwrite")
             .partitionBy(_BUCKET_COL)
             .parquet(out_dir)
@@ -292,10 +379,19 @@ class LakeTable:
             if p.startswith(f"{_BUCKET_COL}=")
         }
         for b in changed_buckets:
+            new_dir = f"{rel_dir}/{_BUCKET_COL}={b}"
             if b in written:
-                manifest["buckets"][str(b)] = f"{rel_dir}/{_BUCKET_COL}={b}"
-            else:
-                # bucket produced no rows (shouldn't happen with
+                if self.merge_mode == "mor":
+                    cur = (
+                        self._bucket_dirs(manifest, str(b))
+                        if str(b) in manifest["buckets"]
+                        else []
+                    )
+                    manifest["buckets"][str(b)] = [*cur, new_dir]
+                else:
+                    manifest["buckets"][str(b)] = [new_dir]
+            elif self.merge_mode != "mor":
+                # CoW bucket produced no rows (shouldn't happen with
                 # tombstones, but keep the manifest consistent).
                 manifest["buckets"].pop(str(b), None)
 
@@ -336,6 +432,56 @@ class LakeTable:
                 {"epoch": epoch, "schema_change": change, "snapshot_version": manifest["version"]},
             )
         self._commit_manifest(manifest)
+
+    def compact(self, expire_tombstones: bool = False) -> dict:
+        """Fold merge-on-read deltas back into one base file set per
+        bucket (Iceberg-style maintenance).  Winners are resolved with
+        the same max-LSN rule reads use, so compaction never changes
+        query results — property-tested in tests/test_lake_modes.py.
+
+        Tombstones are kept by default (they guard replays of older
+        epochs); pass ``expire_tombstones=True`` once the replay
+        horizon has passed them."""
+        t0 = time.time()
+        manifest = self._load_manifest()
+        delta_buckets = [
+            b for b in manifest["buckets"] if len(self._bucket_dirs(manifest, b)) > 1
+        ]
+        if not delta_buckets and not expire_tombstones:
+            return {"compacted_buckets": 0, "seconds": 0.0}
+        resolved = self._read_buckets(
+            manifest, [int(b) for b in delta_buckets] if delta_buckets else None
+        )
+        if expire_tombstones:
+            resolved = resolved.where(~F.col(_DELETED_COL))
+        new_version = manifest["version"] + 1
+        rel_dir = f"data/v{new_version}-compact"
+        out_dir = os.path.join(self.root, rel_dir)
+        default_par = self.spark.sparkContext.defaultParallelism
+        n_tasks = max(1, min(self.n_buckets, default_par * 2))
+        (
+            resolved.repartition(n_tasks, F.col(_BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET_COL)
+            .parquet(out_dir)
+        )
+        written = {
+            int(p.split("=", 1)[1])
+            for p in os.listdir(out_dir)
+            if p.startswith(f"{_BUCKET_COL}=")
+        }
+        for b in delta_buckets:
+            if int(b) in written:
+                manifest["buckets"][b] = [f"{rel_dir}/{_BUCKET_COL}={int(b)}"]
+            else:
+                manifest["buckets"].pop(b, None)
+        manifest["version"] = new_version
+        self._commit_manifest(manifest)
+        return {
+            "compacted_buckets": len(delta_buckets),
+            "snapshot_version": new_version,
+            "seconds": round(time.time() - t0, 2),
+        }
 
     @staticmethod
     def _lineage_record(epoch, n_upserts, n_deletes, lsn_lo, lsn_hi, version, t0, extra):

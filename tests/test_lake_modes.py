@@ -1,0 +1,73 @@
+"""Merge-on-read vs copy-on-write equivalence + compaction safety."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_cms_spark.fixtures.generator import gen_source_changes
+from etl_cms_spark.plans.pipeline import CDCPipeline
+from tests.conftest import assert_df_equal
+
+
+def _run(spark, root, changes, **kw):
+    p = CDCPipeline(spark, root, n_buckets=16, **kw)
+    p.run(changes, n_epochs=3)
+    return p
+
+
+def test_mor_equals_cow(spark, changes, tmp_root):
+    cow = _run(spark, os.path.join(tmp_root, "cow"), changes, merge_mode="cow")
+    mor = _run(spark, os.path.join(tmp_root, "mor"), changes, merge_mode="mor")
+    assert_df_equal(cow.current_state(), mor.current_state(), "mor == cow")
+
+
+def test_compaction_preserves_state(spark, changes, tmp_root):
+    mor = _run(spark, os.path.join(tmp_root, "m"), changes, merge_mode="mor")
+    before = mor.current_state().collect()
+    rec = mor.table.compact()
+    assert rec["compacted_buckets"] > 0
+    after = mor.current_state()
+    assert sorted(map(str, before)) == sorted(map(str, after.collect()))
+    # post-compaction every bucket has a single dir
+    m = mor.table._load_manifest()
+    assert all(len(mor.table._bucket_dirs(m, b)) == 1 for b in m["buckets"])
+
+
+def test_mor_epoch_is_append_only(spark, changes, tmp_root):
+    mor = _run(spark, os.path.join(tmp_root, "m2"), changes, merge_mode="mor")
+    m = mor.table._load_manifest()
+    # 3 epochs touching overlapping buckets -> delta lists accumulate
+    assert any(len(mor.table._bucket_dirs(m, b)) > 1 for b in m["buckets"])
+
+
+def test_mor_replay_skips(spark, changes, tmp_root):
+    mor = _run(spark, os.path.join(tmp_root, "m3"), changes, merge_mode="mor")
+    before = mor.current_state()
+    recs = mor.run(changes, n_epochs=3)
+    assert all(r.get("skipped_duplicate_epoch") for r in recs)
+    assert_df_equal(mor.current_state(), before, "mor replay")
+
+
+def test_auto_compaction(spark, changes, tmp_root):
+    p = CDCPipeline(
+        spark, os.path.join(tmp_root, "m4"), n_buckets=16,
+        merge_mode="mor", compact_every=2,
+    )
+    recs = p.run(changes, n_epochs=4)
+    assert any("compaction" in r for r in recs)
+    cow = _run(spark, os.path.join(tmp_root, "c4"), changes, merge_mode="cow")
+    # run() above used 4 epochs; rerun cow with 4 for comparability
+    import shutil
+    shutil.rmtree(os.path.join(tmp_root, "c4"), ignore_errors=True)
+    c = CDCPipeline(spark, os.path.join(tmp_root, "c4b"), n_buckets=16)
+    c.run(changes, n_epochs=4)
+    assert_df_equal(p.current_state(), c.current_state(), "auto-compacted mor == cow")
+
+
+def test_mor_tombstone_expiry(spark, tmp_root):
+    ch = gen_source_changes(spark, n_events=800, n_keys=200, n_repos=10)
+    p = CDCPipeline(spark, os.path.join(tmp_root, "m5"), n_buckets=8, merge_mode="mor")
+    p.run(ch, n_epochs=2)
+    state_before = p.current_state()
+    p.table.compact(expire_tombstones=True)
+    assert_df_equal(p.current_state(), state_before, "expiry preserves live rows")
