@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""spark-submit entry point (BASELINE.json north_rule: "run via
+spark-submit --py-files on a multi-executor cluster").
+
+Package and launch:
+
+    python package.py                       # -> dist/etl_cms_spark.zip
+    spark-submit --py-files dist/etl_cms_spark.zip main.py \
+        --changelog /path/to/changelog.parquet \
+        --lake /path/to/lake --epochs 8 [--stream] [--salt] \
+        [--merge-mode mor --compact-every 4]
+
+On a cluster, only --master/--deploy-mode on the spark-submit line
+change; the code is identical to the local[.] path the tests run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--changelog", required=True, help="parquet changelog dir")
+    ap.add_argument("--lake", required=True, help="lake root dir")
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--stream", action="store_true", help="Structured Streaming tail")
+    ap.add_argument("--salt", action="store_true", help="salted dedup for hot keys")
+    ap.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
+    ap.add_argument("--compact-every", type=int, default=None)
+    args = ap.parse_args()
+
+    # under spark-submit the session/master comes from the submit
+    # command line; fall back to the tuned local builder otherwise.
+    spark = SparkSession.builder.appName("etl-cms-spark").getOrCreate()
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    if args.stream:
+        from etl_cms_spark.streaming.stream import start_stream
+
+        q, pipeline = start_stream(
+            spark, args.changelog, args.lake, salt_hot_keys=args.salt
+        )
+        q.awaitTermination()
+    else:
+        from etl_cms_spark.plans.pipeline import CDCPipeline
+
+        pipeline = CDCPipeline(
+            spark,
+            args.lake,
+            n_buckets=args.n_buckets,
+            salt_hot_keys=args.salt,
+            merge_mode=args.merge_mode,
+            compact_every=args.compact_every,
+        )
+        changes = spark.read.parquet(args.changelog)
+        pipeline.run(changes, n_epochs=args.epochs)
+
+    for rec in pipeline.table.lineage():
+        print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
