@@ -885,3 +885,230 @@ def cdc_pipeline_state(spark, sf_dir):
         return p.current_state().orderBy("repo", "path").localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# =====================================================================
+# H. Additional survey shapes (J5/J6/G6) + engine extensions
+# =====================================================================
+
+@q(
+    "range_join_followups",
+    """
+    SELECT e1.user_id, e1.event_id AS purchase_id, COUNT(*) AS followups
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 30 MINUTE
+    WHERE e1.event_type = 'purchase'
+    GROUP BY e1.user_id, e1.event_id
+    """,
+)
+def range_join_followups(spark, sf_dir):
+    """J5 — equi keys + range predicate (the era SQL's
+    `e.end_date >= c.start_date` join shape, create_CDMv5_condition_era.sql:98):
+    events within 30 minutes after each purchase by the same user."""
+    e = _t(spark, sf_dir, "events")
+    e1 = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("t1")
+    )
+    e2 = e.select("user_id", F.col("ts").alias("t2"))
+    joined = e1.join(e2, "user_id").where(
+        (F.col("t2") > F.col("t1"))
+        & (F.col("t2") <= F.col("t1") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return joined.groupBy("user_id", "purchase_id").agg(F.count("*").alias("followups"))
+
+
+@q(
+    "snowflake_brand_revenue",
+    """
+    SELECT p.p_brand AS brand,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size <= 20 AND n.n_regionkey = 0
+    GROUP BY p.p_brand
+    """,
+)
+def snowflake_brand_revenue(spark, sf_dir):
+    """J6 — snowflake dimension chain with filters pushed to the dims
+    (the drug→ingredient rollup shape, create_CDMv5_drug_era…sql:38-43)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 20)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 0)
+    disc_price = _dec("l_extendedprice") * (_one() - F.col("l_discount").cast("decimal(9,2)"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark, sf_dir):
+    """G6 — distinct-count bookkeeping (the reference's
+    unique_DESYNPUF_ID_count, CMS_SynPuf_ETL_CDM_v5.py:2078)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@q(
+    "json_extract_props",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """Semi-structured extraction from the JSON props column."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_mod")
+    ).agg(F.count("*").alias("n"))
+
+
+# same oracle as cdc_latest_by_key — proves the salted two-phase form
+# is semantics-preserving inside the correctness gate itself.
+@q("cdc_latest_by_key_salted", ORACLES["cdc_latest_by_key"])
+def cdc_latest_by_key_salted(spark, sf_dir):
+    from etl_cms_spark.operators.skew import salted_latest_by_lsn
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_latest_by_lsn(
+        e.select("user_id", "event_id", "event_type", "value"), ["user_id"], "event_id"
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@q(
+    "grouped_map_rollup",
+    """
+    SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           ARG_MAX(event_type, event_id) AS latest_type
+    FROM events GROUP BY user_id
+    """,
+)
+def grouped_map_rollup(spark, sf_dir):
+    """G1/K — the whole-entity applyInPandas transform inside the
+    correctness gate (process_beneficiary analogue)."""
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "first_ts": [pdf["ts"].min()],
+                "last_ts": [pdf["ts"].max()],
+                "latest_type": [pdf["event_type"].iloc[-1]],
+            }
+        )
+
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").applyInPandas(
+        fn, "user_id bigint, n_events bigint, first_ts timestamp, last_ts timestamp, latest_type string"
+    )
+
+
+@q(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark, sf_dir):
+    """Time-bucketed rollup (hypertable-style aggregation)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+    ).agg(F.count("*").alias("n"), F.count_distinct("user_id").alias("n_users"))
+
+
+@q(
+    "rollup_status_priority",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority, COUNT(*) AS n
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark, sf_dir):
+    """OLAP ROLLUP (beyond the reference — no grouping sets there)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup(F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "moving_avg_value",
+    """
+    SELECT user_id, event_id,
+      ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+    FROM events
+    """,
+)
+def moving_avg_value(spark, sf_dir):
+    """Sliding-frame window aggregate (3-row moving average)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return e.select(
+        "user_id", "event_id", F.round(F.avg("value").over(w), 6).alias("mov_avg")
+    )
+
+
+@q(
+    "embedding_norm_stats",
+    f"""
+    SELECT label, COUNT(*) AS n,
+      ROUND(MIN(SQRT({_DOT.format(a='embedding', b='embedding')})), 4) AS min_norm,
+      ROUND(MAX(SQRT({_DOT.format(a='embedding', b='embedding')})), 4) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark, sf_dir):
+    """Vector-column aggregation: per-label embedding norm extrema
+    (min/max of deterministic double folds — oracle-exact)."""
+    from etl_cms_spark.functions.vectors import norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_ = norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.min(n_), 4).alias("min_norm"),
+        F.round(F.max(n_), 4).alias("max_norm"),
+    )
