@@ -46,6 +46,7 @@ def gen_source_changes(
     skew: float = 3.0,
     seed: int = 42,
     delete_frac_mod: int = 20,
+    key_skew: float = 0.0,
 ) -> DataFrame:
     """A deterministic changelog of ``n_events`` I/U/D events over
     ``n_keys`` distinct (repo, path) keys.
@@ -53,9 +54,20 @@ def gen_source_changes(
     lsn is strictly monotone; ~1/delete_frac_mod of events are
     deletes; every key gets n_events/n_keys versions on average
     (FIXTURES.md: ">=3 versions for >=20% of keys").
+
+    ``key_skew`` > 0 draws the key of each event from a power-law so a
+    few keys receive most updates (hot-key fixture for the salted
+    dedup path); 0 = uniform.
     """
     df = spark.range(n_events).withColumnRenamed("id", "_i")
-    key_id = F.pmod(F.xxhash64(F.col("_i"), F.lit("key"), F.lit(seed)), F.lit(n_keys))
+    if key_skew > 0:
+        ku = (
+            F.pmod(F.xxhash64(F.col("_i"), F.lit("key"), F.lit(seed)), F.lit(1_000_000))
+            / F.lit(1_000_000.0)
+        )
+        key_id = F.floor(F.pow(ku, F.lit(1.0 + key_skew)) * F.lit(n_keys)).cast("long")
+    else:
+        key_id = F.pmod(F.xxhash64(F.col("_i"), F.lit("key"), F.lit(seed)), F.lit(n_keys))
     # power-law repo assignment: u in [0,1) -> floor(n_repos * u^skew)
     u = (
         F.pmod(F.xxhash64(key_id, F.lit("repo"), F.lit(seed)), F.lit(1_000_000))

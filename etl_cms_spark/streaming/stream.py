@@ -52,6 +52,8 @@ def start_stream(
     pipeline = CDCPipeline(spark, lake_root, salt_hot_keys=salt_hot_keys)
     pipeline.init_tables()
 
+    from pyspark.sql import functions as F
+
     stream = (
         spark.readStream.schema(CHANGELOG_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -59,6 +61,22 @@ def start_stream(
         .withWatermark("ts", watermark)
         # bound within-stream duplicate state by event time.
         .dropDuplicatesWithinWatermark(["lsn", "repo", "path"])
+        # per-batch ingest metrics surfaced in query.lastProgress
+        # ["observedMetrics"]["ingest"]: rows that SURVIVED the
+        # watermarked dedup + their lsn/event-time range.  Late rows
+        # dropped by the watermark are the gap vs the source count —
+        # the reference's records_read/records_written bookkeeping
+        # (FileControl.py:255-259), stream-side.  NOTE: foreachBatch
+        # runs several actions over the batch, so counts accumulate
+        # per re-evaluation — use the LSN range for exactness and the
+        # sink's lineage records (one per epoch) for exact row counts.
+        .observe(
+            "ingest",
+            F.count(F.lit(1)).alias("rows_after_dedup"),
+            F.min("lsn").alias("lsn_min"),
+            F.max("lsn").alias("lsn_max"),
+            F.max("ts").alias("max_event_time"),
+        )
     )
 
     def apply_batch(batch_df, batch_id: int):

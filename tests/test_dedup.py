@@ -45,3 +45,32 @@ def test_dense_ids_are_dense(changes):
     n = d.count()
     row = d.agg(F.min("surrogate_id"), F.max("surrogate_id"), F.count_distinct("surrogate_id")).first()
     assert row[0] == 1 and row[1] == n and row[2] == n
+
+
+def test_salted_equals_strict_on_hot_keys(spark):
+    """Hot-key fixture: a few keys receive most updates; the salted
+    two-phase form must still agree with the plain form."""
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+
+    skewed = gen_source_changes(
+        spark, n_events=4000, n_keys=300, n_repos=10, key_skew=3.0
+    )
+    # verify the fixture IS skewed: hottest key >> average
+    top = (
+        skewed.groupBy("repo", "path").count().orderBy(F.col("count").desc()).first()
+    )
+    assert top["count"] > 4000 / 300 * 5
+    a = latest_by_lsn(skewed, ["repo", "path"], "lsn")
+    b = salted_latest_by_lsn(skewed, ["repo", "path"], "lsn", n_salts=8)
+    cols = ["repo", "path", "lsn", "commit"]
+    assert_df_equal(a.select(cols), b.select(cols), "salted on skew")
+
+
+def test_join_form_prunes_to_max_lsn(spark, changes):
+    from etl_cms_spark.operators.dedup import latest_by_lsn_join
+
+    out = latest_by_lsn_join(changes, ["repo", "path"], "lsn")
+    mx = changes.groupBy("repo", "path").agg(F.max("lsn").alias("lsn"))
+    # every surviving row carries its key's max lsn (exact dups may
+    # both survive; multiset of (key, lsn) pairs collapses to mx).
+    assert_df_equal(out.select("repo", "path", "lsn").distinct(), mx, "join pruner")

@@ -48,3 +48,27 @@ def test_stream_restart_is_exactly_once(spark, tmp_root):
     q2.awaitTermination(300)
     assert len(p2.table.lineage()) == n_epochs_1
     assert_df_equal(p2.current_state(), state1, "restart is no-op")
+
+
+def test_stream_observed_metrics(spark, tmp_root):
+    changes = gen_source_changes(spark, n_events=500, n_keys=100, n_repos=5)
+    log_dir = os.path.join(tmp_root, "changelog")
+    changes.repartition(2).write.parquet(log_dir)
+    q, pipeline = start_stream(
+        spark, log_dir, os.path.join(tmp_root, "lake"), max_files_per_trigger=10
+    )
+    q.awaitTermination(300)
+    progress = q.recentProgress
+    metrics = [
+        p["observedMetrics"]["ingest"]
+        for p in progress
+        if "ingest" in p.get("observedMetrics", {})
+    ]
+    metrics = [m for m in metrics if m["lsn_max"] is not None]  # empty final batch
+    assert metrics, "expected observed ingest metrics in stream progress"
+    # counts accumulate per foreachBatch action (see stream.py note);
+    # the LSN range is exact, and exact row counts live in lineage.
+    assert max(m["lsn_max"] for m in metrics) == 999
+    assert min(m["lsn_min"] for m in metrics) == 1
+    lin = pipeline.table.lineage()
+    assert sum(r["rows_upserted"] + r["rows_deleted"] for r in lin) > 0
