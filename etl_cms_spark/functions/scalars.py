@@ -38,8 +38,9 @@ def yyyymmdd_to_date(c: Column) -> Column:
 
 
 def birth_date_parts(c: Column) -> tuple[Column, Column, Column]:
-    """F2 — year/month/day split (reference :608-610)."""
-    d = yyyymmdd_to_date(c) if c.__class__ else c
+    """F2 — year/month/day split of a 'YYYYMMDD' string column
+    (reference :608-610)."""
+    d = yyyymmdd_to_date(c)
     return F.year(d), F.month(d), F.dayofmonth(d)
 
 

@@ -1,0 +1,68 @@
+"""Edge interactions: schema evolution x MoR deltas x compaction."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_cms_spark.fixtures.generator import gen_schema_events, gen_source_changes
+from etl_cms_spark.plans.pipeline import CDCPipeline
+from tests.conftest import assert_df_equal
+
+
+def test_rename_with_mor_deltas(spark, tmp_root):
+    """Rename mid-stream with MoR: pre-rename base files and
+    post-rename delta files coexist; reads must normalize both."""
+    base = gen_source_changes(spark, n_events=1000, n_keys=200, n_repos=10)
+    sev = gen_schema_events(spark, {999: '{"rename": "lang:language"}'})
+    ch = base.unionByName(sev)
+    p = CDCPipeline(spark, os.path.join(tmp_root, "m"), n_buckets=8, merge_mode="mor")
+    p.run(ch, n_epochs=2)
+    st = p.current_state()
+    assert "language" in st.columns and "lang" not in st.columns
+    assert st.where(F.col("language").isNull()).count() == 0
+    # compaction across the rename boundary preserves everything
+    before = sorted(map(str, st.collect()))
+    p.table.compact()
+    assert sorted(map(str, p.current_state().collect())) == before
+
+
+def test_add_column_then_mor(spark, tmp_root):
+    base = gen_source_changes(spark, n_events=600, n_keys=150, n_repos=5)
+    sev = gen_schema_events(spark, {599: '{"add": "stars:bigint"}'})
+    p = CDCPipeline(spark, os.path.join(tmp_root, "a"), n_buckets=8, merge_mode="mor")
+    p.run(base.unionByName(sev), n_epochs=2)
+    st = p.current_state()
+    assert "stars" in st.columns
+    assert st.where(F.col("stars").isNotNull()).count() == 0
+
+
+def test_mor_equals_cow_under_evolution(spark, tmp_root):
+    base = gen_source_changes(spark, n_events=1000, n_keys=200, n_repos=10)
+    sev = gen_schema_events(spark, {999: '{"rename": "lang:language"}'})
+    ch = base.unionByName(sev)
+    cow = CDCPipeline(spark, os.path.join(tmp_root, "c"), n_buckets=8, merge_mode="cow")
+    cow.run(ch, n_epochs=3)
+    mor = CDCPipeline(spark, os.path.join(tmp_root, "r"), n_buckets=8, merge_mode="mor")
+    mor.run(ch, n_epochs=3)
+    assert_df_equal(cow.current_state(), mor.current_state(), "evolution mor==cow")
+
+
+def test_staged_run_equals_plain(spark, tmp_root):
+    ch = gen_source_changes(spark, n_events=1200, n_keys=250, n_repos=10)
+    plain = CDCPipeline(spark, os.path.join(tmp_root, "p"), n_buckets=8)
+    plain.run(ch, n_epochs=3)
+    staged = CDCPipeline(spark, os.path.join(tmp_root, "s"), n_buckets=8)
+    staged.run(ch, n_epochs=3, staging_dir=os.path.join(tmp_root, "stage"))
+    assert_df_equal(plain.current_state(), staged.current_state(), "staged == plain")
+
+
+def test_time_travel_sees_pre_evolution_schema(spark, tmp_root):
+    base = gen_source_changes(spark, n_events=800, n_keys=150, n_repos=5)
+    sev = gen_schema_events(spark, {1700: '{"rename": "lang:language"}'})
+    p = CDCPipeline(spark, os.path.join(tmp_root, "tt"), n_buckets=8)
+    p.run(base.unionByName(sev), n_epochs=2)
+    v1 = p.table.lineage()[0]["snapshot_version"]
+    old = p.table.read_at(v1)
+    assert "lang" in old.columns and "language" not in old.columns
+    new = p.current_state()
+    assert "language" in new.columns
