@@ -72,3 +72,32 @@ def test_stream_observed_metrics(spark, tmp_root):
     assert min(m["lsn_min"] for m in metrics) == 1
     lin = pipeline.table.lineage()
     assert sum(r["rows_upserted"] + r["rows_deleted"] for r in lin) > 0
+
+
+def test_tight_watermark_drops_late_rows(spark, tmp_root):
+    """With a watermark narrower than the source's disorder, late
+    rows are dropped by the stateful dedup — the documented contract
+    (stream.py): watermark must exceed max disorder for completeness;
+    beyond it, late data is sacrificed to bound state."""
+    # n_keys >> n_events -> (nearly) unique keys, so per-batch dedup
+    # is identity and applied-row counts compare on equal footing.
+    changes = gen_source_changes(spark, n_events=1000, n_keys=50000, n_repos=5)
+    log_dir = os.path.join(tmp_root, "changelog")
+    # many small files in arbitrary order -> event-time disorder
+    # across micro-batches far exceeding 1 minute.
+    changes.repartition(8).write.parquet(log_dir)
+    q, pipeline = start_stream(
+        spark, log_dir, os.path.join(tmp_root, "lake"),
+        watermark="1 minute", max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    applied = sum(
+        r["rows_upserted"] + r["rows_deleted"] for r in pipeline.table.lineage()
+    )
+    full = CDCPipeline(spark, os.path.join(tmp_root, "lake_full"))
+    full.run(changes, n_epochs=1)
+    applied_full = sum(
+        r["rows_upserted"] + r["rows_deleted"] for r in full.table.lineage()
+    )
+    # some rows were late beyond the tight watermark and dropped
+    assert applied < applied_full
