@@ -43,9 +43,22 @@ CONCEPT_MAP: dict[str, tuple[int, str]] = {
 }
 
 
+# Broadcast cache: one broadcast per (SparkContext, mapping) — a
+# long-running stream calls make_concept_mapper every micro-batch, and
+# an uncached broadcast per epoch accumulates on the driver and
+# executors for the life of the context.
+_MAPPER_CACHE: dict[tuple, object] = {}
+
+
 def make_concept_mapper(spark: SparkSession, mapping: dict[str, tuple[int, str]] | None = None):
-    """Returns a pandas UDF closing over a broadcast of the dict."""
-    bc = spark.sparkContext.broadcast(mapping or CONCEPT_MAP)
+    """Returns a pandas UDF closing over a broadcast of the dict.
+    The broadcast is cached per (SparkContext, mapping contents)."""
+    m = mapping if mapping is not None else CONCEPT_MAP
+    cache_key = (id(spark.sparkContext), tuple(sorted(m.items())))
+    bc = _MAPPER_CACHE.get(cache_key)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(dict(m))
+        _MAPPER_CACHE[cache_key] = bc
 
     @pandas_udf("struct<concept_id:int,domain:string>")
     def map_lang(langs: pd.Series) -> pd.DataFrame:

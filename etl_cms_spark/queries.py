@@ -776,7 +776,7 @@ def ann_cosine_topk(spark, sf_dir):
            ROUND({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
     FROM (SELECT * FROM embeddings WHERE vec_id < 300) a
     JOIN (SELECT * FROM embeddings WHERE vec_id < 300) b ON a.vec_id < b.vec_id
-    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.95
+    WHERE ROUND({_cos_sql('a.embedding', 'b.embedding')}, 4) >= 0.95
     """,
 )
 def embedding_neardup_pairs(spark, sf_dir):
@@ -855,34 +855,135 @@ def ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, "embedding", "vec_id", qv, k=10, n_cells=16, n_probes=4)
 
 
-@q("media_feature_extract")
+@q(
+    "media_feature_extract",
+    """
+    WITH m AS (SELECT doc_id AS media_id, sha256(text) AS h,
+                      text IS NOT NULL AS decode_ok
+               FROM documents WHERE doc_id < 200)
+    SELECT media_id, decode_ok,
+      array_to_string(list_transform(range(0, 8), i ->
+        (strpos('0123456789abcdef', substring(h, 2*i+1, 1)) - 1) * 16
+        + strpos('0123456789abcdef', substring(h, 2*i+2, 1)) - 1), ',') AS feature_bytes
+    FROM m
+    """,
+)
 def media_feature_extract(spark, sf_dir):
     """Multimodal plumbing: binary payloads → mapInPandas feature
-    extraction (decode stubbed deterministically)."""
+    extraction (decode stubbed deterministically: feature[i] =
+    sha256(payload)[i] / 255, which DuckDB can replay exactly via
+    hex-digit math).  The array<float> is projected to an int-csv so
+    the driver's canonicalizer can hash it (round(f*255) recovers the
+    byte exactly — float32 eps ≪ 0.5)."""
     from etl_cms_spark.operators.multimodal import extract_features, synthesize_media
 
-    d = _t(spark, sf_dir, "documents").limit(200)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     media = synthesize_media(d, "doc_id", "text")
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "decode_ok",
+        F.concat_ws(
+            ",",
+            F.transform("feature", lambda x: F.round(x * 255).cast("int").cast("string")),
+        ).alias("feature_bytes"),
+    )
 
 
-@q("cdc_pipeline_state")
+def _oracle_changelog_sql() -> str:
+    """The flagship changelog as DuckDB SQL — the exact dual of
+    ``_changelog_from_documents`` below (same modulo math, same sha256
+    strings), so the oracle can replay the pipeline end to end."""
+    from etl_cms_spark.fixtures.generator import LANG_VOCAB
+
+    langs = ", ".join(f"'{x}'" for x in LANG_VOCAB)
+    return f"""
+      SELECT (doc_id * 2 + 1) AS lsn,
+             CASE WHEN doc_id % 20 = 19 THEN 'D' ELSE 'U' END AS op,
+             'repo-' || lpad(((doc_id % 150) % 12)::VARCHAR, 3, '0') AS repo,
+             'src/f' || (doc_id % 150)::VARCHAR || '.txt' AS path,
+             CASE WHEN doc_id % 20 = 19 THEN NULL
+                  ELSE substring(sha256((doc_id % 150)::VARCHAR || ':' || (doc_id * 2 + 1)::VARCHAR), 1, 40) END AS commit,
+             CASE WHEN doc_id % 20 = 19 THEN NULL
+                  ELSE ([{langs}])[(doc_id % 30)::INT + 1] END AS lang,
+             CASE WHEN doc_id % 20 = 19 THEN NULL ELSE text END AS content
+      FROM documents
+    """
+
+
+def _concept_dim_sql() -> str:
+    from etl_cms_spark.plans.mapping import CONCEPT_MAP
+
+    vals = ", ".join(
+        f"('{lang}', {cid}, '{dom}')" for lang, (cid, dom) in sorted(CONCEPT_MAP.items())
+    )
+    return f"(VALUES {vals}) AS dim(lang, concept_id, domain)"
+
+
+def _changelog_from_documents(spark, sf_dir):
+    """Deterministic CDC changelog derived from the documents table
+    with DuckDB-expressible arithmetic only (event i = doc i; key =
+    doc_id % 150; ~1/20 deletes; lang rotates per-event so a key's
+    mapping can change across versions)."""
+    from etl_cms_spark.fixtures.generator import LANG_VOCAB
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id").cast("long")
+    key_id = F.pmod(i, F.lit(150))
+    lsn = (i * 2 + 1).cast("long")
+    is_del = F.pmod(i, F.lit(20)) == 19
+    lang_arr = F.array(*[F.lit(x) for x in LANG_VOCAB])
+    nn = lambda c: F.when(is_del, F.lit(None)).otherwise(c)  # noqa: E731
+    return d.select(
+        lsn.alias("lsn"),
+        F.when(is_del, "D").otherwise("U").alias("op"),
+        F.concat(
+            F.lit("repo-"), F.lpad(F.pmod(key_id, F.lit(12)).cast("string"), 3, "0")
+        ).alias("repo"),
+        F.concat(F.lit("src/f"), key_id.cast("string"), F.lit(".txt")).alias("path"),
+        nn(
+            F.substring(
+                F.sha2(F.concat(key_id.cast("string"), F.lit(":"), lsn.cast("string")), 256),
+                1,
+                40,
+            )
+        ).alias("commit"),
+        nn(F.element_at(lang_arr, (F.pmod(i, F.lit(30)) + 1).cast("int"))).alias("lang"),
+        nn(F.col("text")).alias("content"),
+    )
+
+
+@q(
+    "cdc_pipeline_state",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT l.repo, l.path, l.commit, l.lang, l.content,
+           dim.concept_id, dim.domain, sha256(l.content) AS content_sha
+    FROM latest l JOIN {_concept_dim_sql()} ON l.lang = dim.lang
+    """,
+)
 def cdc_pipeline_state(spark, sf_dir):
     """End-to-end CDC flagship: deterministic changelog → epoch loop →
-    exactly-once merged lake state.  Not SQL-expressible (stateful
-    multi-epoch merge); replay/convergence asserted in tests/."""
+    exactly-once merged lake state.  The DuckDB oracle replays the
+    same changelog in one SQL pass (max-LSN per key via ROW_NUMBER,
+    drop deletes, broadcast dim join, drop unmapped, sha256 content) —
+    so the multi-epoch merge + tombstone + quarantine machinery is
+    verified against an independent engine."""
     import shutil
     import tempfile
 
-    from etl_cms_spark.fixtures.generator import gen_source_changes
     from etl_cms_spark.plans.pipeline import CDCPipeline
 
-    changes = gen_source_changes(spark, n_events=2000, n_keys=400, n_repos=20)
+    changes = _changelog_from_documents(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="cdc_entry_")
     try:
         p = CDCPipeline(spark, root, n_buckets=8)
         p.run(changes, n_epochs=2)
-        return p.current_state().orderBy("repo", "path").localCheckpoint()
+        return p.current_state().localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -94,6 +94,22 @@ class LakeTable:
         self.n_buckets = n_buckets
         self.merge_mode = merge_mode
         self._manifest_dir = os.path.join(root, "_manifests")
+        # bucket count is part of the on-disk layout: reopening an
+        # existing table with a different constructor value would
+        # compute wrong changed_buckets and scatter keys into new
+        # bucket dirs while stale rows stay in old ones.  The manifest
+        # is authoritative for an existing table.
+        if self.exists():
+            persisted = self._load_manifest().get("n_buckets")
+            if persisted is not None and int(persisted) != n_buckets:
+                import warnings
+
+                warnings.warn(
+                    f"LakeTable {root}: constructor n_buckets={n_buckets} "
+                    f"!= manifest n_buckets={persisted}; using the manifest value",
+                    stacklevel=2,
+                )
+                self.n_buckets = int(persisted)
 
     # ---------------- manifest plumbing ----------------
 
@@ -447,11 +463,15 @@ class LakeTable:
         delta_buckets = [
             b for b in manifest["buckets"] if len(self._bucket_dirs(manifest, b)) > 1
         ]
-        if not delta_buckets and not expire_tombstones:
-            return {"compacted_buckets": 0, "seconds": 0.0}
-        resolved = self._read_buckets(
-            manifest, [int(b) for b in delta_buckets] if delta_buckets else None
+        # expire_tombstones must visit EVERY bucket (tombstones live in
+        # delta-free buckets too — CoW tables have no deltas at all);
+        # plain compaction only folds the buckets that carry deltas.
+        target_buckets = (
+            sorted(manifest["buckets"]) if expire_tombstones else delta_buckets
         )
+        if not target_buckets:
+            return {"compacted_buckets": 0, "seconds": 0.0}
+        resolved = self._read_buckets(manifest, [int(b) for b in target_buckets])
         if expire_tombstones:
             resolved = resolved.where(~F.col(_DELETED_COL))
         new_version = manifest["version"] + 1
@@ -470,15 +490,16 @@ class LakeTable:
             for p in os.listdir(out_dir)
             if p.startswith(f"{_BUCKET_COL}=")
         }
-        for b in delta_buckets:
+        for b in target_buckets:
             if int(b) in written:
                 manifest["buckets"][b] = [f"{rel_dir}/{_BUCKET_COL}={int(b)}"]
             else:
+                # bucket held only tombstones that just expired.
                 manifest["buckets"].pop(b, None)
         manifest["version"] = new_version
         self._commit_manifest(manifest)
         return {
-            "compacted_buckets": len(delta_buckets),
+            "compacted_buckets": len(target_buckets),
             "snapshot_version": new_version,
             "seconds": round(time.time() - t0, 2),
         }

@@ -39,6 +39,8 @@ def start_stream(
     watermark: str = "24 hours",
     max_files_per_trigger: int = 4,
     salt_hot_keys: bool = False,
+    n_buckets: int = 32,
+    merge_mode: str = "cow",
 ) -> tuple[StreamingQuery, CDCPipeline]:
     """Tail a changelog directory (file source — swap for Kafka/
     binlog reader by changing only this readStream) and upsert each
@@ -49,7 +51,16 @@ def start_stream(
     the stateful dedup.  A file source replaying history delivers
     files in arbitrary order, so the default is wide; a live tail with
     bounded lag can tighten it to bound dedup state."""
-    pipeline = CDCPipeline(spark, lake_root, salt_hot_keys=salt_hot_keys)
+    # n_buckets/merge_mode only apply when the lake table is created
+    # here; reopening an existing table takes n_buckets from its
+    # manifest (LakeTable guards the mismatch).
+    pipeline = CDCPipeline(
+        spark,
+        lake_root,
+        n_buckets=n_buckets,
+        salt_hot_keys=salt_hot_keys,
+        merge_mode=merge_mode,
+    )
     pipeline.init_tables()
 
     from pyspark.sql import functions as F

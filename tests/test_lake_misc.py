@@ -66,3 +66,49 @@ def test_time_travel_sees_pre_evolution_schema(spark, tmp_root):
     assert "lang" in old.columns and "language" not in old.columns
     new = p.current_state()
     assert "language" in new.columns
+
+
+def test_reopen_with_wrong_n_buckets_uses_manifest(spark, tmp_root):
+    """Reopening an existing table with a different constructor
+    n_buckets must take the manifest value — else changed_buckets maps
+    keys into new bucket dirs while stale rows remain in old ones."""
+    import warnings
+
+    from etl_cms_spark.sink.lake import LakeTable
+
+    ch = gen_source_changes(spark, n_events=400, n_keys=100, n_repos=5)
+    root = os.path.join(tmp_root, "nb")
+    p64 = CDCPipeline(spark, root, n_buckets=64)
+    p64.run(ch.where(F.col("lsn") <= 400), n_epochs=1)
+    # reopen with the OTHER default (streaming used 32, batch 64)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        t = LakeTable(spark, os.path.join(root, "tables", "files"), n_buckets=32)
+        assert any("n_buckets" in str(x.message) for x in w)
+    assert t.n_buckets == 64
+    p32 = CDCPipeline(spark, root, n_buckets=32)
+    p32.run(ch, n_epochs=2)  # epoch 0 skipped (idempotent), epoch 1 applied
+    assert p32.table.n_buckets == 64
+    # full replay on a fresh table must equal the two-phase reopen run
+    fresh = CDCPipeline(spark, os.path.join(tmp_root, "nb2"), n_buckets=64)
+    fresh.run(ch, n_epochs=2)
+    assert_df_equal(p32.current_state(), fresh.current_state(), "reopen == fresh")
+
+
+def test_expire_tombstones_on_cow_table(spark, tmp_root):
+    """expire_tombstones must rewrite ALL buckets (CoW tables carry no
+    deltas; tombstones live in ordinary bucket files)."""
+    ch = gen_source_changes(spark, n_events=600, n_keys=150, n_repos=5)
+    p = CDCPipeline(spark, os.path.join(tmp_root, "ts"), n_buckets=8, merge_mode="cow")
+    p.run(ch, n_epochs=2)
+    before = sorted(map(str, p.current_state().collect()))
+    m = p.table._load_manifest()
+    raw = p.table._read_buckets(m, None)
+    n_tomb = raw.where(F.col("_deleted")).count()
+    assert n_tomb > 0, "fixture must produce deletes"
+    rec = p.table.compact(expire_tombstones=True)
+    assert rec["compacted_buckets"] > 0
+    m2 = p.table._load_manifest()
+    raw2 = p.table._read_buckets(m2, None)
+    assert raw2.where(F.col("_deleted")).count() == 0
+    assert sorted(map(str, p.current_state().collect())) == before
