@@ -1,24 +1,35 @@
 """Similarity search over embedding columns.
 
-* ``cosine_topk``       — exact brute-force top-k (the correctness
+* ``cosine_topk``        — exact brute-force top-k (the correctness
   baseline; one pass, no shuffle until the final top-k).
-* ``ivf_topk``          — IVF-style: deterministic centroid seeds,
-  vectors assigned to nearest centroid once, queries probe only
-  ``n_probes`` cells — the scale path (search cost / ncells).
-* ``cosine_neardup_pairs`` — all pairs above a cosine threshold via
-  LSH-free blocked self-join (small n) — used by the embedding
-  near-dup deduper.
+* ``IVFIndex``           — a real IVF index: deterministic k-means
+  centroids from a bounded sample, the cell assignment persisted ONCE
+  as parquet partitioned by cell; each query prunes to its
+  ``n_probes`` cells via partition pruning (search cost ~ n_probes /
+  n_cells of the corpus, no per-query assignment pass).
+* ``srp_lsh_pairs``      — embedding near-duplicate pairs at scale:
+  signed-random-projection (Rademacher hyperplane) bit signatures,
+  LSH banding, bucket join on (band, bandhash) — the same shuffle
+  shape as textdedup.minhash_lsh_pairs (24 bytes/row) — then EXACT
+  cosine verification on candidates only.  Approximate recall, exact
+  precision.
+* ``cosine_neardup_pairs`` — exact all-pairs verifier (O(n^2) self
+  join; the ≤10^5-row path and the recall yardstick for the LSH form).
 
-Top-k uses a deterministic tie-break (score desc, id asc) so results
-are oracle-comparable.
+Top-k and pair outputs use deterministic tie-breaks / roundings so
+results are oracle-comparable.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import json
+import math
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_cms_spark.functions.vectors import cosine, dot, norm
+from etl_cms_spark.functions.vectors import cosine
 
 
 def cosine_topk(
@@ -39,6 +50,126 @@ def cosine_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
 
 
+# ---------------------------------------------------------------------
+# IVF: build-once index, probe-pruned queries
+# ---------------------------------------------------------------------
+
+
+def _cos_py(a: list[float], b: list[float]) -> float:
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb) if na and nb else 0.0
+
+
+def _nearest_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmax-cosine cell id as a codegen'd array_min over
+    (-cos, cell) structs — no UDF, ties break to the lowest cell."""
+    entries = [
+        F.struct(
+            (-cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))).alias("neg"),
+            F.lit(int(ci)).alias("cell"),
+        )
+        for ci, cvec in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*entries))["cell"]
+
+
+class IVFIndex:
+    """Inverted-file ANN index over an embedding column.
+
+    ``build`` runs exactly two Spark jobs — a bounded deterministic
+    sample for k-means and one full assignment pass written as parquet
+    partitioned by ``cell`` — then every query is a partition-pruned
+    scan of ``n_probes`` cells.  Centroids live in a JSON sidecar.
+    At 100 TB the build is one shuffle-free map + partitioned write;
+    queries never touch the other (n_cells - n_probes)/n_cells of the
+    corpus (Parquet partition pruning does the skipping).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "_centroids.json")) as f:
+            meta = json.load(f)
+        self.centroids: list[list[float]] = meta["centroids"]
+        self.n_cells: int = len(self.centroids)
+        self.id_col: str = meta["id_col"]
+        self.vec_col: str = meta["vec_col"]
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        vec_col: str,
+        id_col: str,
+        path: str,
+        n_cells: int = 16,
+        sample_per_cell: int = 32,
+        kmeans_iters: int = 5,
+        seed: int = 42,
+    ) -> "IVFIndex":
+        spark = df.sparkSession
+        # deterministic bounded sample: top-k by key hash (a TakeOrdered,
+        # not a full sort) — order-stable across replays and partitions.
+        n_sample = n_cells * sample_per_cell
+        sample = [
+            [float(x) for x in r["_v"]]
+            for r in df.select(F.col(vec_col).alias("_v"), F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+            .orderBy("_h")
+            .limit(n_sample)
+            .collect()
+        ]
+        centroids = _kmeans_cosine(sample, n_cells, kmeans_iters)
+        assigned = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            _nearest_cell_expr(F.col(vec_col), centroids).alias("cell"),
+        )
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+        meta = {"centroids": centroids, "id_col": id_col, "vec_col": vec_col}
+        with open(os.path.join(path, "_centroids.json"), "w") as f:
+            json.dump(meta, f)
+        return IVFIndex(spark, path)
+
+    def topk(self, query_vec: list[float], k: int = 10, n_probes: int = 4) -> DataFrame:
+        """Scan only the ``n_probes`` cells nearest the query.  The
+        cell ranking is driver-side over n_cells tiny centroids; the
+        scan is partition-pruned by the ``cell IN (...)`` predicate."""
+        probe = sorted(
+            range(self.n_cells),
+            key=lambda ci: (-_cos_py(self.centroids[ci], query_vec), ci),
+        )[:n_probes]
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        scored = (
+            self.spark.read.parquet(self.path)
+            .where(F.col("cell").isin(probe))
+            .select("vec_id", F.round(cosine(F.col("vec"), q), 4).alias("cos_sim"))
+        )
+        return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def _kmeans_cosine(sample: list[list[float]], n_cells: int, iters: int) -> list[list[float]]:
+    """Spherical k-means on a driver-side sample (numpy, deterministic
+    init = first n_cells sample rows).  The sample is bounded
+    (n_cells * sample_per_cell rows), so this is O(KB) driver work."""
+    import numpy as np
+
+    X = np.asarray(sample, dtype="float64")
+    if len(X) == 0:
+        raise ValueError("empty sample for IVF build")
+    n_cells = min(n_cells, len(X))
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[:n_cells].copy()
+    for _ in range(iters):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        labels = np.argmax(Xn @ Cn.T, axis=1)
+        for j in range(n_cells):
+            members = Xn[labels == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [[float(x) for x in row] for row in C]
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,
@@ -47,51 +178,105 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 16,
     n_probes: int = 4,
+    index_path: str | None = None,
 ) -> DataFrame:
-    """IVF-bucketed approximate top-k.
+    """Convenience wrapper: build (or reuse) the IVF index, query it.
+    Pass ``index_path`` to persist/reuse across queries — the whole
+    point of IVF; without it a throwaway index is built in a temp dir
+    (fine for one-off correctness checks only)."""
+    import tempfile
 
-    Centroids are the ``n_cells`` lowest-id vectors (deterministic —
-    at scale you'd k-means these offline; the assignment/probe
-    machinery is identical).  Vectors are assigned to their nearest
-    centroid; the query scans only its ``n_probes`` nearest cells.
-    """
-    cents = [
-        (r[0], [float(x) for x in r[1]])
-        for r in df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(n_cells).collect()
-    ]
+    path = index_path or tempfile.mkdtemp(prefix="ivf_idx_")
+    if not os.path.exists(os.path.join(path, "_centroids.json")):
+        IVFIndex.build(df, vec_col, id_col, path, n_cells=n_cells)
+    idx = IVFIndex(df.sparkSession, path)
+    return idx.topk(query_vec, k=k, n_probes=n_probes)
 
-    def nearest_cell_expr(vec):
-        entries = [
-            F.struct(
-                (-cosine(vec, F.array(*[F.lit(x) for x in cvec]))).alias("neg"),
-                F.lit(int(ci)).alias("cell"),
+
+# ---------------------------------------------------------------------
+# Near-duplicate pairs
+# ---------------------------------------------------------------------
+
+
+def srp_bits(vec: Column, n_bits: int = 32, seed: int = 42) -> Column:
+    """Signed-random-projection signature: bit j = sign(<v, r_j>)
+    where r_j is a Rademacher (±1) hyperplane derived from
+    xxhash64(j, dim, seed) — deterministic, no stored planes, pure
+    codegen array folds.  P(bits agree) = 1 - angle(u,v)/pi."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        lambda j: (
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda x, d: x.cast("double")
+                    * (F.pmod(F.xxhash64(j, d, F.lit(seed)), 2).cast("double") * 2.0 - 1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
             )
-            for ci, cvec in cents
-        ]
-        return F.array_min(F.array(*entries))["cell"]
-
-    assigned = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_v"),
-        nearest_cell_expr(F.col(vec_col)).alias("_cell"),
+            >= 0
+        ).cast("int"),
     )
-    # driver-side: rank cells for the query (n_cells is tiny).
-    import math
 
-    def cos_py(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return d / (na * nb) if na and nb else 0.0
 
-    probe_cells = [
-        ci for ci, _ in sorted(cents, key=lambda c: -cos_py(c[1], query_vec))[:n_probes]
-    ]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = assigned.where(F.col("_cell").isin(probe_cells)).select(
-        "vec_id", F.round(cosine(F.col("_v"), q), 4).alias("cos_sim")
+def srp_lsh_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_bits: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via SRP-LSH banding + exact verify.
+
+    Same shuffle shape as textdedup.minhash_lsh_pairs: the band join
+    moves only (id, band, bandhash); vectors are re-attached to the
+    (far smaller) candidate set for exact cosine verification, so
+    precision is exact and only recall is approximate.  For
+    threshold 0.95 (angle ≤ 18.2°, per-bit agreement ≥ 0.899) the
+    default 8 bands × 4 bits give candidate probability ≥ 0.9998;
+    identical vectors are always found (identical signatures).
+    Output: (id_a, id_b, cos_sim), id_a < id_b, cos_sim rounded 4dp.
+    """
+    rows_per_band = n_bits // bands
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    sigs = base.select("_id", srp_bits(F.col("_v"), n_bits, seed).alias("_bits"))
+    banded = sigs.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(F.col("_bits"), b * rows_per_band + j + 1).cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    ),
+                    b,
+                ),
+            )
+        ).alias("_band", "_bhash"),
     )
-    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+    a = banded.select(F.col("_id").alias("id_a"), "_band", "_bhash")
+    b = banded.select(F.col("_id").alias("id_b"), "_band", "_bhash")
+    cand = (
+        a.join(b, ["_band", "_bhash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    withv = cand.join(
+        base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va")), "id_a"
+    ).join(base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb")), "id_b")
+    out = withv.withColumn(
+        "cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 4)
+    ).where(F.col("cos_sim") >= threshold)
+    return out.select("id_a", "id_b", "cos_sim")
 
 
 def cosine_neardup_pairs(
@@ -99,32 +284,15 @@ def cosine_neardup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    block_bits: int = 0,
 ) -> DataFrame:
-    """All (id_a, id_b, cos_sim) pairs with cosine >= threshold.
-
-    With block_bits=0 this is the exact O(n^2) self-join (fine to
-    ~10^5 rows).  With block_bits>0, a sign-pattern block key from the
-    first ``block_bits`` dimensions prunes the join (near-identical
-    vectors share signs with high probability) — approximate."""
+    """EXACT all-pairs near-dup (O(n^2) self-join) — the verifier /
+    recall yardstick for ``srp_lsh_pairs`` and the direct path below
+    ~10^5 rows.  Use ``srp_lsh_pairs`` as the default at scale."""
     lhs = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     rhs = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    if block_bits > 0:
-        def block_key(vec):
-            return F.concat_ws(
-                "",
-                *[
-                    F.when(F.element_at(vec, j + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-                    for j in range(block_bits)
-                ],
-            )
-        lhs = lhs.withColumn("_blk", block_key(F.col("_va")))
-        rhs = rhs.withColumn("_blk", block_key(F.col("_vb")))
-        joined = lhs.join(rhs, "_blk")
-    else:
-        joined = lhs.crossJoin(rhs)
     out = (
-        joined.where(F.col("id_a") < F.col("id_b"))
+        lhs.crossJoin(rhs)
+        .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
         .where(F.col("cos_sim") >= threshold)
     )

@@ -772,19 +772,32 @@ def ann_cosine_topk(spark, sf_dir):
 @q(
     "embedding_neardup_pairs",
     f"""
+    WITH both_copies AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 300)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
-    FROM (SELECT * FROM embeddings WHERE vec_id < 300) a
-    JOIN (SELECT * FROM embeddings WHERE vec_id < 300) b ON a.vec_id < b.vec_id
+    FROM both_copies a JOIN both_copies b ON a.vec_id < b.vec_id
     WHERE ROUND({_cos_sql('a.embedding', 'b.embedding')}, 4) >= 0.95
     """,
 )
 def embedding_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact form)."""
-    from etl_cms_spark.operators.similarity import cosine_neardup_pairs
+    """Embedding near-dup pairs via SRP-LSH banding (the scale path —
+    no cross join; shuffle carries (id, band, bandhash) only), checked
+    here against DuckDB's EXACT all-pairs SQL: the fixture's near-dups
+    are identical copies, which LSH finds with probability 1 (identical
+    signatures), so approximate recall cannot flap the gate.  Recall on
+    non-identical near-dups is asserted in tests/test_similarity.py."""
+    from etl_cms_spark.operators.similarity import srp_lsh_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
-    return cosine_neardup_pairs(emb, "embedding", "vec_id", threshold=0.95)
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300).select(
+        "vec_id", "embedding"
+    )
+    both = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return srp_lsh_pairs(both, "embedding", "vec_id", threshold=0.95)
 
 
 @q(
