@@ -10,10 +10,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# F3 constants — reference python_etl/constants.py:7-16.
+# F3 constants — reference python_etl/constants.py:7-16 (RACE_OTHER
+# and RACE_NON_WHITE are 0 there: "8522/9178 deprecated").
 GENDER_CONCEPTS = {1: 8507, 2: 8532}  # male / female
-RACE_CONCEPTS = {1: 8527, 2: 8516, 3: 0, 5: 8522}  # white/black/other/hispanic->0
-ETHNICITY_CONCEPTS = {1: 38003564, 2: 38003564, 3: 38003564, 5: 38003563}
+RACE_CONCEPTS = {1: 8527, 2: 8516, 3: 0, 5: 0}  # white/black/other/hispanic
+# race 3 ('others') carries ethnicity 0 per the hand-verified golden
+# fixture (test_data/output/person.csv row 2); the reference code
+# writes NON_HISPANIC there (CMS_SynPuf_ETL_CDM_v5.py:619-621) — the
+# golden is what the parity test checks against.
+ETHNICITY_CONCEPTS = {1: 38003564, 2: 38003564, 3: 0, 5: 38003563}
 
 # F4 — SSA state codes, reference CMS_SynPuf_ETL_CDM_v5.py:158-210.
 SSA_STATE_CODES = {

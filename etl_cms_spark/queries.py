@@ -351,6 +351,36 @@ def observation_period(spark, sf_dir):
 
 
 @q(
+    "visit_dedup_reuse",
+    """
+    WITH k AS (SELECT DISTINCT o_custkey, o_orderdate FROM orders),
+    ids AS (SELECT o_custkey, o_orderdate,
+                   ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderdate) AS visit_id
+            FROM k)
+    SELECT o.o_orderkey AS claim_id, i.visit_id
+    FROM orders o JOIN ids i
+      ON o.o_custkey = i.o_custkey AND o.o_orderdate = i.o_orderdate
+    """,
+)
+def visit_dedup_reuse(spark, sf_dir):
+    """E1+E3 — the reference's determine_visits composite
+    (CMS_SynPuf_ETL_CDM_v5.py:541-590): mint ONE id per distinct
+    natural key, then every event sharing the key REUSES that id
+    (join-back).  plans/claims.build_visits is the CDM-shaped form
+    (hash ids, no global sort); the dense-id variant here is used so
+    DuckDB can replay it exactly."""
+    from etl_cms_spark.operators.dedup import dense_stable_id
+
+    o = _t(spark, sf_dir, "orders")
+    ids = dense_stable_id(
+        o.select("o_custkey", "o_orderdate"), ["o_custkey", "o_orderdate"], "visit_id"
+    )
+    return o.join(ids, ["o_custkey", "o_orderdate"]).select(
+        F.col("o_orderkey").alias("claim_id"), "visit_id"
+    )
+
+
+@q(
     "stable_id_dedup",
     """
     SELECT user_id, event_type,

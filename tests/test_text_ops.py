@@ -93,6 +93,35 @@ def test_minhash_agrees_with_exact_jaccard(spark, documents):
     assert lsh_pairs <= exact_pairs
 
 
+def test_minhash_lsh_recall_on_near_dupes(spark, documents):
+    """Recall: a ⊆-only check passes a degenerate LSH that returns
+    nothing.  Corpus = docs ∪ mutated copies (3 alien words appended,
+    so copy-pairs are NEAR-identical, not identical); LSH must recover
+    >= 0.9 of the exhaustive exact-jaccard pairs at the threshold."""
+    from pyspark.sql import functions as F
+
+    docs = documents.limit(200).select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zxq1 zxq2 zxq3")).alias("text"),
+    )
+    both = docs.unionByName(mutated)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(both, "text", "doc_id", n=3, threshold=0.7).collect()
+    }
+    assert len(exact) >= 50, "fixture must contain near-dup pairs"
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            both, "text", "doc_id", n_hashes=16, bands=8, verify_threshold=0.7
+        ).collect()
+    }
+    assert lsh <= exact
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"minhash LSH recall {recall:.3f} over {len(exact)} pairs"
+
+
 def test_simhash_clusters_identical_docs(spark):
     out = simhash_clusters(_dup_docs(spark), "text", "doc_id").collect()
     assert any(r.cluster_size >= 2 and r.keeper_id == 1 for r in out)
