@@ -80,6 +80,7 @@ def build_eras_faithful(
     start_col: str,
     end_col: str,
     gap_days: int = 30,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The reference's UNION-ALL + two-window + islands-filter +
     range-join shape (create_CDMv5_condition_era.sql:48-117), kept
@@ -130,11 +131,26 @@ def build_eras_faithful(
     # Duplicate (key, start, end) rows are pre-counted so they survive
     # the grouping (the reference carries condition_occurrence_id;
     # a count is the shuffle-cheaper equivalent).
-    evt = (
-        df.select(*keys, F.col(start_col).alias("_s"), F.col(end_col).alias("_e"))
-        .groupBy(*keys, "_s", "_e")
-        .agg(F.count("*").alias("_n"))
-    )
+    # ``weight_col`` lets a second-level pass carry first-level event
+    # counts (the reference's cteDrugEraEnds sums sub-exposure counts,
+    # create_CDMv5_drug_era_non_stockpile.sql:112-160).
+    if weight_col is None:
+        evt = (
+            df.select(*keys, F.col(start_col).alias("_s"), F.col(end_col).alias("_e"))
+            .groupBy(*keys, "_s", "_e")
+            .agg(F.count("*").alias("_n"))
+        )
+    else:
+        evt = (
+            df.select(
+                *keys,
+                F.col(start_col).alias("_s"),
+                F.col(end_col).alias("_e"),
+                F.col(weight_col).alias("_w"),
+            )
+            .groupBy(*keys, "_s", "_e")
+            .agg(F.sum("_w").alias("_n"))
+        )
     joined = evt.join(era_ends, [*key_cols], "inner").where(
         F.col("era_end_date") >= F.col("_s")
     )

@@ -111,14 +111,20 @@ def build_death(bene: DataFrame) -> DataFrame:
 
 
 def build_payer_plan_period(bene: DataFrame) -> DataFrame:
-    """payer_plan_period, simplified contiguous-coverage form: per
-    person × year × plan (4 plan columns unpivoted via stack — G7,
-    reference beneficiary.py:134-142), coverage months m → period
-    [Jan 1, end of month m]; adjacent years merge into one period per
-    plan via gaps-and-islands (the reference enumerates the 27 year
-    combos by hand, :720-797 — the windowed form generalizes it).
-    Duplicate year rows are first-write-wins deduped (G4,
-    beneficiary.py:121-124) before coverage derivation."""
+    """payer_plan_period, contiguous-coverage form: per person × year
+    × plan (4 plan columns unpivoted via stack — G7, reference
+    beneficiary.py:134-142), coverage months m → period [Jan 1, end of
+    month m]; adjacent years merge into one period per plan via
+    gaps-and-islands.  Duplicate year rows are first-write-wins
+    deduped (G4, beneficiary.py:121-124) before coverage derivation.
+
+    NOT identical to the reference's hand-enumerated year combos
+    (:720-797) — that literal form is
+    ``build_payer_plan_period_faithful`` below; the two agree on full
+    runs and trailing partial years and differ on leading partials
+    (the spec counts those backward from Dec 31), mid-run partials
+    (the spec splits records), and standalone partial ends (spec:
+    Jan 1 + m months) — all pinned in tests/test_properties.py."""
     bene = first_write_wins(bene, ["desynpuf_id", "year"], "row_order")
     unpivoted = bene.selectExpr(
         "desynpuf_id",
@@ -145,6 +151,83 @@ def build_payer_plan_period(bene: DataFrame) -> DataFrame:
         "plan_source_value",
         F.col("era_start").alias("payer_plan_period_start_date"),
         F.col("era_end").alias("payer_plan_period_end_date"),
+    )
+
+
+def build_payer_plan_period_faithful(bene: DataFrame) -> DataFrame:
+    """The reference's LITERAL year-combo enumeration
+    (get_payer_plan_period_date_list, CMS_SynPuf_ETL_CDM_v5.py:720-797;
+    spec at python_etl/README.md §j) as one vectorized plan: pivot the
+    three years' coverage months per (person, plan), emit each branch's
+    period segments via conditional array concat, explode.
+
+    Semantics (exhaustively tested vs a plain-Python transcription of
+    the spec in tests/test_properties.py):
+    * a full-12 run is one merged period;
+    * a partial year FOLLOWING a full run extends it
+      (end = Dec-31-of-prev-year + m months, day-clamped);
+    * a partial year PRECEDING a full run counts BACKWARD from Dec 31
+      (start = Dec 31 - m months) and merges into the run;
+    * any other partial year is its own [Jan 1, Jan 1 + m months]
+      record — NOT merged with an adjacent year.
+    The windowed form (build_payer_plan_period) differs by design: it
+    counts every partial year forward from Jan 1 and merges whenever
+    periods are date-adjacent; tests/test_properties.py pins exactly
+    where the two agree and differ.
+    """
+    bene = first_write_wins(bene, ["desynpuf_id", "year"], "row_order")
+    unpivoted = bene.selectExpr(
+        "desynpuf_id",
+        "year",
+        "stack(4, 'MEDICARE_HI', bene_hi_cvrage_tot_mons, "
+        "'MEDICARE_SMI', bene_smi_cvrage_tot_mons, "
+        "'MEDICARE_HMO', bene_hmo_cvrage_tot_mons, "
+        "'PART_D', plan_cvrg_mos_num) as (plan_source_value, months)",
+    )
+    ym = lambda y: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("year") == y, F.col("months").cast("int"))), F.lit(0)
+    )
+    per_plan = unpivoted.groupBy("desynpuf_id", "plan_source_value").agg(
+        ym(2008).alias("m8"), ym(2009).alias("m9"), ym(2010).alias("m10")
+    )
+    m8, m9, m10 = F.col("m8"), F.col("m9"), F.col("m10")
+    f8, f9, f10 = m8 == 12, m9 == 12, m10 == 12
+    d = lambda s: F.lit(s).cast("date")  # noqa: E731
+    seg_t = "array<struct<s:date,e:date>>"
+
+    def seg(cond, s, e):
+        return F.when(
+            cond, F.array(F.struct(s.alias("s"), e.alias("e")))
+        ).otherwise(F.array().cast(seg_t))
+
+    # leading-partial 2008 start: backward from Dec 31 (0 months → the
+    # run starts at 2009-01-01), reference :766-778.
+    start8_back = F.when(m8 == 0, d("2009-01-01")).otherwise(
+        F.add_months(d("2008-12-31"), -m8)
+    )
+    segments = F.concat(
+        seg(f8 & f9 & f10, d("2008-01-01"), d("2010-12-31")),
+        seg(f8 & f9 & ~f10, d("2008-01-01"), F.add_months(d("2009-12-31"), m10)),
+        seg(f8 & ~f9, d("2008-01-01"), d("2008-12-31")),
+        seg(f8 & ~f9 & (m9 > 0), d("2009-01-01"), F.add_months(d("2009-01-01"), m9)),
+        seg(f8 & ~f9 & f10, d("2010-01-01"), d("2010-12-31")),
+        seg(f8 & ~f9 & ~f10 & (m10 > 0), d("2010-01-01"), F.add_months(d("2010-01-01"), m10)),
+        seg(~f8 & f9 & f10, start8_back, d("2010-12-31")),
+        seg(~f8 & f9 & ~f10, start8_back, F.add_months(d("2009-12-31"), m10)),
+        seg(~f8 & ~f9 & (m8 > 0), d("2008-01-01"), F.add_months(d("2008-01-01"), m8)),
+        seg(~f8 & ~f9 & (m9 > 0), d("2009-01-01"), F.add_months(d("2009-01-01"), m9)),
+        seg(~f8 & ~f9 & f10, d("2010-01-01"), d("2010-12-31")),
+        seg(~f8 & ~f9 & ~f10 & (m10 > 0), d("2010-01-01"), F.add_months(d("2010-01-01"), m10)),
+    )
+    return per_plan.select(
+        F.xxhash64("desynpuf_id").alias("person_id"),
+        "plan_source_value",
+        F.explode(segments).alias("_p"),
+    ).select(
+        "person_id",
+        "plan_source_value",
+        F.col("_p.s").alias("payer_plan_period_start_date"),
+        F.col("_p.e").alias("payer_plan_period_end_date"),
     )
 
 
@@ -204,4 +287,29 @@ def build_drug_eras(
         F.col("era_start").alias("drug_era_start_date"),
         F.col("era_end").alias("drug_era_end_date"),
         F.col("event_count").alias("drug_exposure_count"),
+    )
+
+
+def drug_era_collapse_two_level(normalized: DataFrame, gap_days: int = 30) -> DataFrame:
+    """The reference's LITERAL two-level era stack over normalized
+    (person_id, ingredient_concept_id, start, end) exposures:
+
+    1. sub-exposures — collapse OVERLAPPING exposures, gap 0
+       (cteSubExposureEndDates..cteSubExposures,
+       create_CDMv5_drug_era_non_stockpile.sql:46-99);
+    2. eras — collapse sub-exposures with the 30-day persistence
+       window, carrying summed exposure counts
+       (cteEndDates..final INSERT, sql:101-160).
+
+    Kept as the parity witness: tests/test_properties.py proves this
+    two-level stack ≡ the one-pass ``build_eras(gap_days)`` on random
+    interval sets (the claim ``build_drug_eras`` relies on: a gap-0
+    pre-merge cannot split or join anything the 30-day merge wouldn't,
+    and counts are additive across levels)."""
+    from etl_cms_spark.operators.eras import build_eras_faithful
+
+    keys = ["person_id", "ingredient_concept_id"]
+    sub = build_eras_faithful(normalized, keys, "start", "end", gap_days=0)
+    return build_eras_faithful(
+        sub, keys, "era_start", "era_end", gap_days=gap_days, weight_col="event_count"
     )

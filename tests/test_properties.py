@@ -69,3 +69,185 @@ def test_dedup_forms_agree_on_random_streams(spark, evts):
         expect[k] = max(expect.get(k, -1), lsn)
     got = {r["k"]: r["lsn"] for r in a.collect()}
     assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(spark_intervals=intervals)
+def test_two_level_drug_era_equals_one_pass(spark, spark_intervals):
+    """The reference stacks two gaps-and-islands passes (overlap merge
+    at gap 0, then the 30-day persistence merge,
+    create_CDMv5_drug_era_non_stockpile.sql:46-160); build_drug_eras
+    collapses them into ONE pass.  Era boundaries AND exposure counts
+    must agree on arbitrary interval sets."""
+    from etl_cms_spark.plans.cdm import drug_era_collapse_two_level
+
+    base = dt.date(2020, 1, 1)
+    rows = [
+        (k % 2, k // 2, base + dt.timedelta(days=s), base + dt.timedelta(days=s + d))
+        for k, s, d in spark_intervals
+    ]
+    df = spark.createDataFrame(
+        rows, "person_id int, ingredient_concept_id int, start date, end date"
+    )
+    one = build_eras(df, ["person_id", "ingredient_concept_id"], "start", "end", 30)
+    two = drug_era_collapse_two_level(df, gap_days=30)
+    assert sorted(map(str, one.collect())) == sorted(map(str, two.collect()))
+
+
+# ---------------------------------------------------------------------
+# payer_plan_period: faithful year-combo enumeration vs Python spec
+# ---------------------------------------------------------------------
+
+
+def _spec_period_list(m8, m9, m10):
+    """Plain-Python transcription of README.md §j (the reference's
+    get_payer_plan_period_date_list, CMS_SynPuf_ETL_CDM_v5.py:720-797)
+    kept in the spec's own elif structure as an independent oracle."""
+    import calendar
+
+    def addm(d, delta):
+        m = (d.month + delta) % 12
+        y = d.year + (d.month + delta - 1) // 12
+        if m == 0:
+            m = 12
+        day = min(d.day, calendar.monthrange(y, m)[1])
+        return dt.date(y, m, day)
+
+    out = []
+    if m8 == 12 and m9 == 12 and m10 == 12:
+        out.append((dt.date(2008, 1, 1), dt.date(2010, 12, 31)))
+    elif m8 == 12 and m9 == 12 and m10 < 12:
+        out.append((dt.date(2008, 1, 1), addm(dt.date(2009, 12, 31), m10)))
+    elif m8 == 12 and m9 < 12 and m10 == 12:
+        out.append((dt.date(2008, 1, 1), dt.date(2008, 12, 31)))
+        if m9 > 0:
+            out.append((dt.date(2009, 1, 1), addm(dt.date(2009, 1, 1), m9)))
+        out.append((dt.date(2010, 1, 1), dt.date(2010, 12, 31)))
+    elif m8 == 12 and m9 < 12 and m10 < 12:
+        out.append((dt.date(2008, 1, 1), dt.date(2008, 12, 31)))
+        if m9 > 0:
+            out.append((dt.date(2009, 1, 1), addm(dt.date(2009, 1, 1), m9)))
+        if m10 > 0:
+            out.append((dt.date(2010, 1, 1), addm(dt.date(2010, 1, 1), m10)))
+    elif m8 < 12 and m9 == 12 and m10 == 12:
+        s = dt.date(2009, 1, 1) if m8 == 0 else addm(dt.date(2008, 12, 31), -m8)
+        out.append((s, dt.date(2010, 12, 31)))
+    elif m8 < 12 and m9 == 12 and m10 < 12:
+        s = dt.date(2009, 1, 1) if m8 == 0 else addm(dt.date(2008, 12, 31), -m8)
+        out.append((s, addm(dt.date(2009, 12, 31), m10)))
+    elif m8 < 12 and m9 < 12 and m10 == 12:
+        if m8 > 0:
+            out.append((dt.date(2008, 1, 1), addm(dt.date(2008, 1, 1), m8)))
+        if m9 > 0:
+            out.append((dt.date(2009, 1, 1), addm(dt.date(2009, 1, 1), m9)))
+        out.append((dt.date(2010, 1, 1), dt.date(2010, 12, 31)))
+    else:
+        if m8 > 0:
+            out.append((dt.date(2008, 1, 1), addm(dt.date(2008, 1, 1), m8)))
+        if m9 > 0:
+            out.append((dt.date(2009, 1, 1), addm(dt.date(2009, 1, 1), m9)))
+        if m10 > 0:
+            out.append((dt.date(2010, 1, 1), addm(dt.date(2010, 1, 1), m10)))
+    return out
+
+
+def _bene_rows_for_combos(combos):
+    """One synthetic beneficiary per (m8, m9, m10) combo, coverage on
+    the Part-A column only (other plans 0 months)."""
+    rows = []
+    order = 0
+    for i, (m8, m9, m10) in enumerate(combos):
+        pid = f"P{i:05d}"
+        for year, m in ((2008, m8), (2009, m9), (2010, m10)):
+            rows.append((pid, year, str(m), "0", "0", "0", order))
+            order += 1
+    return rows
+
+
+def test_faithful_payer_plan_enumeration_exhaustive(spark):
+    """ALL 13^3 = 2197 (m2008, m2009, m2010) combos at once: the Spark
+    branch-segment plan must equal the literal Python spec."""
+    from itertools import product
+
+    from etl_cms_spark.plans.cdm import build_payer_plan_period_faithful
+    from pyspark.sql import functions as F
+
+    combos = list(product(range(13), repeat=3))
+    bene = spark.createDataFrame(
+        _bene_rows_for_combos(combos),
+        "desynpuf_id string, year int, bene_hi_cvrage_tot_mons string, "
+        "bene_smi_cvrage_tot_mons string, bene_hmo_cvrage_tot_mons string, "
+        "plan_cvrg_mos_num string, row_order long",
+    )
+    got = build_payer_plan_period_faithful(bene)
+    id_map = {
+        r["desynpuf_id"]: r["pid"]
+        for r in bene.select(
+            "desynpuf_id", F.xxhash64("desynpuf_id").alias("pid")
+        ).distinct().collect()
+    }
+    got_a = {}
+    for r in got.where(F.col("plan_source_value") == "MEDICARE_HI").collect():
+        got_a.setdefault(r["person_id"], []).append(
+            (r["payer_plan_period_start_date"], r["payer_plan_period_end_date"])
+        )
+    for i, (m8, m9, m10) in enumerate(combos):
+        pid = id_map[f"P{i:05d}"]
+        expect = _spec_period_list(m8, m9, m10)
+        assert sorted(got_a.get(pid, [])) == sorted(expect), (m8, m9, m10)
+
+
+def test_windowed_vs_faithful_payer_plan_divergence_is_pinned(spark):
+    """The windowed form is NOT the 27-branch spec: it counts every
+    partial year forward from Jan 1 and merges date-adjacent periods.
+    Pin both the agreement set and one known divergence so a change
+    in either form is caught."""
+    from etl_cms_spark.plans.cdm import (
+        build_payer_plan_period,
+        build_payer_plan_period_faithful,
+    )
+    from pyspark.sql import functions as F
+
+    # agreement: full runs + a partial year trailing a full run (the
+    # spec extends Dec 31 by m months, which lands on month-end —
+    # same as the windowed month_end).
+    agree = [(12, 12, 12), (12, 12, 6), (12, 0, 0), (0, 12, 12)]
+    # divergence: (a) leading partial — spec counts BACKWARD from
+    # Dec 31; (b) mid-run partial — spec splits where windowed merges;
+    # (c) standalone partial — spec ends at Jan 1 + m months (the 1st
+    # of the following month), windowed at month_end(m).
+    diverge = [(6, 12, 12), (12, 6, 12), (3, 5, 0), (0, 0, 7)]
+    combos = agree + diverge
+    bene = spark.createDataFrame(
+        _bene_rows_for_combos(combos),
+        "desynpuf_id string, year int, bene_hi_cvrage_tot_mons string, "
+        "bene_smi_cvrage_tot_mons string, bene_hmo_cvrage_tot_mons string, "
+        "plan_cvrg_mos_num string, row_order long",
+    )
+    def periods(df):
+        out = {}
+        for r in df.where(F.col("plan_source_value") == "MEDICARE_HI").collect():
+            out.setdefault(r["person_id"], set()).add(
+                (str(r["payer_plan_period_start_date"]), str(r["payer_plan_period_end_date"]))
+            )
+        return out
+    w = periods(build_payer_plan_period(bene))
+    f = periods(build_payer_plan_period_faithful(bene))
+    id_map = {
+        r["desynpuf_id"]: r["pid"]
+        for r in bene.select(
+            "desynpuf_id", F.xxhash64("desynpuf_id").alias("pid")
+        ).distinct().collect()
+    }
+    for i, combo in enumerate(combos):
+        pid = id_map[f"P{i:05d}"]
+        if combo in agree:
+            assert w.get(pid) == f.get(pid), combo
+        else:
+            assert w.get(pid) != f.get(pid), combo
+    # the known divergence shape: (6,12,12) — faithful counts 2008
+    # backward from Dec 31; windowed counts forward from Jan 1 and
+    # cannot merge across the mid-year gap.
+    pid = id_map[f"P{combos.index((6, 12, 12)):05d}"]
+    assert f[pid] == {("2008-06-30", "2010-12-31")}
+    assert w[pid] == {("2008-01-01", "2008-06-30"), ("2009-01-01", "2010-12-31")}
