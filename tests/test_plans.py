@@ -109,3 +109,43 @@ def test_minhash_band_join_shuffles_ids_only(spark):
         assert all("_sh" not in line for line in band_exchanges)
     else:
         assert "Broadcast" in plan  # AQE/broadcast took the band join
+
+
+def test_bucketed_changelog_dedup_has_no_exchange(spark, tmp_root):
+    """Producer-bucketed changelog (stage_changelog_bucketed): the
+    per-epoch max-LSN dedup must inherit the table's (repo, path)
+    hash distribution — ZERO Exchange in the aggregation plan.  This
+    is the round-2 fix for the per-epoch dedup shuffle."""
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.plans.pipeline import KEY_COLS, stage_changelog_bucketed
+
+    ch = gen_source_changes(spark, n_events=2000, n_keys=400, n_repos=10)
+    stage_changelog_bucketed(spark, ch, "t_bucketed_plan", n_buckets=8, n_epochs=2)
+    try:
+        batch = spark.table("t_bucketed_plan").where(F.col("_epoch") == 0).drop("_epoch")
+        plan = _plan(latest_by_lsn(batch, KEY_COLS, "lsn"))
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_plan")
+
+
+def test_bucketed_run_equals_plain_run(spark, tmp_root):
+    """The bucketed-tail path must produce the identical lake state."""
+    import os
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.plans.pipeline import CDCPipeline, stage_changelog_bucketed
+    from tests.conftest import assert_df_equal
+
+    ch = gen_source_changes(spark, n_events=1500, n_keys=300, n_repos=10)
+    plain = CDCPipeline(spark, os.path.join(tmp_root, "plain"), n_buckets=8)
+    plain.run(ch, n_epochs=3)
+    stage_changelog_bucketed(spark, ch, "t_bucketed_eq", n_buckets=8, n_epochs=3)
+    try:
+        bucketed = CDCPipeline(spark, os.path.join(tmp_root, "bucketed"), n_buckets=8)
+        recs = bucketed.run_from_table("t_bucketed_eq")
+        assert len(recs) == 3
+        assert_df_equal(plain.current_state(), bucketed.current_state(), "bucketed == plain")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_eq")

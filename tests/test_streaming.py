@@ -101,3 +101,38 @@ def test_tight_watermark_drops_late_rows(spark, tmp_root):
     )
     # some rows were late beyond the tight watermark and dropped
     assert applied < applied_full
+
+
+def test_late_data_stats_counts_watermark_drops(spark, tmp_root):
+    """The late-data metric must account for every row the tight
+    watermark dropped: dropped(stats) == full-run applied - applied,
+    and the bounded dedup state must be reported."""
+    from etl_cms_spark.streaming.stream import late_data_stats
+
+    changes = gen_source_changes(spark, n_events=1000, n_keys=50000, n_repos=5)
+    log_dir = os.path.join(tmp_root, "changelog")
+    changes.repartition(8).write.parquet(log_dir)
+    q, pipeline = start_stream(
+        spark, log_dir, os.path.join(tmp_root, "lake"),
+        watermark="1 minute", max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    stats = late_data_stats(q)
+    # conservation: every source row either survived the watermark
+    # (counted once by the persisted batch's observe) or was dropped
+    # late (counted once by the state operator).
+    survived = sum(
+        int(p["observedMetrics"]["ingest"]["rows_after_dedup"])
+        for p in q.recentProgress
+        if "ingest" in p.get("observedMetrics", {})
+        and p["observedMetrics"]["ingest"]["lsn_max"] is not None
+    )
+    assert stats["rows_dropped_late"] > 0
+    assert stats["rows_dropped_late"] + survived == 1000
+    # applied rows can only be fewer than survived (per-batch dedup
+    # collapses same-key versions) — never more.
+    applied = sum(
+        r["rows_upserted"] + r["rows_deleted"] for r in pipeline.table.lineage()
+    )
+    assert applied <= survived
+    assert 0 < stats["max_dedup_state_rows"] <= 1000
