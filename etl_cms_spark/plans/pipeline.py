@@ -64,6 +64,7 @@ class CDCPipeline:
         dedup_mode: str = "strict",
         merge_mode: str = "cow",
         compact_every: int | None = None,
+        compact_depth: int | None = None,
         demux_domains: bool = False,
     ):
         """dedup_mode:
@@ -116,7 +117,13 @@ class CDCPipeline:
                 )
                 for d in self.domains
             }
+        # compaction policy (MoR): time-based (every N epochs) and/or
+        # depth-based (when any bucket's base+delta stack exceeds
+        # ``compact_depth`` file sets — bounds read amplification by
+        # WORK DONE rather than wall time, the right trigger when epoch
+        # sizes vary).
         self.compact_every = compact_every
+        self.compact_depth = compact_depth
         self.quarantine_dir = os.path.join(root, "quarantine")
         self.checkpoint_path = os.path.join(root, "_checkpoint.json")
         self.salt_hot_keys = salt_hot_keys
@@ -250,10 +257,9 @@ class CDCPipeline:
                     rec["domains"][d] = t.merge_epoch(slice_d, epoch)
         finally:
             mapped.unpersist()
-        if (
-            self.compact_every
-            and self.table.merge_mode == "mor"
-            and (epoch + 1) % self.compact_every == 0
+        if self.table.merge_mode == "mor" and (
+            (self.compact_every and (epoch + 1) % self.compact_every == 0)
+            or (self.compact_depth and self.table.max_delta_depth() > self.compact_depth)
         ):
             rec["compaction"] = self.table.compact()
         self._save_checkpoint(epoch, rec.get("lsn_max"))

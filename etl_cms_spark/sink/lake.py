@@ -449,6 +449,16 @@ class LakeTable:
             )
         self._commit_manifest(manifest)
 
+    def max_delta_depth(self) -> int:
+        """Deepest base+delta stack over all buckets — the read-side
+        amplification MoR accumulates between compactions (a read of a
+        bucket merges this many file sets).  Drives the depth-based
+        compaction policy in CDCPipeline."""
+        m = self._load_manifest()
+        return max(
+            (len(self._bucket_dirs(m, b)) for b in m["buckets"]), default=1
+        )
+
     def compact(self, expire_tombstones: bool = False) -> dict:
         """Fold merge-on-read deltas back into one base file set per
         bucket (Iceberg-style maintenance).  Winners are resolved with

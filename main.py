@@ -24,7 +24,7 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--changelog", required=True, help="parquet changelog dir")
+    ap.add_argument("--changelog", default=None, help="parquet changelog dir")
     ap.add_argument("--lake", required=True, help="lake root dir")
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--n-buckets", type=int, default=64)
@@ -32,7 +32,21 @@ def main() -> None:
     ap.add_argument("--salt", action="store_true", help="salted dedup for hot keys")
     ap.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
     ap.add_argument("--compact-every", type=int, default=None)
+    ap.add_argument(
+        "--demux-domains",
+        action="store_true",
+        help="route rows into per-domain destination tables",
+    )
+    ap.add_argument(
+        "--bucketed-table",
+        default=None,
+        help="read the changelog from a producer-bucketed catalog table "
+        "(stage_changelog_bucketed) instead of --changelog parquet — "
+        "the per-epoch dedup then runs Exchange-free",
+    )
     args = ap.parse_args()
+    if not args.changelog and not args.bucketed_table:
+        ap.error("one of --changelog or --bucketed-table is required")
 
     # under spark-submit the session/master comes from the submit
     # command line; fall back to the tuned local builder otherwise.
@@ -56,9 +70,13 @@ def main() -> None:
             salt_hot_keys=args.salt,
             merge_mode=args.merge_mode,
             compact_every=args.compact_every,
+            demux_domains=args.demux_domains,
         )
-        changes = spark.read.parquet(args.changelog)
-        pipeline.run(changes, n_epochs=args.epochs)
+        if args.bucketed_table:
+            pipeline.run_from_table(args.bucketed_table)
+        else:
+            changes = spark.read.parquet(args.changelog)
+            pipeline.run(changes, n_epochs=args.epochs)
 
     for rec in pipeline.table.lineage():
         print(json.dumps(rec))

@@ -71,3 +71,25 @@ def test_mor_tombstone_expiry(spark, tmp_root):
     state_before = p.current_state()
     p.table.compact(expire_tombstones=True)
     assert_df_equal(p.current_state(), state_before, "expiry preserves live rows")
+
+
+def test_depth_based_compaction_bounds_read_amplification(spark, tmp_root):
+    """compact_depth: the base+delta stack per bucket must never
+    exceed the policy depth + 1 (the epoch that trips the trigger),
+    regardless of epoch count, and state is unchanged by compaction."""
+    import os
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    ch = gen_source_changes(spark, n_events=1600, n_keys=100, n_repos=5)
+    p = CDCPipeline(
+        spark, os.path.join(tmp_root, "cd"), n_buckets=4,
+        merge_mode="mor", compact_depth=3,
+    )
+    p.run(ch, n_epochs=8)
+    assert p.table.max_delta_depth() <= 4
+    assert any("compaction" in r for r in p.metrics)
+    plain = CDCPipeline(spark, os.path.join(tmp_root, "cd_plain"), n_buckets=4)
+    plain.run(ch, n_epochs=8)
+    assert_df_equal(p.current_state(), plain.current_state(), "depth-compacted == plain")
