@@ -185,19 +185,40 @@ def build_visits(mapped: DataFrame) -> DataFrame:
         F.create_map(*[x for k, v in VISIT_PRIORITY.items() for x in (F.lit(k), F.lit(v))]),
         F.col("claim_type"),
     )
-    concept = F.element_at(
-        F.create_map(*[x for k, v in VISIT_CONCEPT.items() for x in (F.lit(k), F.lit(v))]),
-        F.col("claim_type"),
-    )
-    owner = F.struct(pri.alias("pri"), F.col("clm_id").alias("clm_id"), concept.alias("concept"))
+    # argmin by (priority, clm_id) WITHOUT min(struct): a struct
+    # aggregation buffer forces SortAggregate (sorts every partition
+    # of the event stream); min over int / decimal(38,0) stays a
+    # HashAggregate with map-side partial agg (min over *string* also
+    # falls back to SortAggregate — variable-width buffer).  So: one
+    # conditional min per claim type plus min(priority), then pick.
+    # CLM_IDs are numeric (SynPUF layout) — decimal(38,0) is exact.
+    clm_num = F.col("clm_id").cast("decimal(38,0)")
+    pri_order = sorted(VISIT_PRIORITY.values())
+    aggs = [
+        F.min(F.when(pri == p, clm_num)).alias(f"_c{p}") for p in pri_order
+    ] + [F.min(pri).alias("_p")]
+    concept_by_pri = {v: VISIT_CONCEPT[k] for k, v in VISIT_PRIORITY.items()}
+    pick_clm = None
+    pick_concept = None
+    for p in pri_order:
+        cond = F.col("_p") == p
+        pick_clm = (
+            F.when(cond, F.col(f"_c{p}"))
+            if pick_clm is None
+            else pick_clm.when(cond, F.col(f"_c{p}"))
+        )
+        c = F.lit(concept_by_pri[p])
+        pick_concept = (
+            F.when(cond, c) if pick_concept is None else pick_concept.when(cond, c)
+        )
     visits = (
         mapped.groupBy(*_VISIT_KEY)
-        .agg(F.min(owner).alias("_o"))
+        .agg(*aggs)
         .select(
             *_VISIT_KEY,
             F.xxhash64(*_VISIT_KEY).alias("visit_occurrence_id"),
-            F.col("_o.concept").alias("visit_concept_id"),
-            F.col("_o.clm_id").alias("visit_source_value"),
+            pick_concept.alias("visit_concept_id"),
+            pick_clm.cast("string").alias("visit_source_value"),
             F.lit(VISIT_TYPE_CONCEPT).alias("visit_type_concept_id"),
         )
     )

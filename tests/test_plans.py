@@ -149,3 +149,20 @@ def test_bucketed_run_equals_plain_run(spark, tmp_root):
         assert_df_equal(plain.current_state(), bucketed.current_state(), "bucketed == plain")
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucketed_eq")
+
+
+def test_visit_build_is_hash_aggregated(spark):
+    """build_visits must not SortAggregate the event stream (struct /
+    string min buffers force SortAggregate; the conditional decimal
+    mins keep it a HashAggregate with map-side partial agg)."""
+    from etl_cms_spark.plans import claims
+
+    ev = spark.createDataFrame(
+        [("p", "1", "2020-01-01", "2020-01-02", "i9", "inpatient", "ICD9", "x", 1, "n")],
+        "person_source_value string, clm_id string, from_dt string, thru_dt string, "
+        "visit_prvdr string, claim_type string, vocab string, code string, "
+        "type_concept_id long, npi string",
+    ).select("*", F.lit(1).alias("source_concept_id"), F.lit(2).alias("target_concept_id"), F.lit("Condition").alias("domain"))
+    plan = _plan(claims.build_visit_occurrence(ev))
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
