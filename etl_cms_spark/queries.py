@@ -380,6 +380,88 @@ def visit_dedup_reuse(spark, sf_dir):
     )
 
 
+def _ppf_oracle_sql() -> str:
+    """DuckDB replay of the reference's year-combo payer-plan spec
+    (README.md §j / CMS_SynPuf_ETL_CDM_v5.py:720-797) — DuckDB's
+    DATE ± INTERVAL n MONTH clamps the day exactly like the spec's
+    calendar.monthrange logic and Spark's add_months."""
+    seg = lambda cond, s, e: f"CASE WHEN {cond} THEN {{'s': {s}, 'e': {e}}} END"  # noqa: E731
+    am = lambda base, n: f"CAST(DATE '{base}' + INTERVAL ({n}) MONTH AS DATE)"  # noqa: E731
+    d = lambda x: f"DATE '{x}'"  # noqa: E731
+    start8 = f"CASE WHEN m8 = 0 THEN {d('2009-01-01')} ELSE CAST(DATE '2008-12-31' - INTERVAL (m8) MONTH AS DATE) END"
+    segs = ",\n      ".join([
+        seg("m8 = 12 AND m9 = 12 AND m10 = 12", d("2008-01-01"), d("2010-12-31")),
+        seg("m8 = 12 AND m9 = 12 AND m10 < 12", d("2008-01-01"), am("2009-12-31", "m10")),
+        seg("m8 = 12 AND m9 < 12", d("2008-01-01"), d("2008-12-31")),
+        seg("m8 = 12 AND m9 < 12 AND m9 > 0", d("2009-01-01"), am("2009-01-01", "m9")),
+        seg("m8 = 12 AND m9 < 12 AND m10 = 12", d("2010-01-01"), d("2010-12-31")),
+        seg("m8 = 12 AND m9 < 12 AND m10 < 12 AND m10 > 0", d("2010-01-01"), am("2010-01-01", "m10")),
+        seg("m8 < 12 AND m9 = 12 AND m10 = 12", start8, d("2010-12-31")),
+        seg("m8 < 12 AND m9 = 12 AND m10 < 12", start8, am("2009-12-31", "m10")),
+        seg("m8 < 12 AND m9 < 12 AND m8 > 0", d("2008-01-01"), am("2008-01-01", "m8")),
+        seg("m8 < 12 AND m9 < 12 AND m9 > 0", d("2009-01-01"), am("2009-01-01", "m9")),
+        seg("m8 < 12 AND m9 < 12 AND m10 = 12", d("2010-01-01"), d("2010-12-31")),
+        seg("m8 < 12 AND m9 < 12 AND m10 < 12 AND m10 > 0", d("2010-01-01"), am("2010-01-01", "m10")),
+    ])
+    return f"""
+    WITH b AS (
+      SELECT c_custkey,
+             c_custkey % 13 AS m8,
+             (c_custkey // 13) % 13 AS m9,
+             (c_custkey // 169) % 13 AS m10
+      FROM customer),
+    segs AS (
+      SELECT c_custkey, unnest(list_filter([
+      {segs}
+      ], x -> x IS NOT NULL)) AS p
+      FROM b)
+    SELECT c_custkey AS custkey,
+           strftime(p['s'], '%Y-%m-%d') AS period_start,
+           strftime(p['e'], '%Y-%m-%d') AS period_end
+    FROM segs
+    """
+
+
+@q("payer_plan_faithful", _ppf_oracle_sql())
+def payer_plan_faithful(spark, sf_dir):
+    """F7 faithful — the reference's hand-enumerated payer-plan year
+    combos (CMS_SynPuf_ETL_CDM_v5.py:720-797) as a vectorized Spark
+    plan, replayed independently in DuckDB SQL.  Coverage months are
+    synthesized from c_custkey so all 13^3 combos appear as data."""
+    from etl_cms_spark.plans.cdm import build_payer_plan_period_faithful
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    bene = c.select(
+        F.col("c_custkey").cast("string").alias("desynpuf_id"),
+        F.explode(F.array(F.lit(2008), F.lit(2009), F.lit(2010))).alias("year"),
+        "c_custkey",
+    ).select(
+        "desynpuf_id",
+        "year",
+        F.when(F.col("year") == 2008, F.pmod(F.col("c_custkey"), F.lit(13)))
+        .when(F.col("year") == 2009, F.pmod(F.floor(F.col("c_custkey") / 13), F.lit(13)))
+        .otherwise(F.pmod(F.floor(F.col("c_custkey") / 169), F.lit(13)))
+        .cast("int")
+        .alias("bene_hi_cvrage_tot_mons"),
+        F.lit(0).alias("bene_smi_cvrage_tot_mons"),
+        F.lit(0).alias("bene_hmo_cvrage_tot_mons"),
+        F.lit(0).alias("plan_cvrg_mos_num"),
+        F.monotonically_increasing_id().alias("row_order"),
+    )
+    out = build_payer_plan_period_faithful(bene).where(
+        F.col("plan_source_value") == "MEDICARE_HI"
+    )
+    ids = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.xxhash64(F.col("c_custkey").cast("string")).alias("person_id"),
+    )
+    return out.join(ids, "person_id").select(
+        "custkey",
+        F.date_format("payer_plan_period_start_date", "yyyy-MM-dd").alias("period_start"),
+        F.date_format("payer_plan_period_end_date", "yyyy-MM-dd").alias("period_end"),
+    )
+
+
 @q(
     "stable_id_dedup",
     """
