@@ -43,6 +43,11 @@ BENCH_QUERIES = [
     "minhash_lsh_neardup",
     "simhash_clusters",
     "media_feature_extract",
+    # round 2
+    "embedding_neardup_pairs",
+    "visit_dedup_reuse",
+    "payer_plan_faithful",
+    "cdc_pipeline_state",
 ]
 
 

@@ -220,6 +220,65 @@ def simhash(text: Column, bits: int = 16) -> Column:
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs within a Hamming-distance budget of the SimHash.
+
+    Pigeonhole banding: split the ``bits``-bit hash into
+    ``max_hamming + 1`` contiguous bands — two hashes within
+    ``max_hamming`` differing bits MUST agree exactly on at least one
+    band, so the band join has 100% recall at the budget (not
+    probabilistic like MinHash).  Shuffle carries (id, band, band
+    value); candidates are verified with bit_count(XOR) — exact
+    precision.  Output: (id_a, id_b, hamming), id_a < id_b.
+
+    ``bits`` <= 53: the per-bit weights are built with double pow
+    (exact only below 2^53 — shiftleft can't take a lambda index).
+    """
+    assert bits <= 53, "simhash bits capped at 53 (double-pow exactness)"
+    n_bands = max_hamming + 1
+    base = df.select(
+        F.col(id_col).alias("_id"), simhash(F.col(text_col), bits).alias("_h")
+    )
+    # band value = the band's bit slice (shift + mask with literals).
+    bounds = [round(i * bits / n_bands) for i in range(n_bands + 1)]
+    banded = base.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("_band"),
+                        (
+                            F.shiftright(F.col("_h"), bounds[i])
+                            % F.lit(2 ** (bounds[i + 1] - bounds[i]))
+                        ).alias("_bval"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_h", F.col("_b._band").alias("_band"), F.col("_b._bval").alias("_bval"))
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a"), "_band", "_bval")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b"), "_band", "_bval")
+    cand = (
+        a.join(b, ["_band", "_bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = cand.withColumn(
+        "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    ).where(F.col("hamming") <= max_hamming)
+    return out.select("id_a", "id_b", "hamming")
+
+
 def simhash_clusters(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """Docs sharing an identical SimHash — cheap near-dup clusters."""
     return (

@@ -969,6 +969,23 @@ def simhash_clusters_q(spark, sf_dir):
     return simhash_clusters(both, "text", "doc_id")
 
 
+@q("simhash_neardup")
+def simhash_neardup_q(spark, sf_dir):
+    """SimHash hamming-ball near-dup pairs via pigeonhole banding
+    (xxhash64-based — no DuckDB equivalent; exactness vs brute-force
+    hamming proven in tests/test_text_ops.py)."""
+    from etl_cms_spark.operators.textdedup import simhash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id", "text")
+    both = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+        )
+    )
+    return simhash_neardup_pairs(both, "text", "doc_id", bits=32, max_hamming=3)
+
+
 @q("ann_ivf_topk")
 def ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed approximate ANN (scale path; exactness asserted

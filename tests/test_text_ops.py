@@ -125,3 +125,43 @@ def test_minhash_lsh_recall_on_near_dupes(spark, documents):
 def test_simhash_clusters_identical_docs(spark):
     out = simhash_clusters(_dup_docs(spark), "text", "doc_id").collect()
     assert any(r.cluster_size >= 2 and r.keeper_id == 1 for r in out)
+
+
+def test_simhash_neardup_pairs_pigeonhole_recall(spark, documents):
+    """Pigeonhole banding is EXACT at the hamming budget: the banded
+    join must return precisely the pairs a brute-force hamming check
+    finds (100% recall and precision, unlike probabilistic MinHash)."""
+    from pyspark.sql import functions as F
+
+    from etl_cms_spark.operators.textdedup import simhash, simhash_neardup_pairs
+
+    docs = documents.limit(150).select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+    )
+    both = docs.unionByName(mutated)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup_pairs(both, "text", "doc_id", bits=32, max_hamming=3).collect()
+    }
+    hashes = [(r["doc_id"], r["_h"]) for r in both.select(
+        "doc_id", simhash(F.col("text"), 32).alias("_h")).collect()]
+    brute = {
+        (a, b, bin(ha ^ hb).count("1"))
+        for i, (a, ha) in enumerate(hashes)
+        for b, hb in hashes[i + 1:]
+        if bin(ha ^ hb).count("1") <= 3
+        for a, b in [(min(a, b), max(a, b))]
+    }
+    assert len(brute) >= 50, "fixture must contain near pairs"
+    assert got == brute
+
+
+def test_simhash_neardup_plan_has_no_cartesian(spark, documents):
+    from etl_cms_spark.operators.textdedup import simhash_neardup_pairs
+
+    plan = simhash_neardup_pairs(
+        documents.limit(50), "text", "doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
