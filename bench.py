@@ -332,9 +332,15 @@ proxy structurally understates end-to-end scaling.  The map-stage row
 is therefore the better predictor of N→4N executor scaling for the
 compute-bound fraction, and the end-to-end row is a lower bound.
 
-Planned round-2 work to lift the end-to-end number: bucket-aligned
-changelog staging (co-partition the tail with the lake's key buckets
-so the dedup shuffle disappears entirely) and merge write coalescing.
+Round-2 changes measured here: (a) the strict dedup is the ROW_NUMBER
+window form (sorts only (key,lsn) within partitions; measured 13.4 s
+vs 19-22 s for the max_by-struct SortAggregate at 4M events x 2
+epochs, local[32] tuned); (b) the producer-BUCKETED tail row reads an
+epoch-partitioned saveAsTable bucketed on (repo, path), so the
+per-epoch dedup runs with ZERO Exchange (plan-asserted in
+tests/test_plans.py::test_bucketed_changelog_dedup_has_no_exchange) —
+the producer pays the bucketing once, amortized over every consumer
+and replay; staging is outside the timed window.
 
 Reference single-thread baseline: ≈2,000–2,500 rows/s (BASELINE.md).
 This engine at local[32]: {t32} events/s end-to-end.

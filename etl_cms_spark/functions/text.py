@@ -120,3 +120,39 @@ def fingerprint(text: Column) -> Column:
     norm = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " ")
     norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
     return F.md5(norm)
+
+
+def winnowing_fingerprints(
+    text: Column, k: int = 5, w: int = 4, mod: int = 2_147_483_647, base: int = 257
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    MOSS scheme): polynomial rolling hashes of the char k-grams, then
+    the minimum hash of every w-gram window, deduplicated — a compact,
+    position-robust fingerprint SET whose overlap measures local
+    similarity (the reference has no analogue; this is the
+    training-data-pipeline fingerprinting op).
+
+    All arithmetic is exact BIGINT mod ``mod`` (< 2^31), so DuckDB can
+    replay it digit-for-digit (the oracle for ``winnowing_fp``) —
+    deliberately NOT xxhash64, which only Spark has.  Pure array
+    folds: zero shuffle, whole-stage codegen."""
+    t = F.lower(text)
+    n = F.length(t)
+    m = F.greatest(n - F.lit(k) + 1, F.lit(0))  # number of k-grams
+    empty = F.array().cast("array<bigint>")
+    gram_hash = lambda i: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: (acc * base + F.ascii(F.substring(t, i + j, 1))) % mod,
+    )
+    # NB: Spark's sequence(1, 0) DESCENDS — guard the empty cases.
+    grams = F.when(m > 0, F.transform(F.sequence(F.lit(1), m), gram_hash)).otherwise(empty)
+    n_windows = F.greatest(m - F.lit(w) + 1, F.lit(1))
+    selected = F.when(
+        m > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda p: F.array_min(F.slice(grams, p, F.least(F.lit(w), m))),
+        ),
+    ).otherwise(empty)
+    return F.array_sort(F.array_distinct(selected))

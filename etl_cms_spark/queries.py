@@ -820,6 +820,43 @@ def doc_quality(spark, sf_dir):
     )
 
 
+def _winnow_oracle_sql(k: int = 5, w: int = 4, mod: int = 2_147_483_647, base: int = 257) -> str:
+    pows = [base ** (k - 1 - j) for j in range(k)]
+    pow_arr = ", ".join(str(p) for p in pows)
+    return f"""
+    WITH d AS (SELECT doc_id, lower(text) AS t,
+                      greatest(length(lower(text)) - {k} + 1, 0) AS m
+               FROM documents WHERE doc_id < 200),
+    g AS (SELECT doc_id, m,
+            CASE WHEN m > 0 THEN list_transform(range(1, m + 1), i ->
+              CAST(list_sum(list_transform(range(0, {k}), j ->
+                ord(substring(t, (i + j)::INT, 1)) * ([{pow_arr}])[j + 1])) AS BIGINT) % {mod})
+            ELSE [] END AS grams
+          FROM d),
+    s AS (SELECT doc_id,
+            CASE WHEN m > 0 THEN list_sort(list_distinct(
+              list_transform(range(1, greatest(m - {w} + 1, 1) + 1), p ->
+                list_min(grams[p : p + least({w}, m) - 1]))))
+            ELSE [] END AS fps
+          FROM g)
+    SELECT doc_id, unnest(fps) AS fp FROM s
+    """
+
+
+@q("winnowing_fp", _winnow_oracle_sql())
+def winnowing_fp(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing/MOSS): char
+    k-gram polynomial hashes → per-window minima → distinct set, one
+    row per (doc, fingerprint).  Exact-integer arithmetic chosen so
+    DuckDB replays it bit-for-bit."""
+    from etl_cms_spark.functions.text import winnowing_fingerprints
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id", F.explode(winnowing_fingerprints(F.col("text"))).alias("fp")
+    )
+
+
 @q(
     "doc_lang_id",
     r"""
