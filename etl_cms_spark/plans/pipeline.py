@@ -153,10 +153,29 @@ class CDCPipeline:
             json.dump({"last_epoch": epoch, "lsn_hi": lsn_hi}, f)
         os.replace(tmp, self.checkpoint_path)
 
+    def _apply_schema_change_all(self, change: dict) -> None:
+        """Schema events evolve EVERY destination table (the main
+        table and, in demux mode, each domain table)."""
+        self.table.apply_schema_change(change)
+        if self.demux_domains:
+            for t in self.domain_tables.values():
+                t.apply_schema_change(change)
+
     # ---------------- epoch processing ----------------
 
-    def process_epoch(self, batch: DataFrame, epoch: int) -> dict:
-        """Apply one change batch.  Idempotent per epoch."""
+    def process_epoch(
+        self,
+        batch: DataFrame,
+        epoch: int,
+        schema_events: list | None = None,
+    ) -> dict:
+        """Apply one change batch.  Idempotent per epoch.
+
+        ``schema_events`` (list of (lsn, schema_change-json) tuples)
+        lets a batch driver pre-extract ALL schema events in one job
+        for the whole changelog instead of one collect job per epoch —
+        the per-epoch serial job count is what bounds scaling
+        efficiency at high parallelism.  None = scan this batch."""
         committed = {str(e) for e in self.table.committed_epochs()}
         if self.demux_domains:
             # a crash between per-table commits leaves the epoch
@@ -171,14 +190,16 @@ class CDCPipeline:
 
         # 1. schema-evolution events (tiny — driver-side apply).
         if "schema_change" in batch.columns:
-            schema_events = (
-                batch.where(F.col("op") == "SCHEMA")
-                .select("lsn", "schema_change")
-                .orderBy("lsn")
-                .collect()
-            )
-            for ev in schema_events:
-                self.table.apply_schema_change(json.loads(ev["schema_change"]))
+            if schema_events is None:
+                schema_events = [
+                    (r["lsn"], r["schema_change"])
+                    for r in batch.where(F.col("op") == "SCHEMA")
+                    .select("lsn", "schema_change")
+                    .orderBy("lsn")
+                    .collect()
+                ]
+            for _, change in sorted(schema_events):
+                self._apply_schema_change_all(json.loads(change))
             data = batch.where(F.col("op") != "SCHEMA").drop("schema_change")
         else:
             data = batch
@@ -292,6 +313,7 @@ class CDCPipeline:
         if lo is None:
             return []
         width = max(1, (hi - lo + 1 + n_epochs - 1) // n_epochs)
+        all_schema_events = self._collect_schema_events(changes)
         results = []
         first = start_epoch if start_epoch is not None else 0
         if staging_dir is not None:
@@ -317,8 +339,26 @@ class CDCPipeline:
                 batch = changes.where(
                     (F.col("lsn") >= epoch_lo) & (F.col("lsn") <= epoch_hi)
                 )
-            results.append(self.process_epoch(batch, e))
+            ev = (
+                None
+                if all_schema_events is None
+                else [t for t in all_schema_events if epoch_lo <= t[0] <= epoch_hi]
+            )
+            results.append(self.process_epoch(batch, e, schema_events=ev))
         return results
+
+    def _collect_schema_events(self, changes: DataFrame) -> list | None:
+        """One job for the whole changelog instead of one per epoch
+        (schema events are rare and tiny; the per-epoch scan was pure
+        serial-floor overhead)."""
+        if "schema_change" not in changes.columns:
+            return None
+        return [
+            (r["lsn"], r["schema_change"])
+            for r in changes.where(F.col("op") == "SCHEMA")
+            .select("lsn", "schema_change")
+            .collect()
+        ]
 
     def run_from_table(self, table_name: str) -> list[dict]:
         """Batch mode over a PRODUCER-BUCKETED changelog table (see
@@ -331,18 +371,22 @@ class CDCPipeline:
         the difference between shuffling the batch payload once per
         epoch and never shuffling it at all before the merge."""
         self.init_tables()
-        epochs = [
-            r["_epoch"]
-            for r in self.spark.table(table_name).select("_epoch").distinct().collect()
-        ]
+        tbl = self.spark.table(table_name)
+        epochs = [r["_epoch"] for r in tbl.select("_epoch").distinct().collect()]
+        sev: dict[int, list] = {}
+        if "schema_change" in tbl.columns:
+            for r in (
+                tbl.where(F.col("op") == "SCHEMA")
+                .select("_epoch", "lsn", "schema_change")
+                .collect()
+            ):
+                sev.setdefault(int(r["_epoch"]), []).append((r["lsn"], r["schema_change"]))
         results = []
         for e in sorted(epochs):
-            batch = (
-                self.spark.table(table_name)
-                .where(F.col("_epoch") == e)
-                .drop("_epoch")
+            batch = tbl.where(F.col("_epoch") == e).drop("_epoch")
+            results.append(
+                self.process_epoch(batch, int(e), schema_events=sev.get(int(e), []))
             )
-            results.append(self.process_epoch(batch, int(e)))
         return results
 
     # ---------------- read side ----------------

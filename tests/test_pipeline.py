@@ -224,3 +224,19 @@ def test_demux_cross_domain_move_deletes_old_row(spark, tmp_root):
     recs = p2.run(ch, n_epochs=2)
     assert all(r.get("skipped_duplicate_epoch") for r in recs)
     assert {(r["repo"], r["path"]) for r in p2.domain_state("markup").collect()} == markup
+
+
+def test_demux_schema_evolution_reaches_domain_tables(spark, tmp_root):
+    """Schema events must evolve EVERY destination table — a rename
+    mid-stream shows up in each domain table's state."""
+    import os
+
+    from etl_cms_spark.fixtures.generator import gen_schema_events, gen_source_changes
+
+    base = gen_source_changes(spark, n_events=800, n_keys=150, n_repos=5)
+    sev = gen_schema_events(spark, {799: '{"rename": "lang:language"}'})
+    p = CDCPipeline(spark, os.path.join(tmp_root, "dse"), n_buckets=4, demux_domains=True)
+    p.run(base.unionByName(sev), n_epochs=2)
+    for d in p.domains:
+        st = p.domain_state(d)
+        assert "language" in st.columns and "lang" not in st.columns, d
