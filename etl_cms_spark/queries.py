@@ -1133,6 +1133,32 @@ def _changelog_from_documents(spark, sf_dir):
 
 
 @q(
+    "media_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             length(text) % 300 AS n_frames
+      FROM documents WHERE doc_id < 300)
+    SELECT media_id, unnest(range(0, greatest(n_frames - 1, 0) + 1, 30)) AS frame_idx
+    FROM m WHERE kind = 'video'
+    """,
+)
+def media_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: one row per sampled frame index of
+    each video (explode over a stride sequence — fan-out sizing is
+    plan-visible, no decode needed)."""
+    from etl_cms_spark.operators.multimodal import frame_sample, synthesize_media
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    media = synthesize_media(d, "doc_id", "text")
+    return frame_sample(media, every_nth=30).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+@q(
     "cdc_pipeline_state",
     f"""
     WITH ch AS ({_oracle_changelog_sql()}),
