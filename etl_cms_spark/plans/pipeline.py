@@ -66,6 +66,7 @@ class CDCPipeline:
         compact_every: int | None = None,
         compact_depth: int | None = None,
         demux_domains: bool = False,
+        detailed_lineage: bool = False,
     ):
         """dedup_mode:
         * "strict" (default) — max-LSN dedup before mapping.  Measured
@@ -129,6 +130,11 @@ class CDCPipeline:
         self.salt_hot_keys = salt_hot_keys
         self.mapper = mapper
         self.dedup_mode = "salted" if salt_hot_keys else dedup_mode
+        # per-PARTITION lineage (north rule): record per-bucket rows
+        # applied/deleted + LSN range each epoch.  One extra hash agg
+        # per epoch over the cached batch (output = n_buckets rows),
+        # so it's off by default on the hot path.
+        self.detailed_lineage = detailed_lineage
         self.metrics: list[dict[str, Any]] = []
 
     # ---------------- lifecycle ----------------
@@ -249,11 +255,34 @@ class CDCPipeline:
                     "overwrite"
                 ).parquet(os.path.join(self.quarantine_dir, f"epoch={epoch}"))
 
+            extra = {"rows_quarantined": qn}
+            if self.detailed_lineage:
+                # per-bucket lineage: rows applied/deleted + source LSN
+                # range per partition (bucket) — the north rule's
+                # per-partition lineage record.
+                extra["partitions"] = {
+                    str(r["_b"]): {
+                        "rows": r["n"],
+                        "deletes": r["d"],
+                        "lsn_min": r["lo"],
+                        "lsn_max": r["hi"],
+                    }
+                    for r in updates.groupBy(
+                        self.table.bucket_expr(KEY_COLS).alias("_b")
+                    )
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.sum((F.col("op") == "D").cast("long")).alias("d"),
+                        F.min("lsn").alias("lo"),
+                        F.max("lsn").alias("hi"),
+                    )
+                    .collect()
+                }
             # 5. exactly-once merge with lineage.
             rec = self.table.merge_epoch(
                 updates.drop("_quar"),
                 epoch,
-                extra_lineage={"rows_quarantined": qn},
+                extra_lineage=extra,
                 stats={
                     "n_total": int(stats["n_total"] or 0),
                     "n_deletes": int(stats["n_deletes"] or 0),

@@ -240,3 +240,27 @@ def test_demux_schema_evolution_reaches_domain_tables(spark, tmp_root):
     for d in p.domains:
         st = p.domain_state(d)
         assert "language" in st.columns and "lang" not in st.columns, d
+
+
+def test_detailed_per_partition_lineage(spark, tmp_root):
+    """detailed_lineage records per-bucket rows/deletes/LSN ranges
+    that reconcile exactly with the epoch totals (north rule:
+    per-partition lineage — source LSN range, rows applied/deleted)."""
+    import os
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+
+    ch = gen_source_changes(spark, n_events=1000, n_keys=200, n_repos=10)
+    p = CDCPipeline(
+        spark, os.path.join(tmp_root, "dl"), n_buckets=8, detailed_lineage=True
+    )
+    p.run(ch, n_epochs=2)
+    for rec in p.table.lineage():
+        parts = rec["partitions"]
+        assert set(map(int, parts)) == set(rec["changed_buckets"])
+        assert sum(v["rows"] for v in parts.values()) == (
+            rec["rows_upserted"] + rec["rows_deleted"]
+        )
+        assert sum(v["deletes"] for v in parts.values()) == rec["rows_deleted"]
+        assert min(v["lsn_min"] for v in parts.values()) == rec["lsn_min"]
+        assert max(v["lsn_max"] for v in parts.values()) == rec["lsn_max"]
