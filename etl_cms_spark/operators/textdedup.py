@@ -187,6 +187,114 @@ def minhash_lsh_pairs(
     return out
 
 
+POLY_MOD = 2_147_483_647
+POLY_BASE = 257
+
+
+def poly_hash(s: Column, mod: int = POLY_MOD, base: int = POLY_BASE) -> Column:
+    """Exact polynomial string hash over char codes — deliberately
+    NOT xxhash64: both Spark and DuckDB compute this digit-for-digit
+    (DuckDB: list_reduce over ord(substring(...))), which is what lets
+    the portable MinHash below be oracle-checked end to end."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(s)), lambda i: F.ascii(F.substring(s, i, 1))
+    )
+    h = F.aggregate(
+        chars, F.lit(0).cast("long"), lambda acc, c: (acc * base + c) % mod
+    )
+    return F.when(F.length(s) > 0, h).otherwise(F.lit(0).cast("long"))
+
+
+def _mh_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the universal-hash family
+    h_i(x) = (a_i * x + b_i) mod p."""
+    return [(2 * i + 1, 97 * i + 13) for i in range(n_hashes)]
+
+
+def minhash_signatures_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Like ``minhash_signatures`` but with the portable polynomial
+    hash family — same explode + map-side partial-agg shape (shuffle
+    carries n_hashes longs per doc), oracle-replayable in DuckDB."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("_s"),
+    ).withColumn("_h", poly_hash(F.col("_s")))
+    aggs = [
+        F.coalesce(
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % POLY_MOD),
+            F.lit(0).cast("long"),
+        ).alias(f"_m{i}")
+        for i, (a, b) in enumerate(_mh_coeffs(n_hashes))
+    ]
+    return sh.groupBy("_id").agg(*aggs)
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    verify_threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH banding with the PORTABLE hash family: the full
+    pipeline — signatures, band agreement, exact-jaccard verification —
+    is deterministic arithmetic DuckDB can replay, so the LSH path
+    itself gets an oracle-green correctness row (``minhash_lsh_portable``)
+    instead of a rows-only check.  Same shuffle shape as
+    ``minhash_lsh_pairs``: the band join carries (id, band, band key).
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures_portable(df, text_col, id_col, n_hashes, shingle_n)
+    banded = sigs.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"_m{b * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_bkey"),
+    )
+    a = banded.select(F.col("_id").alias("id_a"), "_band", "_bkey")
+    b = banded.select(F.col("_id").alias("id_b"), "_band", "_bkey")
+    cand = (
+        a.join(b, ["_band", "_bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    shingle_sets = df.select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    withsh = cand.join(
+        shingle_sets.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+    ).join(
+        shingle_sets.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    out = withsh.withColumn(
+        "jaccard", F.round(inter / F.greatest(union, F.lit(1)), 4)
+    ).select("id_a", "id_b", "jaccard")
+    return out.where(F.col("jaccard") >= verify_threshold)
+
+
 def simhash(text: Column, bits: int = 16) -> Column:
     """SimHash over whitespace tokens: per bit j, sign of the sum of
     (+1/-1) votes from xxhash64(token, j).  Pure array fold."""

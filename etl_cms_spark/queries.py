@@ -983,6 +983,73 @@ def ngram_jaccard_neardup(spark, sf_dir):
     return ngram_jaccard_pairs(both, "text", "doc_id", n=3, threshold=0.8)
 
 
+def _minhash_portable_oracle_sql(n_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+    from etl_cms_spark.operators.textdedup import _mh_coeffs
+
+    rows_per_band = n_hashes // bands
+    mins = ", ".join(
+        f"coalesce(min(({a} * h + {b}) % 2147483647), 0) AS m{i}"
+        for i, (a, b) in enumerate(_mh_coeffs(n_hashes))
+    )
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.m{bd * rows_per_band + j} = b.m{bd * rows_per_band + j}"
+            for j in range(rows_per_band)
+        )
+        + ")"
+        for bd in range(bands)
+    )
+    return rf"""
+    WITH both_copies AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+      UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 300),
+    toks AS (SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS t
+             FROM both_copies),
+    sh AS (SELECT doc_id,
+             list_distinct(CASE WHEN length(t) < 3 THEN []
+               ELSE list_transform(range(1, length(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS shingles
+           FROM toks),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hs AS (SELECT doc_id,
+             list_reduce(list_transform(range(1, length(s) + 1),
+               c -> ord(substring(s, c::INT, 1))::BIGINT),
+               (a, c) -> (a * 257 + c) % 2147483647) AS h
+           FROM ex),
+    sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE {band_conds}),
+    j AS (SELECT p.id_a, p.id_b,
+                 len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+                 len(sa.shingles) + len(sb.shingles)
+                   - len(list_intersect(sa.shingles, sb.shingles)) AS un
+          FROM pairs p
+          JOIN sh sa ON sa.doc_id = p.id_a
+          JOIN sh sb ON sb.doc_id = p.id_b)
+    SELECT id_a, id_b, ROUND(inter / greatest(un, 1), 4) AS jaccard
+    FROM j WHERE ROUND(inter / greatest(un, 1), 4) >= {threshold}
+    """
+
+
+@q("minhash_lsh_portable", _minhash_portable_oracle_sql())
+def minhash_lsh_portable(spark, sf_dir):
+    """MinHash+LSH with the PORTABLE polynomial hash family — the
+    entire LSH pipeline (signatures, band agreement, exact-jaccard
+    verify) replayed independently in DuckDB, so the banding logic
+    itself is oracle-checked (the xxhash64 variant below stays
+    rows-only by construction)."""
+    from etl_cms_spark.operators.textdedup import minhash_lsh_pairs_portable
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id", "text")
+    both = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return minhash_lsh_pairs_portable(
+        both, "text", "doc_id", n_hashes=16, bands=4, verify_threshold=0.8
+    )
+
+
 # ---- non-SQL-expressible ops (driver records rows-only checks) ----
 
 @q("minhash_lsh_neardup")
