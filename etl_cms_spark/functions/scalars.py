@@ -15,10 +15,14 @@ from pyspark.sql import functions as F
 GENDER_CONCEPTS = {1: 8507, 2: 8532}  # male / female
 RACE_CONCEPTS = {1: 8527, 2: 8516, 3: 0, 5: 0}  # white/black/other/hispanic
 # race 3 ('others') carries ethnicity 0 per the hand-verified golden
-# fixture (test_data/output/person.csv row 2); the reference code
-# writes NON_HISPANIC there (CMS_SynPuf_ETL_CDM_v5.py:619-621) — the
-# golden is what the parity test checks against.
+# fixture (test_data/output/person.csv row 2); the reference CODE
+# writes NON_HISPANIC=38003564 there (CMS_SynPuf_ETL_CDM_v5.py:619-621)
+# — the fixture is internally inconsistent with its own ETL.  Both
+# behaviors are pinned: the golden map is the default (it is what the
+# parity test proves), the code-faithful map is selectable via
+# ``ethnicity_concept(..., faithful_to_code=True)``.
 ETHNICITY_CONCEPTS = {1: 38003564, 2: 38003564, 3: 0, 5: 38003563}
+ETHNICITY_CONCEPTS_CODE_FAITHFUL = {1: 38003564, 2: 38003564, 3: 38003564, 5: 38003563}
 
 # F4 — SSA state codes, reference CMS_SynPuf_ETL_CDM_v5.py:158-210.
 SSA_STATE_CODES = {
@@ -66,8 +70,12 @@ def race_concept(c: Column) -> Column:
     return _case_map(c.cast("int"), RACE_CONCEPTS)
 
 
-def ethnicity_concept(c: Column) -> Column:
-    return _case_map(c.cast("int"), ETHNICITY_CONCEPTS)
+def ethnicity_concept(c: Column, faithful_to_code: bool = False) -> Column:
+    """F3 — golden-fixture map by default; ``faithful_to_code=True``
+    replays the reference code's NON_HISPANIC for race 3 (see the
+    constants' docnote on the fixture/code divergence)."""
+    m = ETHNICITY_CONCEPTS_CODE_FAITHFUL if faithful_to_code else ETHNICITY_CONCEPTS
+    return _case_map(c.cast("int"), m)
 
 
 def ssa_state(c: Column) -> Column:

@@ -121,8 +121,18 @@ def keyed_dedup_stable_id(
     sorts cheaper than a 32-char string.
     """
     if wide:
+        # NULL-safe key encoding: concat_ws silently DROPS null
+        # elements, which would collide ('a', NULL, 'b') with
+        # ('a', 'b', NULL) — exactly the silent merge the wide id
+        # exists to prevent.  Coalesce each column to a sentinel that
+        # cannot appear in a cast(string) value (\x00 prefix) before
+        # joining on \x1f.
         key_repr = F.concat_ws(
-            "\x1f", *[F.col(c).cast("string") for c in key_cols]
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                for c in key_cols
+            ],
         )
         id_expr = F.substring(F.sha2(key_repr, 256), 1, 32)
     else:
@@ -138,14 +148,69 @@ def dense_stable_id(
     df: DataFrame,
     key_cols: Sequence[str],
     id_col: str = "surrogate_id",
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Dense 1..N ids via row_number over the key order — use when a
-    downstream contract requires dense ids.  Deterministic given the
-    key set; costs a global sort (range partition), so prefer
-    ``keyed_dedup_stable_id`` at scale."""
-    w = Window.orderBy(*[F.col(c) for c in key_cols])
-    return (
-        df.select(*key_cols)
-        .dropDuplicates(list(key_cols))
-        .withColumn(id_col, F.row_number().over(w).cast("long"))
+    """Dense 1..N ids over the key order — the reference's persisted
+    surrogate-id counters (utility_classes.py:5-100) re-expressed so a
+    replay on any cluster mints the same ids with zero coordination.
+
+    Two-pass partition-offset scheme (the zipWithIndex shape, kept in
+    the DataFrame/Arrow world):
+
+    1. distinct keys → ``repartitionByRange`` on the key (each range
+       partition holds a contiguous, disjoint slice of the global key
+       order) → ``sortWithinPartitions`` → pin with localCheckpoint so
+       pass 2 sees the identical layout;
+    2. count rows per partition (one tiny job, ≤ num_partitions rows
+       to the driver), prefix-sum the counts into per-partition start
+       offsets, then assign ``offset + local position`` inside an
+       Arrow ``mapInPandas`` — no window, no single-partition
+       collapse, each partition numbered independently.
+
+    Output is byte-identical to ``row_number() OVER (ORDER BY key)``
+    (asserted in tests) but the old form moved ALL keys to ONE
+    partition (WindowExec "No Partition Defined" — a driver-killer at
+    10^10 keys); this form's widest machine state is one range
+    partition.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key_list = list(key_cols)
+    keys = (
+        df.select(*key_list)
+        .dropDuplicates(key_list)
+        .repartitionByRange(n_part, *[F.col(c) for c in key_list])
+        .sortWithinPartitions(*[F.col(c) for c in key_list])
+        .withColumn("_pid", F.spark_partition_id())
     )
+    # pin partition layout + order so the count pass and the assign
+    # pass see the same data (range boundaries come from a sample).
+    keys = keys.localCheckpoint(eager=True)
+    counts = {
+        r["_pid"]: r["n"]
+        for r in keys.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = keys.drop("_pid").schema.add(id_col, "long", False)
+
+    def assign(batches):
+        base, seen = None, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            out = pdf.drop(columns=["_pid"])
+            out[id_col] = pd.RangeIndex(
+                base + seen + 1, base + seen + len(pdf) + 1
+            ).astype("int64")
+            seen += len(pdf)
+            yield out
+
+    return keys.mapInPandas(assign, schema=out_schema)

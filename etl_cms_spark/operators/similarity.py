@@ -194,6 +194,96 @@ def ivf_topk(
 
 
 # ---------------------------------------------------------------------
+# Portable-hash IVF: data-independent SRP cells, fully oracle-checkable
+# ---------------------------------------------------------------------
+
+SRP_MUL = 1315423911
+SRP_ADD = 2654435761
+SRP_MOD = 2_147_483_647
+
+
+def _srp_parity_sign(plane_index: Column) -> Column:
+    """±1.0 hyperplane component from a multiplicative parity hash —
+    deliberately NOT xxhash64 so DuckDB replays it (same rationale as
+    textdedup.poly_hash)."""
+    par = (
+        F.pmod(
+            F.lit(SRP_MUL).cast("long") * plane_index.cast("long") + F.lit(SRP_ADD),
+            F.lit(SRP_MOD),
+        )
+        % 2
+    )
+    return par.cast("double") * 2.0 - 1.0
+
+
+def srp_cell_portable(vec: Column, cell_bits: int = 4) -> Column:
+    """IVF cell id = ``cell_bits`` signed-random-projection signs,
+    packed little-endian.  Data-INDEPENDENT partitioning (no k-means,
+    no sample, no stored centroids): any engine computes the same cell
+    for the same vector, so the cell assignment — the heart of the IVF
+    layout — is oracle-checkable end to end.  Near-identical vectors
+    share a cell by construction (signs move only when a projection
+    crosses 0)."""
+    def _term(j: int):
+        # closure factory: zip_with requires a 2-arg lambda (a j=j
+        # default would make pyspark count 3 parameters).
+        return lambda x, d: x.cast("double") * _srp_parity_sign(d + F.lit(j * 4096))
+
+    cell = F.lit(0).cast("long")
+    for j in range(cell_bits):
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), _term(j)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cell = cell + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return cell
+
+
+def srp_cell_portable_py(vec: list[float], cell_bits: int = 4) -> int:
+    """Driver-side twin of ``srp_cell_portable`` (same fold order →
+    same doubles) — used to pick the probe cells for a query vector."""
+    cell = 0
+    for j in range(cell_bits):
+        proj = 0.0
+        for d, x in enumerate(vec):
+            par = ((SRP_MUL * (d + j * 4096) + SRP_ADD) % SRP_MOD) % 2
+            proj += float(x) * (par * 2.0 - 1.0)
+        if proj >= 0:
+            cell |= 1 << j
+    return cell
+
+
+def ivf_portable_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    cell_bits: int = 4,
+    max_flip: int = 1,
+) -> DataFrame:
+    """IVF probe with portable SRP cells: score ONLY the cells within
+    ``max_flip`` sign flips of the query's cell (5 of 16 cells at the
+    defaults — a literal ``cell IN (...)`` predicate, i.e. partition
+    pruning when the assignment is persisted partitioned by cell, as
+    ``IVFIndex`` does for the k-means form).  Exact cosine + top-k
+    with deterministic tie-break over the probed subset."""
+    qcell = srp_cell_portable_py(query_vec, cell_bits)
+    probe = [c for c in range(1 << cell_bits) if bin(c ^ qcell).count("1") <= max_flip]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cells = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        srp_cell_portable(F.col(vec_col), cell_bits).alias("cell"),
+    )
+    scored = cells.where(F.col("cell").isin(probe)).select(
+        "vec_id", F.round(cosine(F.col("_v"), q), 4).alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+# ---------------------------------------------------------------------
 # Near-duplicate pairs
 # ---------------------------------------------------------------------
 

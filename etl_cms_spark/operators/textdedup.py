@@ -328,12 +328,55 @@ def simhash(text: Column, bits: int = 16) -> Column:
     )
 
 
+def simhash_portable(text: Column, bits: int = 16) -> Column:
+    """SimHash with the PORTABLE polynomial hash family: one
+    ``poly_hash`` per token, then the vote for bit j is the parity of
+    the same universal family h_j(x) = (a_j·x + b_j) mod p used by
+    ``minhash_signatures_portable`` — every step is integer/double
+    arithmetic DuckDB replays digit-for-digit (the xxhash64 ``simhash``
+    above stays Spark-only).  Same single-pass array-fold shape."""
+    toks = tokens(F.lower(text))
+    phs = F.transform(toks, lambda t: poly_hash(t))
+    coeffs = _mh_coeffs(bits)
+    votes = F.aggregate(
+        phs,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.pmod(F.lit(a) * h + F.lit(b), F.lit(POLY_MOD)) % 2 == 1,
+                        F.lit(1),
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for (a, b) in coeffs
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     bits: int = 32,
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs within a Hamming-distance budget of the SimHash.
 
@@ -350,8 +393,9 @@ def simhash_neardup_pairs(
     """
     assert bits <= 53, "simhash bits capped at 53 (double-pow exactness)"
     n_bands = max_hamming + 1
+    hash_fn = simhash_portable if portable else simhash
     base = df.select(
-        F.col(id_col).alias("_id"), simhash(F.col(text_col), bits).alias("_h")
+        F.col(id_col).alias("_id"), hash_fn(F.col(text_col), bits).alias("_h")
     )
     # band value = the band's bit slice (shift + mask with literals).
     bounds = [round(i * bits / n_bands) for i in range(n_bands + 1)]

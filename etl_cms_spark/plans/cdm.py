@@ -151,6 +151,11 @@ def build_payer_plan_period(bene: DataFrame) -> DataFrame:
         "plan_source_value",
         F.col("era_start").alias("payer_plan_period_start_date"),
         F.col("era_end").alias("payer_plan_period_end_date"),
+        # replay-stable surrogate id (the reference mints these from
+        # the global counter; cost tables join back through it).
+        F.xxhash64(
+            "desynpuf_id", "plan_source_value", F.col("era_start").cast("string")
+        ).alias("payer_plan_period_id"),
     )
 
 

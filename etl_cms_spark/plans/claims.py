@@ -362,6 +362,315 @@ def build_provider(inpat: DataFrame, outpat: DataFrame, carrier: DataFrame) -> D
     )
 
 
+# ---------------------------------------------------------------------
+# Observation + cost tables + fact_relationship — the remainder of the
+# DE_0 golden surface (round 3).
+# ---------------------------------------------------------------------
+
+# reference constants.py OBSERVATION_CHIEF_COMPLAINT; used for every
+# claim route (write_observation callers :1272, :1425, :1600).
+OBSERVATION_TYPE_CHIEF_COMPLAINT = 38000282
+CURRENCY_US_DOLLAR = 44818668  # OMOP_CONSTANTS.CURRENCY_US_DOLLAR
+# OMOP domain concept ids as used by the golden fact_relationship.csv
+DOMAIN_CONCEPT_IDS = {"Condition": 19, "Procedure": 10, "Observation": 27,
+                      "Measurement": 21, "Drug": 13, "Device": 17}
+# golden fact_relationship relationship concepts: line-dx ↔ line-proc
+# and principal-dx ↔ line-proc (test_data/output/fact_relationship.csv)
+FACT_REL_LINE_DX = 44818784
+FACT_REL_PRINCIPAL_DX = 44818841
+# the golden stamps 57 as domain_concept_id_1 on every principal-dx row
+# (hand-conversion constant; pinned as-is for parity).
+PRINCIPAL_DX_DOMAIN_CONCEPT = 57
+# plan routing for cost rows (golden links: inpatient→Part A,
+# outpatient/carrier→Part B, prescription→Part D).
+PLAN_FOR_CLAIM = {"inpatient": "MEDICARE_HI", "outpatient": "MEDICARE_SMI",
+                  "carrier": "MEDICARE_SMI", "rx": "PART_D"}
+
+
+def build_observation(mapped: DataFrame) -> DataFrame:
+    """domain='Observation' events → observation (reference
+    write_observation, CMS_SynPuf_ETL_CDM_v5.py:1121-1145): type is
+    the constant chief-complaint concept for every claim route,
+    value_as_concept_id = 0 (the reference writes a literal '0' to
+    satisfy the Achilles NOT-all-NULL heuristic, README.md:249-267).
+    One row per DISTINCT (person, concept, date, visit, source) — the
+    golden fixture collapses a code repeated across claim lines
+    (V0481 on carrier lines 2 and 3 → one row)."""
+    obs = mapped.where(F.col("domain") == "Observation")
+    return (
+        _with_visit_id(obs)
+        .select(
+            "person_source_value",
+            F.col("target_concept_id").alias("observation_concept_id"),
+            F.col("from_dt").alias("observation_date"),
+            F.lit(OBSERVATION_TYPE_CHIEF_COMPLAINT).alias("observation_type_concept_id"),
+            F.lit(0).alias("value_as_concept_id"),
+            F.col("npi").alias("provider_npi"),
+            "visit_occurrence_id",
+            F.col("code").alias("observation_source_value"),
+            F.col("source_concept_id").alias("observation_source_concept_id"),
+        )
+        .dropDuplicates()
+    )
+
+
+_CC_AMT_FIELDS = (
+    "LINE_NCH_PMT_AMT",
+    "LINE_BENE_PTB_DDCTBL_AMT",
+    "LINE_BENE_PRMRY_PYR_PD_AMT",
+    "LINE_COINSRNC_AMT",
+    "LINE_ALOWD_CHRG_AMT",
+)
+
+
+def carrier_claim_lines(carrier: DataFrame) -> DataFrame:
+    """One row per (carrier claim, line position 1..13): the line's
+    performing NPI, HCPCS, line diagnosis, and five amount columns —
+    SynPufFiles.CarrierClaimLine_list (:315-330) re-expressed as one
+    arrays_zip + posexplode (narrow, no shuffle).  A line exists when
+    its PRF_PHYSN_NPI is non-empty (the reference's list gate)."""
+    zipped = F.arrays_zip(
+        F.array(*[F.col(f"PRF_PHYSN_NPI_{p}") for p in range(1, 14)]).alias("npi"),
+        F.array(*[F.col(f"HCPCS_CD_{p}") for p in range(1, 14)]).alias("hcpcs"),
+        F.array(*[F.col(f"LINE_ICD9_DGNS_CD_{p}") for p in range(1, 14)]).alias("line_dx"),
+        *[
+            F.array(*[F.col(f"{a}_{p}") for p in range(1, 14)]).alias(a.lower())
+            for a in _CC_AMT_FIELDS
+        ],
+    )
+    base = carrier.select(
+        F.col("DESYNPUF_ID").alias("person_source_value"),
+        F.col("CLM_ID").alias("clm_id"),
+        yyyymmdd_to_date(F.col("CLM_FROM_DT")).alias("from_dt"),
+        yyyymmdd_to_date(F.col("CLM_THRU_DT")).alias("thru_dt"),
+        F.col("TAX_NUM_1").alias("visit_prvdr"),
+        F.posexplode(zipped).alias("pos0", "line"),
+    ).where(F.col("from_dt").isNotNull() & F.col("line.npi").isNotNull())
+    return base.select(
+        "person_source_value",
+        "clm_id",
+        "from_dt",
+        "thru_dt",
+        "visit_prvdr",
+        (F.col("pos0") + 1).alias("line_number"),
+        F.col("line.npi").alias("npi"),
+        F.col("line.hcpcs").alias("hcpcs"),
+        F.col("line.line_dx").alias("line_dx"),
+        *[F.col(f"line.{a.lower()}").alias(a.lower()) for a in _CC_AMT_FIELDS],
+    )
+
+
+def _line_has_nonzero_amount() -> Column:
+    """P5 — the reference's has_nonzero_amount (SynPufFiles.py:258-265)
+    is a *non-empty-string* test over the five amount fields ('0'
+    counts); with ''→NULL reads that is "any amount non-null"."""
+    return F.coalesce(*[F.col(a.lower()) for a in _CC_AMT_FIELDS]).isNotNull()
+
+
+def build_procedure_cost(carrier: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Carrier claim lines → procedure_cost (reference
+    CMS_SynPuf_ETL_CDM_v5.py:1538-1566, gated by P5): each line whose
+    HCPCS maps to the Procedure domain and whose amounts pass the
+    nonzero gate yields one cost row, paired with the line's OWN
+    amounts.  total_out_of_pocket = deductible + coinsurance (the
+    reference's float()+float() with try/except→0, :1549-1555);
+    total_paid = allowed charge.  revenue_code_concept_id = 0 and the
+    Part B plan link follow the golden fixture (the reference code
+    leaves both blank, procedure_cost.csv carries 0 and the person's
+    Part B period)."""
+    lines = carrier_claim_lines(carrier)
+    proc_dim = vocab.where((F.col("vocab") == HCPCS) & (F.col("domain") == "Procedure")).select(
+        F.col("code").alias("hcpcs"),
+        F.col("source_concept_id"),
+        F.col("target_concept_id"),
+    )
+    costed = lines.join(F.broadcast(proc_dim), "hcpcs").where(_line_has_nonzero_amount())
+    ddct = F.coalesce(F.col("line_bene_ptb_ddctbl_amt").cast("double"), F.lit(0.0))
+    coins = F.coalesce(F.col("line_coinsrnc_amt").cast("double"), F.lit(0.0))
+    return costed.select(
+        "person_source_value",
+        "clm_id",
+        "line_number",
+        F.col("target_concept_id").alias("procedure_concept_id"),
+        F.col("hcpcs").alias("procedure_source_value"),
+        F.col("from_dt").alias("procedure_date"),
+        F.xxhash64(*_VISIT_KEY).alias("visit_occurrence_id"),
+        F.lit(CURRENCY_US_DOLLAR).alias("currency_concept_id"),
+        F.col("line_coinsrnc_amt").cast("double").alias("paid_coinsurance"),
+        F.col("line_bene_ptb_ddctbl_amt").cast("double").alias("paid_toward_deductible"),
+        F.col("line_nch_pmt_amt").cast("double").alias("paid_by_payer"),
+        F.col("line_bene_prmry_pyr_pd_amt").cast("double").alias("paid_by_coordination_benefits"),
+        (ddct + coins).alias("total_out_of_pocket"),
+        F.col("line_alowd_chrg_amt").cast("double").alias("total_paid"),
+        F.lit(0).alias("revenue_code_concept_id"),
+        F.lit(PLAN_FOR_CLAIM["carrier"]).alias("plan_source_value"),
+    )
+
+
+def build_visit_cost(inpat: DataFrame, outpat: DataFrame) -> DataFrame:
+    """Claim-header amounts → visit_cost (golden
+    test_data/output/visit_cost.csv; the reference CODE opens the
+    descriptor but never writes it — the semantics are pinned from the
+    hand conversion, which the golden derives from): one row per
+    inpatient/outpatient claim, inpatient billing against Part A
+    (deductible NCH_BENE_IP_DDCTBL_AMT, coinsurance
+    NCH_BENE_PTA_COINSRNC_LBLTY_AM), outpatient against Part B
+    (NCH_BENE_PTB_*); paid_by_payer = CLM_PMT_AMT,
+    total_out_of_pocket = deductible + coinsurance, total_paid =
+    payer + out-of-pocket.  Carrier visits carry no visit_cost (their
+    amounts are line-level → procedure_cost)."""
+
+    def side(df: DataFrame, ddct_col: str, coins_col: str, claim_type: str) -> DataFrame:
+        ddct = F.coalesce(F.col(ddct_col).cast("double"), F.lit(0.0))
+        coins = F.coalesce(F.col(coins_col).cast("double"), F.lit(0.0))
+        payer = F.coalesce(F.col("CLM_PMT_AMT").cast("double"), F.lit(0.0))
+        return df.select(
+            F.col("DESYNPUF_ID").alias("person_source_value"),
+            F.col("CLM_ID").alias("clm_id"),
+            yyyymmdd_to_date(F.col("CLM_FROM_DT")).alias("from_dt"),
+            yyyymmdd_to_date(F.col("CLM_THRU_DT")).alias("thru_dt"),
+            F.col("PRVDR_NUM").alias("visit_prvdr"),
+        ).where(F.col("from_dt").isNotNull()).select(
+            "person_source_value",
+            "clm_id",
+            F.xxhash64(*_VISIT_KEY).alias("visit_occurrence_id"),
+            F.lit(CURRENCY_US_DOLLAR).alias("currency_concept_id"),
+        ).join(
+            df.select(
+                F.col("CLM_ID").alias("clm_id"),
+                coins.alias("paid_coinsurance"),
+                ddct.alias("paid_toward_deductible"),
+                payer.alias("paid_by_payer"),
+                F.coalesce(F.col("NCH_PRMRY_PYR_CLM_PD_AMT").cast("double"), F.lit(0.0)).alias(
+                    "paid_by_coordination_benefits"
+                ),
+                (ddct + coins).alias("total_out_of_pocket"),
+                (payer + ddct + coins).alias("total_paid"),
+                F.lit(PLAN_FOR_CLAIM[claim_type]).alias("plan_source_value"),
+            ),
+            "clm_id",
+        )
+
+    return side(inpat, "NCH_BENE_IP_DDCTBL_AMT", "NCH_BENE_PTA_COINSRNC_LBLTY_AM", "inpatient").unionByName(
+        side(outpat, "NCH_BENE_PTB_DDCTBL_AMT", "NCH_BENE_PTB_COINSRNC_AMT", "outpatient")
+    )
+
+
+def build_drug_cost(rx: DataFrame) -> DataFrame:
+    """Prescription events → drug_cost (reference write_drug_records
+    :981-997): ONE row per prescription record even when the NDC maps
+    to multiple concepts; paid_coinsurance = total_out_of_pocket =
+    PTNT_PAY_AMT, total_paid = TOT_RX_CST_AMT; the Part D plan link
+    follows the golden fixture (the code leaves it blank)."""
+    return rx.select(
+        F.col("DESYNPUF_ID").alias("person_source_value"),
+        yyyymmdd_to_date(F.col("SRVC_DT")).alias("drug_exposure_start_date"),
+        F.col("PROD_SRVC_ID").alias("drug_source_value"),
+        F.lit(CURRENCY_US_DOLLAR).alias("currency_concept_id"),
+        F.col("PTNT_PAY_AMT").cast("double").alias("paid_coinsurance"),
+        F.col("PTNT_PAY_AMT").cast("double").alias("total_out_of_pocket"),
+        F.col("TOT_RX_CST_AMT").cast("double").alias("total_paid"),
+        F.lit(PLAN_FOR_CLAIM["rx"]).alias("plan_source_value"),
+    ).where(F.col("drug_exposure_start_date").isNotNull())
+
+
+def build_fact_relationship(carrier: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Carrier line-level fact links (golden
+    test_data/output/fact_relationship.csv, DDL
+    SQL/create_CDMv5_tables.sql + constraints :438-442).  Two sets per
+    line whose HCPCS maps to Procedure:
+
+    * line-dx link (44818784): the line's diagnosis fact — in
+      whatever domain it routed to (Condition 19 / Observation 27) —
+      relates to the line's procedure;
+    * principal-dx link (44818841, domain_concept_id_1 pinned to the
+      golden's 57): the line's diagnosis IF it routed to Condition,
+      otherwise the claim's first claim-level Condition by diagnosis
+      position, relates to the line's procedure.
+
+    Facts are carried by natural key (source code + person + date);
+    surrogate ids in this engine are hashes, so consumers join back
+    through those keys (the parity test maps the golden's integer ids
+    the same way)."""
+    lines = carrier_claim_lines(carrier)
+    proc_dim = vocab.where((F.col("vocab") == HCPCS) & (F.col("domain") == "Procedure")).select(
+        F.col("code").alias("hcpcs")
+    )
+    dx_dim = vocab.where(F.col("vocab") == ICD9).select(
+        F.col("code").alias("line_dx"), F.col("domain").alias("dx_domain")
+    )
+    proc_lines = lines.join(F.broadcast(proc_dim), "hcpcs").join(
+        F.broadcast(dx_dim), "line_dx", "left"
+    )
+
+    # first claim-level Condition per claim: min diagnosis position
+    # among ICD9_DGNS_CD_1..8 that map to the Condition domain.
+    claim_dx = carrier.select(
+        F.col("CLM_ID").alias("clm_id"),
+        F.posexplode(F.array(*[F.col(f"ICD9_DGNS_CD_{p}") for p in range(1, 9)])).alias(
+            "dx_pos", "claim_dx"
+        ),
+    ).where(F.col("claim_dx").isNotNull())
+    cond_dim = vocab.where((F.col("vocab") == ICD9) & (F.col("domain") == "Condition")).select(
+        F.col("code").alias("claim_dx")
+    )
+    first_cond = (
+        claim_dx.join(F.broadcast(cond_dim), "claim_dx")
+        .groupBy("clm_id")
+        .agg(F.min_by("claim_dx", F.col("dx_pos")).alias("first_claim_condition"))
+    )
+
+    base = proc_lines.join(first_cond, "clm_id", "left")
+    dom_map = F.create_map(
+        *[x for k, v in DOMAIN_CONCEPT_IDS.items() for x in (F.lit(k), F.lit(v))]
+    )
+    common = [
+        F.col("person_source_value"),
+        F.col("from_dt").alias("fact_date"),
+        F.lit(DOMAIN_CONCEPT_IDS["Procedure"]).alias("domain_concept_id_2"),
+        F.col("hcpcs").alias("fact_source_value_2"),
+    ]
+    line_links = base.where(F.col("dx_domain").isNotNull()).select(
+        F.element_at(dom_map, F.col("dx_domain")).alias("domain_concept_id_1"),
+        F.col("line_dx").alias("fact_source_value_1"),
+        *common,
+        F.lit(FACT_REL_LINE_DX).alias("relationship_concept_id"),
+    )
+    principal = F.when(F.col("dx_domain") == "Condition", F.col("line_dx")).otherwise(
+        F.col("first_claim_condition")
+    )
+    principal_links = base.where(principal.isNotNull()).select(
+        F.lit(PRINCIPAL_DX_DOMAIN_CONCEPT).alias("domain_concept_id_1"),
+        principal.alias("fact_source_value_1"),
+        *common,
+        F.lit(FACT_REL_PRINCIPAL_DX).alias("relationship_concept_id"),
+    )
+    return line_links.unionByName(principal_links)
+
+
+def link_payer_plan_period(cost: DataFrame, ppp: DataFrame, date_col: str) -> DataFrame:
+    """Attach the covering payer_plan_period to a cost table (range
+    join J5 against a small dimension → broadcast): match on (person,
+    plan) with period_start <= cost date <= period_end."""
+    dim = ppp.select(
+        F.col("person_id"),
+        F.col("plan_source_value"),
+        F.col("payer_plan_period_start_date").alias("_pps"),
+        F.col("payer_plan_period_end_date").alias("_ppe"),
+        F.col("payer_plan_period_id"),
+    )
+    keyed = cost.withColumn("person_id", F.xxhash64("person_source_value"))
+    out = keyed.join(
+        F.broadcast(dim),
+        ["person_id", "plan_source_value"],
+        "left",
+    ).where(
+        F.col("payer_plan_period_id").isNull()
+        | ((F.col(date_col) >= F.col("_pps")) & (F.col(date_col) <= F.col("_ppe")))
+    )
+    return out.drop("_pps", "_ppe")
+
+
 def build_observation_period_from_visits(
     mapped: DataFrame, bene_latest: DataFrame, rx: DataFrame
 ) -> DataFrame:

@@ -312,6 +312,15 @@ class CDCPipeline:
             or (self.compact_depth and self.table.max_delta_depth() > self.compact_depth)
         ):
             rec["compaction"] = self.table.compact()
+            # domain tables accrue a full-batch delete fan-out every
+            # epoch (tombstones into every non-owning domain) — left
+            # uncompacted their delta depth grows without bound, so the
+            # same trigger compacts them too.
+            if self.demux_domains:
+                rec["domain_compactions"] = {
+                    d: t.compact() for d, t in sorted(self.domain_tables.items())
+                    if t.merge_mode == "mor"
+                }
         self._save_checkpoint(epoch, rec.get("lsn_max"))
         self.metrics.append(rec)
         return rec
@@ -457,6 +466,8 @@ def stage_changelog_bucketed(
     """
     bounds = changes.agg(F.min("lsn"), F.max("lsn")).first()
     lo, hi = bounds[0], bounds[1]
+    if lo is None:
+        raise ValueError("stage_changelog_bucketed: empty changelog (no lsn values)")
     width = max(1, (hi - lo + 1 + n_epochs - 1) // n_epochs)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     (

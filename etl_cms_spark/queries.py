@@ -473,10 +473,13 @@ def payer_plan_faithful(spark, sf_dir):
 def stable_id_dedup(spark, sf_dir):
     """E1 — keyed dedup minting deterministic surrogate ids
     (reference determine_visits, CMS_SynPuf_ETL_CDM_v5.py:541-590);
-    dense row_number variant for oracle comparability."""
-    e = _t(spark, sf_dir, "events").select("user_id", "event_type").dropDuplicates()
-    w = Window.orderBy("user_id", "event_type")
-    return e.withColumn("surrogate_id", F.row_number().over(w).cast("long"))
+    dense ids via the two-pass partition-offset operator (no
+    single-partition window), byte-equal to the oracle's global
+    ROW_NUMBER."""
+    from etl_cms_spark.operators.dedup import dense_stable_id
+
+    e = _t(spark, sf_dir, "events")
+    return dense_stable_id(e, ["user_id", "event_type"], "surrogate_id")
 
 
 # =====================================================================
@@ -1485,3 +1488,203 @@ def embedding_norm_stats(spark, sf_dir):
         F.round(F.min(n_), 4).alias("min_norm"),
         F.round(F.max(n_), 4).alias("max_norm"),
     )
+
+
+# =====================================================================
+# I. Cost-table shape (round 3): P5 amount gate + out-of-pocket
+#    arithmetic + payer-plan-period range-join link — the
+#    plans/claims.py cost builders' semantics on TPC-H tables
+#    (reference procedure_cost path CMS_SynPuf_ETL_CDM_v5.py:1538-1566
+#    gated by SynPufFiles.py:258-265; golden parity is
+#    tests/test_reference_golden.py::test_procedure_cost_parity).
+# =====================================================================
+
+@q(
+    "claim_cost_ppp",
+    """
+    WITH lines AS (
+      SELECT o.o_custkey AS person_id, CAST(o.o_orderdate AS DATE) AS cost_date,
+             NULLIF(CAST(l.l_tax AS DECIMAL(9,2)), 0) AS coins,
+             NULLIF(CAST(l.l_discount AS DECIMAL(9,2)), 0) AS ddct,
+             CAST(l.l_extendedprice AS DECIMAL(12,2)) AS payer
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    gated AS (
+      SELECT * FROM lines
+      WHERE COALESCE(coins, ddct, NULLIF(payer, 0)) IS NOT NULL
+    ),
+    ppp AS (
+      SELECT DISTINCT o_custkey AS person_id,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y
+      FROM orders
+    )
+    SELECT p.person_id * 10000 + p.y AS ppp_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(COALESCE(g.coins, 0) + COALESCE(g.ddct, 0)) AS DOUBLE) AS total_out_of_pocket,
+           CAST(SUM(g.payer + COALESCE(g.coins, 0) + COALESCE(g.ddct, 0)) AS DOUBLE) AS total_paid
+    FROM gated g JOIN ppp p
+      ON g.person_id = p.person_id
+     AND g.cost_date >= MAKE_DATE(CAST(p.y AS INT), 1, 1)
+     AND g.cost_date <= MAKE_DATE(CAST(p.y AS INT), 12, 31)
+    GROUP BY 1
+    """,
+)
+def claim_cost_ppp(spark, sf_dir):
+    """Cost-table composite: '' -> NULL amount semantics (NULLIF), the
+    P5 any-amount-present gate, deductible+coinsurance out-of-pocket
+    arithmetic (decimal-exact, cast to double at the edge), and the
+    payer-plan-period link as a BROADCAST range join against the small
+    per-(person, year) period dimension — exactly the
+    link_payer_plan_period shape at 100 TB: the fact side never
+    shuffles, the period dim broadcasts."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_tax", "l_discount", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    zero9 = F.lit(0).cast("decimal(9,2)")
+    lines = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_custkey").alias("person_id"),
+        F.col("o_orderdate").cast("date").alias("cost_date"),
+        F.nullif(_dec("l_tax", 9, 2), zero9).alias("coins"),
+        F.nullif(_dec("l_discount", 9, 2), zero9).alias("ddct"),
+        _dec("l_extendedprice").alias("payer"),
+    )
+    gated = lines.where(
+        F.coalesce(
+            F.col("coins"), F.col("ddct"), F.nullif(F.col("payer"), F.lit(0).cast("decimal(12,2)"))
+        ).isNotNull()
+    )
+    ppp = (
+        o.select(
+            F.col("o_custkey").alias("p_person"),
+            F.year("o_orderdate").cast("long").alias("y"),
+        )
+        .distinct()
+    )
+    zero = F.lit(0).cast("decimal(9,2)")
+    linked = gated.join(
+        F.broadcast(ppp),
+        (F.col("person_id") == F.col("p_person"))
+        & (F.col("cost_date") >= F.make_date("y", F.lit(1), F.lit(1)))
+        & (F.col("cost_date") <= F.make_date("y", F.lit(12), F.lit(31))),
+    )
+    oop = F.coalesce(F.col("coins"), zero) + F.coalesce(F.col("ddct"), zero)
+    return (
+        linked.groupBy((F.col("p_person") * 10000 + F.col("y")).alias("ppp_id"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(oop).cast("double").alias("total_out_of_pocket"),
+            F.sum(F.col("payer") + oop).cast("double").alias("total_paid"),
+        )
+    )
+
+
+# =====================================================================
+# J. Portable-hash twins (round 3): the xxhash64-based SimHash and IVF
+#    rows-only entries get fully oracle-checked counterparts, mirroring
+#    what minhash_lsh_portable does for MinHash.
+# =====================================================================
+
+
+def _simhash_portable_oracle_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    from etl_cms_spark.operators.textdedup import _mh_coeffs
+
+    coeffs = _mh_coeffs(bits)
+    votes = ", ".join(
+        f"SUM(CASE WHEN ({a} * ph + {b}) % 2147483647 % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    pack = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    n_bands = max_hamming + 1
+    bounds = [round(i * bits / n_bands) for i in range(n_bands + 1)]
+    band_conds = " OR ".join(
+        f"((a.sh >> {bounds[i]}) % {1 << (bounds[i + 1] - bounds[i])}"
+        f" = (b.sh >> {bounds[i]}) % {1 << (bounds[i + 1] - bounds[i])})"
+        for i in range(n_bands)
+    )
+    return rf"""
+    WITH both_copies AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+      UNION ALL SELECT doc_id + 100000, text || ' zz9' FROM documents WHERE doc_id < 300),
+    toks AS (SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []
+                    ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+             FROM both_copies),
+    tok AS (SELECT doc_id, unnest(t) AS s FROM toks),
+    ph AS (SELECT doc_id,
+             CASE WHEN length(s) = 0 THEN 0 ELSE
+               list_reduce(list_transform(range(1, length(s) + 1),
+                 c -> ord(substring(s, c::INT, 1))::BIGINT),
+                 (a, c) -> (a * 257 + c) % 2147483647) END AS ph
+           FROM tok),
+    votes AS (SELECT doc_id, {votes} FROM ph GROUP BY doc_id),
+    sigr AS (SELECT doc_id, {pack} AS sh FROM votes),
+    sig AS (SELECT t.doc_id, coalesce(s.sh, 0) AS sh
+            FROM toks t LEFT JOIN sigr s USING (doc_id)),
+    cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    bit_count(xor(a.sh, b.sh)) AS hamming
+             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             WHERE {band_conds})
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
+    """
+
+
+@q("simhash_portable", _simhash_portable_oracle_sql())
+def simhash_portable_q(spark, sf_dir):
+    """SimHash near-dup pairs with the PORTABLE polynomial hash family:
+    signatures, pigeonhole banding, and the hamming verify all replay
+    in DuckDB — the banding logic itself is oracle-checked (the
+    xxhash64 ``simhash_neardup`` stays rows-only by construction, with
+    its brute-force-equality pytest)."""
+    from etl_cms_spark.operators.textdedup import simhash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id", "text")
+    both = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+        )
+    )
+    return simhash_neardup_pairs(both, "text", "doc_id", bits=32, max_hamming=3, portable=True)
+
+
+def _srp_cell_sql(v: str, cell_bits: int = 4) -> str:
+    terms = []
+    for j in range(cell_bits):
+        proj = (
+            f"list_sum(list_transform(range(1, len({v}) + 1), "
+            f"i -> CAST({v}[i] AS DOUBLE) * "
+            f"((((i - 1 + {j * 4096}) * 1315423911 + 2654435761) % 2147483647) % 2 * 2 - 1)))"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _ann_ivf_portable_oracle_sql(cell_bits: int = 4, max_flip: int = 1) -> str:
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+    qc AS (SELECT {_srp_cell_sql('q.qv', cell_bits)} AS qcell FROM q),
+    cells AS (SELECT e.vec_id, e.embedding,
+                     {_srp_cell_sql('e.embedding', cell_bits)} AS cell
+              FROM embeddings e)
+    SELECT c.vec_id, ROUND({_cos_sql('c.embedding', 'q.qv')}, 4) AS cos_sim
+    FROM cells c CROSS JOIN q CROSS JOIN qc
+    WHERE bit_count(xor(c.cell, qc.qcell)) <= {max_flip}
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@q("ann_ivf_portable", _ann_ivf_portable_oracle_sql())
+def ann_ivf_portable(spark, sf_dir):
+    """IVF top-k with data-independent portable SRP cells: the cell
+    assignment, probe selection (hamming-ball of the query's cell),
+    and exact rescoring ALL replay in DuckDB — the inverted-file
+    pruning logic is oracle-checked end to end (the k-means
+    ``ann_ivf_topk`` stays rows-only: its centroids come from a
+    sampled k-means DuckDB cannot replay; its recall/pruning are
+    pytest-proven in tests/test_similarity.py)."""
+    from etl_cms_spark.operators.similarity import ivf_portable_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    return ivf_portable_topk(emb, "embedding", "vec_id", qv, k=10, cell_bits=4, max_flip=1)

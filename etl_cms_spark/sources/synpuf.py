@@ -30,14 +30,28 @@ def _read_all_strings(spark: SparkSession, paths: str | list[str]) -> DataFrame:
 
 def read_beneficiary_summaries(spark: SparkSession, paths: list[str]) -> DataFrame:
     """One row per (beneficiary, file-year); `year` parsed from the
-    file name, `row_order` = monotonic id for first-write-wins dedup
+    file name, `row_order` = replay-stable order key for
+    first-write-wins dedup among duplicate (beneficiary, year) rows
     (the reference keeps the first duplicate row per year,
-    beneficiary.py AddYearData)."""
+    beneficiary.py:121-124 AddYearData).
+
+    The reference's "first in FILE order" is a property of a serial
+    scan that no parallel reader can reproduce stably —
+    monotonically_increasing_id() changes with the partition layout,
+    so two replays could pick different winners (breaking the
+    engine's replay-convergence invariant).  The order key is instead
+    derived from the DATA: a content hash over every payload column.
+    Any replay, any partitioning, any cluster picks the same winner;
+    for the common case (exact duplicate rows) the picked row is
+    byte-identical to the reference's, and a content-divergent
+    duplicate gets a deterministic canonical pick instead of a
+    scan-order-dependent one."""
     df = _read_all_strings(spark, paths).withColumn(
         "year",
         F.regexp_extract(F.input_file_name(), r"DE1_0_(\d{4})_Beneficiary", 1).cast("int"),
     )
-    df = df.withColumn("row_order", F.monotonically_increasing_id())
+    payload = [c for c in df.columns if c != "year"]
+    df = df.withColumn("row_order", F.xxhash64(*[F.col(c) for c in payload]))
     return df.select(*[F.col(c).alias(c.lower()) for c in df.columns])
 
 

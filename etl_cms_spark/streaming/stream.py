@@ -118,14 +118,79 @@ def start_stream(
     return q, pipeline
 
 
+class LateDataListener:
+    """Incremental watermark/late-data accounting: a
+    ``StreamingQueryListener`` that accumulates
+    ``numRowsDroppedByWatermark`` per progress event as it arrives —
+    exact over the whole stream lifetime, unlike ``recentProgress``
+    which Spark caps (last ~100 reports) and therefore undercounts on
+    long tails.  Register BEFORE starting the query:
+
+        listener = LateDataListener.install(spark)
+        q, pipe = start_stream(...)
+        ...; q.awaitTermination(); print(listener.stats())
+    """
+
+    def __init__(self) -> None:
+        self.rows_dropped_late = 0
+        self.max_dedup_state_rows = 0
+        self._delegate = None
+
+    def _on_progress(self, progress) -> None:  # noqa: ANN001
+        for op in progress.stateOperators or []:
+            self.rows_dropped_late += int(op.numRowsDroppedByWatermark or 0)
+            self.max_dedup_state_rows = max(
+                self.max_dedup_state_rows, int(op.numRowsTotal or 0)
+            )
+
+    def stats(self) -> dict:
+        return {
+            "rows_dropped_late": self.rows_dropped_late,
+            "max_dedup_state_rows": self.max_dedup_state_rows,
+        }
+
+    @classmethod
+    def install(cls, spark: SparkSession) -> "LateDataListener":
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        acc = cls()
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):  # noqa: ANN001
+                pass
+
+            def onQueryProgress(self, event):  # noqa: ANN001
+                acc._on_progress(event.progress)
+
+            def onQueryIdle(self, event):  # noqa: ANN001
+                pass
+
+            def onQueryTerminated(self, event):  # noqa: ANN001
+                pass
+
+        acc._delegate = _L()
+        spark.streams.addListener(acc._delegate)
+        return acc
+
+    def uninstall(self, spark: SparkSession) -> None:
+        if self._delegate is not None:
+            spark.streams.removeListener(self._delegate)
+            self._delegate = None
+
+
 def late_data_stats(query: StreamingQuery) -> dict:
     """Watermark/late-data accounting from the query's progress:
     rows the stateful dedup DROPPED as later than the watermark
     (Spark's ``numRowsDroppedByWatermark``), plus the state size the
     watermark is bounding — the reference's records_read vs
     records_written gap (FileControl.py:255-259), stream-side.
-    Read after the stream finishes (or periodically on a live tail);
-    pair with the sink's lineage records for exact applied counts."""
+
+    CAVEAT: ``recentProgress`` is capped by
+    ``spark.sql.streaming.numRecentProgressUpdates`` (default 100
+    reports), so this post-hoc sum undercounts on streams longer than
+    the retention window — use ``LateDataListener`` (registered before
+    the query starts) for exact lifetime totals; this helper remains
+    for short availableNow= drains where the cap cannot bite."""
     dropped = 0
     state_rows = 0
     for p in query.recentProgress:

@@ -47,6 +47,46 @@ def test_dense_ids_are_dense(changes):
     assert row[0] == 1 and row[1] == n and row[2] == n
 
 
+def test_dense_ids_match_global_row_number(spark, changes):
+    """The two-pass partition-offset form must be byte-identical to
+    ROW_NUMBER() OVER (ORDER BY key) — the contract the DuckDB oracle
+    replays — including with multi-partition, unsorted input."""
+    from pyspark.sql import Window
+
+    shuffled = changes.repartition(16)  # destroy any incidental order
+    got = dense_stable_id(shuffled, ["repo", "path"], "vid", num_partitions=5)
+    w = Window.orderBy("repo", "path")
+    want = (
+        changes.select("repo", "path")
+        .dropDuplicates(["repo", "path"])
+        .withColumn("vid", F.row_number().over(w).cast("long"))
+    )
+    assert_df_equal(got, want, "dense ids == global row_number")
+
+
+def test_dense_ids_have_no_single_partition_window(changes):
+    """Scale guard: the plan must contain NO Window operator at all —
+    the old form's unpartitioned WindowExec moved every key to one
+    partition (the reference's global counter reborn as a driver
+    killer at 10^10 keys)."""
+    d = dense_stable_id(changes, ["repo", "path"])
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+
+
+def test_wide_id_distinguishes_null_placement(spark):
+    """('a', NULL, 'b') and ('a', 'b', NULL) are distinct natural keys
+    and must mint distinct 128-bit ids (concat_ws alone would silently
+    drop the NULLs and collide them)."""
+    df = spark.createDataFrame(
+        [("a", None, "b"), ("a", "b", None), ("a", None, None)],
+        "k1 string, k2 string, k3 string",
+    )
+    out = keyed_dedup_stable_id(df, ["k1", "k2", "k3"], wide=True)
+    assert out.count() == 3
+    assert out.select("surrogate_id").distinct().count() == 3
+
+
 def test_salted_equals_strict_on_hot_keys(spark):
     """Hot-key fixture: a few keys receive most updates; the salted
     two-phase form must still agree with the plain form."""

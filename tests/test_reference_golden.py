@@ -70,6 +70,9 @@ def _vocab_from_golden(spark):
     for r in _gold("drug_exposure"):
         rows.add(("NDC", r["drug_source_value"],
                   int(r["drug_source_concept_id"]), int(r["drug_concept_id"]), "Drug"))
+    for r in _gold("observation"):
+        rows.add(("ICD9", r["observation_source_value"],
+                  int(r["observation_source_concept_id"]), int(r["observation_concept_id"]), "Observation"))
     return spark.createDataFrame(
         sorted(rows),
         "vocab string, code string, source_concept_id long, target_concept_id long, domain string",
@@ -343,12 +346,235 @@ def test_provider_parity(spark, de0):
 
 def test_unmapped_codes_quarantined(spark, de0):
     """Codes outside the vocabulary go to the anti-join channel, not
-    to any output table (reference unmapped_code_log.txt)."""
-    um = {r["code"] for r in claims.unmapped_codes(
-        claims.all_code_events(de0["inpat"], de0["outpat"], de0["carrier"]), de0["vocab"]
-    ).collect()}
-    # DE_0 carrier person 2 carries line dgns 78052 / V0481 that the
-    # golden output never maps — they must surface here.
-    assert {"78052", "V0481"} <= um
-    mapped_codes = {r["code"] for r in de0["mapped"].collect()}
-    assert not ({"78052", "V0481"} & mapped_codes)
+    to any output table (reference unmapped_code_log.txt).  With the
+    COMPLETE golden vocabulary (incl. the Observation routes) DE_0
+    maps fully; dropping a code from the vocabulary must route it to
+    quarantine and out of every output table."""
+    events = claims.all_code_events(de0["inpat"], de0["outpat"], de0["carrier"])
+    assert claims.unmapped_codes(events, de0["vocab"]).count() == 0
+    holed = de0["vocab"].where(F.col("code") != "V1588")
+    um = {r["code"] for r in claims.unmapped_codes(events, holed).collect()}
+    assert um == {"V1588"}
+    remapped = claims.map_codes(events, holed)
+    assert remapped.where(F.col("code") == "V1588").count() == 0
+    assert claims.build_observation(remapped).where(
+        F.col("observation_source_value") == "V1588"
+    ).count() == 0
+
+
+# ---------------------------------------------------------------------
+# Round 3: the remainder of the golden surface — observation, the three
+# cost tables, fact_relationship.
+# ---------------------------------------------------------------------
+
+_PLAN_NAMES = {
+    "MEDICARE_HI": "Part A",
+    "MEDICARE_SMI": "Part B",
+    "MEDICARE_HMO": "HMO",
+    "PART_D": "Part D",
+}
+
+
+def _gold_ppp_by_id():
+    """golden payer_plan_period_id → (person_source_value, plan name)."""
+    return {
+        r["payer_plan_period_id"]: (r["person_id"], r["plan_source_value"])
+        for r in _gold("payer_plan_period")
+    }
+
+
+def _gold_visit_person_by_id():
+    return {r["visit_occurrence_id"]: r["person_id"] for r in _gold("visit_occurrence")}
+
+
+def test_observation_parity(spark, de0):
+    """5 golden rows: carrier line dgns routed to Observation (78052,
+    V0481 — the latter on two lines, collapsed to ONE row), outpatient
+    V1588, inpatient V065/E8889.  Golden row 3's person_id
+    '0002056B40CEE450' is a hand-typo (no such beneficiary exists in
+    DE_0; the row's visit 3 belongs to ...448) — compared through the
+    visit, and the typo asserted so a fixture change is caught."""
+    gnpi = _gold_provider_npi_by_id()
+    gvisit = _gold_visit_srcvalue_by_id()
+    ovisit = _our_visit_srcvalue_by_id(de0)
+    ours = {
+        (
+            r["observation_concept_id"], str(r["observation_date"]),
+            r["observation_type_concept_id"], r["value_as_concept_id"],
+            r["provider_npi"], ovisit[r["visit_occurrence_id"]],
+            r["observation_source_value"], r["observation_source_concept_id"],
+        )
+        for r in claims.build_observation(de0["mapped"]).collect()
+    }
+    gold = {
+        (
+            int(g["observation_concept_id"]), g["observation_date"],
+            int(g["observation_type_concept_id"]), int(g["value_as_concept_id"]),
+            gnpi.get(g["provider_id"]), gvisit[g["visit_occurrence_id"]],
+            g["observation_source_value"], int(g["observation_source_concept_id"]),
+        )
+        for g in _gold("observation")
+    }
+    assert len(gold) == 5
+    assert ours == gold
+    # person check through the visit (and the documented typo)
+    gperson = _gold_visit_person_by_id()
+    by_visit = {
+        ovisit[r["visit_occurrence_id"]]: r["person_source_value"]
+        for r in claims.build_observation(de0["mapped"]).collect()
+    }
+    for g in _gold("observation"):
+        assert by_visit[gvisit[g["visit_occurrence_id"]]] == gperson[g["visit_occurrence_id"]]
+    typo = [g for g in _gold("observation") if g["observation_source_value"] == "V1588"]
+    assert typo[0]["person_id"] == "0002056B40CEE450"  # documented anomaly
+    assert gperson[typo[0]["visit_occurrence_id"]] == "0002056B40CEE448"
+
+
+def test_visit_cost_parity(spark, de0):
+    """4 golden rows — one per inpatient/outpatient claim (carrier
+    amounts are line-level → procedure_cost): Part A for inpatient,
+    Part B for outpatient; totals = payer + deductible + coinsurance."""
+    gvisit = _gold_visit_srcvalue_by_id()
+    gppp = _gold_ppp_by_id()
+    ours = {
+        (
+            r["clm_id"],
+            r["paid_coinsurance"], r["paid_toward_deductible"],
+            r["paid_by_payer"], r["paid_by_coordination_benefits"],
+            r["total_out_of_pocket"], r["total_paid"],
+            (r["person_source_value"], _PLAN_NAMES[r["plan_source_value"]]),
+        )
+        for r in claims.build_visit_cost(de0["inpat"], de0["outpat"]).collect()
+    }
+    gold = {
+        (
+            gvisit[g["visit_occurrence_id"]],
+            float(g["paid_coinsurance"]), float(g["paid_toward_ deductible"]),
+            float(g["paid_by_payer"]), float(g["paid_by_coordination_benefits"]),
+            float(g["total_out_of_pocket"]), float(g["total_paid"]),
+            gppp[g["payer_plan_period_id"]],
+        )
+        for g in _gold("visit_cost")
+    }
+    assert len(gold) == 4
+    assert ours == gold
+
+
+def test_procedure_cost_parity(spark, de0):
+    """4 golden rows — carrier claim lines whose HCPCS maps to
+    Procedure, P5 amount-gated, each paired with its OWN line amounts;
+    the payer-plan link (range join through link_payer_plan_period)
+    must land every row on the person's Part B period."""
+    gppp = _gold_ppp_by_id()
+    # golden procedure id → its source value (the line HCPCS)
+    gproc = {r["procedure_occurrence_id"]: r for r in _gold("procedure_occurrence")}
+    cost = claims.build_procedure_cost(de0["carrier"], de0["vocab"])
+    ppp = cdm.build_payer_plan_period(de0["bene"])
+    linked = claims.link_payer_plan_period(cost, ppp, "procedure_date")
+    ppp_key = {
+        r["payer_plan_period_id"]: (r["person_id"], r["plan_source_value"])
+        for r in ppp.collect()
+    }
+    id_map = {
+        r["desynpuf_id"]: r["pid"]
+        for r in de0["bene"].select(
+            "desynpuf_id", F.xxhash64("desynpuf_id").alias("pid")
+        ).distinct().collect()
+    }
+    ours = {
+        (
+            r["procedure_source_value"], str(r["procedure_date"]),
+            r["paid_coinsurance"], r["paid_toward_deductible"],
+            r["paid_by_payer"], r["paid_by_coordination_benefits"],
+            r["total_out_of_pocket"], r["total_paid"],
+            r["revenue_code_concept_id"],
+            (r["person_source_value"], _PLAN_NAMES[ppp_key[r["payer_plan_period_id"]][1]]),
+        )
+        for r in linked.collect()
+    }
+    gold = {
+        (
+            gproc[g["procedure_occurrence_id"]]["procedure_source_value"],
+            gproc[g["procedure_occurrence_id"]]["procedure_date"],
+            float(g["paid_coinsurance"]), float(g["paid_toward_deductible"]),
+            float(g["paid_by_payer"]), float(g["paid_by_coordination_benefits"]),
+            float(g["total_out_of_pocket"]), float(g["total_paid"]),
+            int(g["revenue_code_concept_id"]),
+            (gppp[g["payer_plan_period_id"]][0], gppp[g["payer_plan_period_id"]][1]),
+        )
+        for g in _gold("procedure_cost")
+    }
+    assert len(gold) == 4
+    assert ours == gold
+    # every linked row's ppp person must equal the cost row's person
+    for r in linked.collect():
+        assert ppp_key[r["payer_plan_period_id"]][0] == id_map[r["person_source_value"]]
+
+
+def test_drug_cost_parity(spark, de0):
+    """2 golden rows — one per prescription event: coinsurance =
+    out-of-pocket = PTNT_PAY_AMT, total = TOT_RX_CST_AMT, Part D."""
+    gdrug = {r["drug_exposure_id"]: r for r in _gold("drug_exposure")}
+    gppp = _gold_ppp_by_id()
+    ours = {
+        (
+            r["person_source_value"], r["drug_source_value"],
+            str(r["drug_exposure_start_date"]),
+            r["paid_coinsurance"], r["total_out_of_pocket"], r["total_paid"],
+            _PLAN_NAMES[r["plan_source_value"]],
+        )
+        for r in claims.build_drug_cost(de0["rx"]).collect()
+    }
+    gold = {
+        (
+            gdrug[g["drug_exposure_id"]]["person_id"],
+            gdrug[g["drug_exposure_id"]]["drug_source_value"],
+            gdrug[g["drug_exposure_id"]]["drug_exposure_start_date"],
+            float(g["paid_coinsurance"]), float(g["total_out_of_pocket"]),
+            float(g["total_paid"]),
+            gppp[g["payer_plan_period_id"]][1],
+        )
+        for g in _gold("drug_cost")
+    }
+    assert len(gold) == 2
+    assert ours == gold
+
+
+def test_fact_relationship_parity(spark, de0):
+    """8 golden rows — per carrier procedure line: a line-dx link
+    (44818784) in the dx's routed domain (Condition 19 / Observation
+    27) and a principal-dx link (44818841, golden domain constant 57)
+    falling back to the claim's first claim-level Condition when the
+    line dx routed elsewhere.  Golden integer fact ids are mapped to
+    natural keys through the referenced golden tables."""
+    gproc = {r["procedure_occurrence_id"]: r["procedure_source_value"]
+             for r in _gold("procedure_occurrence")}
+    gcond = {r["condition_occurrence_id"]: r["condition_source_value"]
+             for r in _gold("condition_occurrence")}
+    gobs = {r["observation_id"]: r["observation_source_value"]
+            for r in _gold("observation")}
+
+    def src1(g):
+        d = int(g["domain_concept _id_1"])
+        if d == claims.DOMAIN_CONCEPT_IDS["Observation"]:
+            return gobs[g["fact_id_1"]]
+        return gcond[g["fact_id_1"]]  # 19 and the pinned 57 both → condition
+
+    gold = {
+        (
+            int(g["domain_concept _id_1"]), src1(g),
+            int(g["domain_concept_id_2"]), gproc[g["fact_id_2"]],
+            int(g["relationship_concept_id"]),
+        )
+        for g in _gold("fact_relationship")
+    }
+    ours = {
+        (
+            r["domain_concept_id_1"], r["fact_source_value_1"],
+            r["domain_concept_id_2"], r["fact_source_value_2"],
+            r["relationship_concept_id"],
+        )
+        for r in claims.build_fact_relationship(de0["carrier"], de0["vocab"]).collect()
+    }
+    assert len(gold) == 8
+    assert ours == gold

@@ -168,3 +168,49 @@ def test_srp_lsh_plan_has_no_cartesian(spark, embeddings):
     both = _perturbed_union(embeddings.limit(150))
     plan = srp_lsh_pairs(both, "embedding", "vec_id", 0.9)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_srp_cell_portable_py_matches_spark(spark, embeddings):
+    """The driver-side cell twin (used to pick probe cells) must agree
+    with the Spark expression vector-for-vector — same fold order,
+    same doubles."""
+    from etl_cms_spark.operators.similarity import srp_cell_portable, srp_cell_portable_py
+
+    rows = embeddings.limit(64).select(
+        "vec_id", "embedding", srp_cell_portable(F.col("embedding"), 4).alias("cell")
+    ).collect()
+    for r in rows:
+        assert r["cell"] == srp_cell_portable_py([float(x) for x in r["embedding"]], 4), r["vec_id"]
+
+
+def test_ivf_portable_topk_finds_perturbed_neighbor(spark, embeddings):
+    """A near-identical perturbed copy of the query vector must be
+    probed and ranked on top: tiny perturbations only flip a cell bit
+    when a projection sits at 0, and the probe ball covers one flip."""
+    from etl_cms_spark.operators.similarity import ivf_portable_topk
+
+    both = _perturbed_union(embeddings.limit(500), eps=0.01)
+    q = _query_vec(embeddings)
+    got = ivf_portable_topk(both, "embedding", "vec_id", q, k=10)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert ids[0] == 0  # the vector itself
+    assert 100000 in ids  # its perturbed twin, found through the probe
+
+
+def test_ivf_portable_probe_prunes(spark, embeddings):
+    """The hamming-ball probe must actually skip most of the corpus
+    (guards against a degenerate plane family putting every vector in
+    one cell): 5 of 16 cells probed -> well under half the rows scored."""
+    from etl_cms_spark.operators.similarity import (
+        srp_cell_portable,
+        srp_cell_portable_py,
+    )
+
+    emb = embeddings.limit(1000)
+    q = _query_vec(embeddings)
+    qcell = srp_cell_portable_py(q, 4)
+    probe = [c for c in range(16) if bin(c ^ qcell).count("1") <= 1]
+    cells = emb.select(srp_cell_portable(F.col("embedding"), 4).alias("cell"))
+    total = cells.count()
+    probed = cells.where(F.col("cell").isin(probe)).count()
+    assert 0 < probed < total * 0.6, (probed, total)

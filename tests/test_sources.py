@@ -66,3 +66,32 @@ def test_zip_and_explode_claim_lines(spark):
     rows = sorted((r.line_number, r.npi, r.hcpcs) for r in lines.collect())
     # line 3 (all-null) dropped; line 2 kept (npi present, hcpcs null)
     assert rows == [(1, "n1", "h1"), (2, "n2", None)]
+
+
+def test_first_write_wins_replay_stable_under_repartition(spark, tmp_root):
+    """G4 replay-convergence: the first-write-wins winner among
+    duplicate (beneficiary, year) rows must not depend on the input
+    partition layout (the reference's 'first one in file wins',
+    beneficiary.py:121-124, re-expressed as a data-derived order key)."""
+    from etl_cms_spark.operators.dedup import first_write_wins
+    from etl_cms_spark.sources.synpuf import read_beneficiary_summaries
+
+    header = "DESYNPUF_ID,BENE_BIRTH_DT,BENE_SEX_IDENT_CD"
+    rows = [f"P{i:03d},1940010{1 + i % 9},1" for i in range(40)]
+    # inject content-divergent duplicates for a few beneficiaries
+    rows += [f"P{i:03d},19500101,2" for i in range(0, 40, 7)]
+    p = _write_csv(tmp_root, "DE1_0_2008_Beneficiary_Summary_File_Sample_9.csv", header, rows)
+    bene = read_beneficiary_summaries(spark, [p])
+
+    def winners(df):
+        out = first_write_wins(df, ["desynpuf_id", "year"], "row_order")
+        return sorted(
+            (r["desynpuf_id"], r["bene_birth_dt"], r["bene_sex_ident_cd"])
+            for r in out.collect()
+        )
+
+    a = winners(bene)
+    b = winners(bene.repartition(13))
+    c = winners(bene.repartition(1).sortWithinPartitions("bene_sex_ident_cd"))
+    assert a == b == c
+    assert len(a) == 40

@@ -165,3 +165,36 @@ def test_simhash_neardup_plan_has_no_cartesian(spark, documents):
         documents.limit(50), "text", "doc_id"
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_simhash_portable_pairs_pigeonhole_recall(spark, documents):
+    """The PORTABLE polynomial-hash SimHash (oracle-checked in
+    queries.simhash_portable_q) must also be exactly brute-force at
+    the hamming budget."""
+    from pyspark.sql import functions as F
+
+    from etl_cms_spark.operators.textdedup import simhash_neardup_pairs, simhash_portable
+
+    docs = documents.limit(150).select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+    )
+    both = docs.unionByName(mutated)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup_pairs(
+            both, "text", "doc_id", bits=32, max_hamming=3, portable=True
+        ).collect()
+    }
+    hashes = [(r["doc_id"], r["_h"]) for r in both.select(
+        "doc_id", simhash_portable(F.col("text"), 32).alias("_h")).collect()]
+    brute = {
+        (a, b, bin(ha ^ hb).count("1"))
+        for i, (a, ha) in enumerate(hashes)
+        for b, hb in hashes[i + 1:]
+        if bin(ha ^ hb).count("1") <= 3
+        for a, b in [(min(a, b), max(a, b))]
+    }
+    assert len(brute) >= 20, "fixture must contain near pairs"
+    assert got == brute
