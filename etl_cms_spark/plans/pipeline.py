@@ -345,24 +345,74 @@ class CDCPipeline:
         is literal-identical, so whole-stage codegen compiles once
         instead of per-epoch (changing lsn literals defeat the
         codegen cache)."""
-        self.init_tables()
+        meta = None
+        if staging_dir is not None:
+            meta = self.stage(changes, staging_dir, n_epochs=n_epochs)
+            if meta is None:
+                return []
+        return self.run_staged(
+            changes,
+            n_epochs=n_epochs,
+            start_epoch=start_epoch,
+            staging_dir=staging_dir,
+            meta=meta,
+        )
+
+    def stage(self, changes: DataFrame, staging_dir: str, n_epochs: int = 4) -> dict | None:
+        """PRODUCER-side half of the staged protocol: write the
+        changelog once, partitioned by epoch id, and pre-extract the
+        (tiny) schema-event list.  Returns the epoch metadata to hand
+        to ``run_staged``.  Separated from the tail so the staging
+        write — producer work, paid once and amortized over every
+        consumer and replay, exactly like ``stage_changelog_bucketed``
+        — can be measured (and billed) apart from ingest."""
         bounds = changes.agg(F.min("lsn"), F.max("lsn")).first()
         lo, hi = bounds[0], bounds[1]
         if lo is None:
-            return []
+            return None
         width = max(1, (hi - lo + 1 + n_epochs - 1) // n_epochs)
-        all_schema_events = self._collect_schema_events(changes)
+        (
+            changes.withColumn(
+                "_epoch", F.floor((F.col("lsn") - F.lit(lo)) / F.lit(width)).cast("int")
+            )
+            .write.mode("overwrite")
+            .partitionBy("_epoch")
+            .parquet(staging_dir)
+        )
+        return {
+            "lo": lo,
+            "hi": hi,
+            "width": width,
+            "schema_events": self._collect_schema_events(changes),
+        }
+
+    def run_staged(
+        self,
+        changes: DataFrame | None = None,
+        n_epochs: int = 4,
+        start_epoch: int | None = None,
+        staging_dir: str | None = None,
+        meta: dict | None = None,
+    ) -> list[dict]:
+        """CONSUMER-side tail: the epoch loop only.  With
+        ``staging_dir`` + ``meta`` (from ``stage``) each epoch is an
+        exact partition-directory read; otherwise epochs filter
+        ``changes`` by LSN range."""
+        self.init_tables()
+        if meta is None:
+            if changes is None:
+                raise ValueError("run_staged needs either meta or changes")
+            bounds = changes.agg(F.min("lsn"), F.max("lsn")).first()
+            lo, hi = bounds[0], bounds[1]
+            if lo is None:
+                return []
+            width = max(1, (hi - lo + 1 + n_epochs - 1) // n_epochs)
+            all_schema_events = self._collect_schema_events(changes)
+        else:
+            lo, hi, width = meta["lo"], meta["hi"], meta["width"]
+            all_schema_events = meta["schema_events"]
         results = []
         first = start_epoch if start_epoch is not None else 0
-        if staging_dir is not None:
-            (
-                changes.withColumn(
-                    "_epoch", F.floor((F.col("lsn") - F.lit(lo)) / F.lit(width)).cast("int")
-                )
-                .write.mode("overwrite")
-                .partitionBy("_epoch")
-                .parquet(staging_dir)
-            )
         for e in range(first, n_epochs):
             epoch_lo = lo + e * width
             epoch_hi = min(hi, epoch_lo + width - 1)
