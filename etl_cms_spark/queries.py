@@ -13,6 +13,8 @@ comparison exact:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1055,33 +1057,123 @@ def minhash_lsh_portable(spark, sf_dir):
 
 # ---- non-SQL-expressible ops (driver records rows-only checks) ----
 
-@q("minhash_lsh_neardup")
+@q(
+    "minhash_lsh_neardup",
+    r"""
+    WITH both_copies AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+      UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 300),
+    bands AS (SELECT * FROM read_parquet('/tmp/spark_graft_stage/minhash_bands/*.parquet')),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+    toks AS (SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS t
+             FROM both_copies),
+    sh AS (SELECT doc_id,
+             list_distinct(CASE WHEN length(t) < 3 THEN []
+               ELSE list_transform(range(1, length(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS shingles
+           FROM toks),
+    j AS (SELECT c.id_a, c.id_b,
+                 length(list_intersect(a.shingles, b.shingles)) AS inter,
+                 length(a.shingles) AS sza, length(b.shingles) AS szb
+          FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
+    SELECT id_a, id_b,
+           ROUND(inter / GREATEST(sza + szb - inter, 1), 4) AS jaccard
+    FROM j WHERE inter / GREATEST(sza + szb - inter, 1) >= 0.8
+    """,
+)
 def minhash_lsh_neardup(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (xxhash64-based — no DuckDB
-    equivalent; correctness asserted in tests/test_text_ops.py as
-    lsh_pairs ⊆ exact_jaccard_pairs)."""
-    from etl_cms_spark.operators.textdedup import minhash_lsh_pairs
+    """MinHash+LSH near-dup pairs (xxhash64 signatures).  The
+    signatures themselves aren't DuckDB-expressible, so the Spark side
+    STAGES its band keys (raw signature-slice strings, pre-hash) and
+    the oracle replays the rest of the pipeline from them: band-bucket
+    candidate join + exact 3-gram Jaccard verification from the
+    documents text.  The portable-hash twin ``minhash_lsh_portable``
+    oracle-checks the signature math itself; lsh ⊆ exact is
+    pytest-proven (tests/test_text_ops.py)."""
+    from etl_cms_spark.operators.textdedup import minhash_lsh_pairs, minhash_signatures
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id", "text")
     both = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    sigs = minhash_signatures(both, "text", "doc_id", n_hashes=16, shingle_n=3)
+    _stage(
+        sigs.select(
+            F.col("_id").alias("doc_id"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col("_sig"), b * 4 + j + 1).cast("string")
+                                for j in range(4)
+                            ],
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("band", "bval"),
+        ),
+        "minhash_bands",
+    )
     return minhash_lsh_pairs(both, "text", "doc_id", n_hashes=16, bands=4, verify_threshold=0.8)
 
 
-@q("simhash_clusters")
+@q(
+    "simhash_clusters",
+    """
+    SELECT simhash, MIN(doc_id) AS keeper_id, COUNT(*) AS cluster_size
+    FROM read_parquet('/tmp/spark_graft_stage/simhash_sigs_16/*.parquet')
+    GROUP BY simhash HAVING COUNT(*) > 1
+    """,
+)
 def simhash_clusters_q(spark, sf_dir):
-    from etl_cms_spark.operators.textdedup import simhash_clusters
+    """Identical-SimHash clusters.  The 16-bit xxhash64 SimHash is
+    staged per doc; the oracle replays the clustering (group by hash,
+    min-id keeper, size>1) over the staged signatures."""
+    from etl_cms_spark.operators.textdedup import simhash, simhash_clusters
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     both = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    _stage(
+        both.select("doc_id", simhash(F.col("text"), 16).alias("simhash")),
+        "simhash_sigs_16",
+    )
     return simhash_clusters(both, "text", "doc_id")
 
 
-@q("simhash_neardup")
+def _simhash_band_conds(a: str, b: str, bits: int = 32, max_hamming: int = 3) -> str:
+    n_bands = max_hamming + 1
+    bounds = [round(i * bits / n_bands) for i in range(n_bands + 1)]
+    return " OR ".join(
+        f"(({a} >> {bounds[i]}) % {1 << (bounds[i + 1] - bounds[i])}"
+        f" = ({b} >> {bounds[i]}) % {1 << (bounds[i + 1] - bounds[i])})"
+        for i in range(n_bands)
+    )
+
+
+@q(
+    "simhash_neardup",
+    f"""
+    WITH sig AS (SELECT doc_id, simhash
+                 FROM read_parquet('/tmp/spark_graft_stage/simhash_sigs_32/*.parquet'))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE ({_simhash_band_conds('a.simhash', 'b.simhash')})
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def simhash_neardup_q(spark, sf_dir):
-    """SimHash hamming-ball near-dup pairs via pigeonhole banding
-    (xxhash64-based — no DuckDB equivalent; exactness vs brute-force
-    hamming proven in tests/test_text_ops.py)."""
-    from etl_cms_spark.operators.textdedup import simhash_neardup_pairs
+    """SimHash hamming-ball near-dup pairs via pigeonhole banding.
+    The 32-bit xxhash64 SimHash is staged per doc; the oracle replays
+    the banding (bit-slice agreement) and the hamming verify over the
+    staged signatures.  The portable twin ``simhash_portable``
+    oracle-checks the signature math; banding == brute-force hamming
+    is pytest-proven (tests/test_text_ops.py)."""
+    from etl_cms_spark.operators.textdedup import simhash, simhash_neardup_pairs
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id", "text")
     both = d.unionByName(
@@ -1090,18 +1182,70 @@ def simhash_neardup_q(spark, sf_dir):
             F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
         )
     )
+    _stage(
+        both.select("doc_id", simhash(F.col("text"), 32).alias("simhash")),
+        "simhash_sigs_32",
+    )
     return simhash_neardup_pairs(both, "text", "doc_id", bits=32, max_hamming=3)
 
 
-@q("ann_ivf_topk")
+_STAGE_DIR = "/tmp/spark_graft_stage"
+_IVF_STAGE = f"{_STAGE_DIR}/ann_ivf_candidates"
+
+
+def _stage(df: DataFrame, name: str) -> None:
+    """Write a small Spark-computed intermediate (signatures, band
+    keys, candidate sets) where the DuckDB oracle can scan it.  This
+    is how the xxhash64-based operators get real oracles: the
+    data-derived part DuckDB cannot replay (xxhash64 signatures,
+    k-means centroids) is staged as an INPUT, and the protocol around
+    it — banding, candidate joins, hamming/jaccard verification,
+    grouping, top-k — is replayed and hash-compared in SQL."""
+    os.makedirs(_STAGE_DIR, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{_STAGE_DIR}/{name}")
+
+
+@q(
+    "ann_ivf_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))
+    SELECT c.vec_id, ROUND({_cos_sql('c.vec', 'q.qv')}, 4) AS cos_sim
+    FROM read_parquet('{_IVF_STAGE}/*.parquet') c CROSS JOIN q
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
 def ann_ivf_topk(spark, sf_dir):
-    """IVF-bucketed approximate ANN (scale path; exactness asserted
-    vs brute force in tests/test_similarity.py)."""
-    from etl_cms_spark.operators.similarity import ivf_topk
+    """IVF-bucketed approximate ANN (scale path).  The k-means
+    centroids are data-derived (DuckDB cannot replay them), so the
+    oracle checks the probe protocol instead: the callable stages the
+    probed cells' rows — the exact candidate set the partition-pruned
+    scan reads — as parquet, and the oracle computes exact cosine
+    top-k over that staged candidate set.  This certifies the scoring,
+    rounding, tie-break, and that the returned top-k really is the
+    best of the probed cells; recall of the cell selection itself is
+    pytest-proven (tests/test_similarity.py)."""
+    import shutil
+
+    from etl_cms_spark.operators.similarity import IVFIndex, _cos_py
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
-    return ivf_topk(emb, "embedding", "vec_id", qv, k=10, n_cells=16, n_probes=4)
+    os.makedirs("/tmp/spark_graft_stage", exist_ok=True)
+    idx_path = "/tmp/spark_graft_stage/ann_ivf_index"
+    shutil.rmtree(idx_path, ignore_errors=True)
+    idx = IVFIndex.build(emb, "embedding", "vec_id", idx_path, n_cells=16)
+    probe = sorted(range(idx.n_cells), key=lambda ci: (-_cos_py(idx.centroids[ci], qv), ci))[:4]
+    (
+        spark.read.parquet(idx_path)
+        .where(F.col("cell").isin(probe))
+        .select("vec_id", "vec")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_IVF_STAGE)
+    )
+    return idx.topk(qv, k=10, n_probes=4)
 
 
 @q(
@@ -1261,6 +1405,52 @@ def cdc_pipeline_state(spark, sf_dir):
         return p.current_state().localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "cdc_stateful_stream",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch)
+    SELECT repo, path, lsn, op, commit, lang, content
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_stateful_stream(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    the same deterministic changelog is tailed as a FILE STREAM in
+    several micro-batches through ``latest_by_key_stateful`` — one row
+    of keyed state per (repo, path), emit-on-advance — and the drained
+    final state must equal the one-shot SQL arg-max the oracle
+    computes.  Verifies the streaming state machine (initialization,
+    cross-batch advancement, no stale re-emission) against an
+    independent engine."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.streaming.stateful import drain_latest_state
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    log_dir = tempfile.mkdtemp(prefix="cdc_stateful_log_")
+    try:
+        changes.repartition(4).write.mode("overwrite").parquet(log_dir)
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in changes.schema)
+        final = drain_latest_state(
+            spark,
+            log_dir,
+            schema,
+            ["repo", "path"],
+            "lsn",
+            max_files_per_trigger=2,
+            query_name=f"cdc_stateful_{abs(hash(sf_dir)) % 10_000}",
+        )
+        return final.select(
+            "repo", "path", "lsn", "op", "commit", "lang", "content"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(log_dir, ignore_errors=True)
 
 
 # =====================================================================

@@ -1,0 +1,126 @@
+"""Custom stateful streaming operator (SURVEY.md §2.L / E5, streaming
+form): per-key max-LSN "latest state" as an ``applyInPandasWithState``
+operator.
+
+The batch engine resolves per-key winners with a shuffle per epoch
+(operators/dedup.latest_by_lsn_window); a long-running stream instead
+keeps ONE row of state per key — (lsn, op, payload) — and emits a key
+only when its winner advances.  That is the reference's in-memory
+"current row per entity" dicts (e.g. CMS_SynPuf_ETL_CDM_v5.py:146's
+visit_occurrence_ids, FileControl's last-id registries) re-expressed
+as Spark-managed keyed state: partitioned by key hash across
+executors, checkpointed with the query, recovered on restart — none
+of which the reference's process-local dicts survive.
+
+Scale: state is O(distinct keys), sharded by the groupBy hash across
+the cluster's state store; each micro-batch touches only the keys it
+contains.  Arrow moves batches in columnar form (this is the
+applyInPandas family, not per-row Python).  Late/out-of-order events
+are handled by VALUE (max-LSN), not arrival order, so replays and
+reordered files converge — pair with ``dropDuplicatesWithinWatermark``
+upstream to bound duplicate state (streaming/stream.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def latest_by_key_stateful(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    lsn_col: str = "lsn",
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Streaming per-key max-LSN winner (emit-on-change).
+
+    ``df`` is a STREAMING DataFrame; output mode is "update": each
+    micro-batch emits one row per key whose winner advanced (higher
+    ``lsn_col`` than the stored state), carrying the winning row's
+    payload.  Ties (same lsn seen again, e.g. a replayed file) do not
+    re-emit.  Deletes are ordinary rows here — downstream decides what
+    an ``op='D'`` winner means (the lake sink persists it as a
+    tombstone); dropping deletes inside the operator would let a
+    late lower-LSN update resurrect the key.
+    """
+    key_list = list(key_cols)
+    pay = list(payload_cols) if payload_cols is not None else [
+        c for c in df.columns if c not in key_list and c != lsn_col
+    ]
+    schema = df.schema
+    out_schema = StructType(
+        [schema[c] for c in key_list] + [schema[lsn_col]] + [schema[c] for c in pay]
+    )
+    state_schema = StructType([schema[lsn_col]] + [schema[c] for c in pay])
+    out_cols = key_list + [lsn_col] + pay
+
+    def fn(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        best_lsn = state.get[0] if state.exists else None
+        best_payload = list(state.get[1:]) if state.exists else None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # batch-local winner first (cheap argmax in pandas), then
+            # one compare against the stored state.
+            row = pdf.loc[pdf[lsn_col].idxmax()]
+            lsn = row[lsn_col]
+            if best_lsn is None or lsn > best_lsn:
+                best_lsn = lsn
+                best_payload = [row[c] for c in pay]
+        if best_payload is not None and (not state.exists or best_lsn > state.get[0]):
+            state.update((best_lsn, *best_payload))
+            yield pd.DataFrame(
+                [[*key, best_lsn, *best_payload]], columns=out_cols
+            )
+
+    return df.groupBy(*key_list).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def drain_latest_state(
+    spark,
+    changelog_dir: str,
+    schema: str,
+    key_cols: Sequence[str],
+    lsn_col: str = "lsn",
+    max_files_per_trigger: int = 1,
+    query_name: str = "latest_state",
+) -> DataFrame:
+    """Run ``latest_by_key_stateful`` over a changelog directory with
+    an ``availableNow`` drain and return the FINAL per-key state as a
+    batch DataFrame.
+
+    The memory sink accumulates every update emission; because the
+    operator only emits when a key's winner advances, the final state
+    is each key's max-LSN emission — recovered with one ordinary
+    batch max-LSN dedup over the (small: <= emissions) sink table.
+    """
+    from etl_cms_spark.operators.dedup import latest_by_lsn_window
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(changelog_dir)
+    )
+    updates = latest_by_key_stateful(stream, key_cols, lsn_col)
+    q = (
+        updates.writeStream.queryName(query_name)
+        .format("memory")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(query_name)
+    return latest_by_lsn_window(emitted, list(key_cols), lsn_col)

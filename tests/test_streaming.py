@@ -136,3 +136,73 @@ def test_late_data_stats_counts_watermark_drops(spark, tmp_root):
     )
     assert applied <= survived
     assert 0 < stats["max_dedup_state_rows"] <= 1000
+
+
+def test_stateful_latest_by_key_matches_batch_dedup(spark, tmp_root):
+    """Custom stateful operator (applyInPandasWithState): the final
+    per-key state after an availableNow drain must equal the batch
+    max-LSN dedup of the whole changelog, regardless of how files map
+    to micro-batches."""
+    from etl_cms_spark.operators.dedup import latest_by_lsn_window
+    from etl_cms_spark.streaming.stateful import drain_latest_state
+
+    changes = gen_source_changes(spark, n_events=3000, n_keys=400, n_repos=10)
+    data = changes.drop("schema_change")
+    log_dir = os.path.join(tmp_root, "stateful_log")
+    data.repartition(6).write.parquet(log_dir)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in data.schema)
+    final = drain_latest_state(
+        spark, log_dir, schema, ["repo", "path"], "lsn",
+        max_files_per_trigger=2, query_name="t_stateful_eq",
+    )
+    expected = latest_by_lsn_window(
+        spark.read.parquet(log_dir), ["repo", "path"], "lsn"
+    ).select(*final.columns)
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
+
+
+def test_stateful_latest_emits_only_on_advance(spark, tmp_root):
+    """Emit-on-change: a later micro-batch carrying only STALE
+    (lower-LSN) versions of a key must not re-emit it — the memory
+    sink ends with exactly one row for that key."""
+    from etl_cms_spark.streaming.stateful import latest_by_key_stateful
+
+    import glob as _glob
+    import shutil as _shutil
+
+    log_dir = os.path.join(tmp_root, "stale_log")
+    os.makedirs(log_dir)
+    fresh = spark.createDataFrame(
+        [(10, "U", "r1", "p1", "new")], "lsn long, op string, repo string, path string, content string"
+    )
+    stale = spark.createDataFrame(
+        [(5, "U", "r1", "p1", "old"), (3, "U", "r1", "p1", "older")],
+        "lsn long, op string, repo string, path string, content string",
+    )
+    # flat files with forced mtimes: the file source orders by
+    # modification time, so "fresh" is guaranteed to be batch 0.
+    for name, df, mtime in [("00_fresh", fresh, 1_000), ("01_stale", stale, 2_000)]:
+        tmp = os.path.join(tmp_root, f"w_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(log_dir, f"{name}.parquet")
+        _shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+    stream = (
+        spark.readStream.schema("lsn long, op string, repo string, path string, content string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir)
+    )
+    q = (
+        latest_by_key_stateful(stream, ["repo", "path"], "lsn")
+        .writeStream.queryName("t_stateful_stale")
+        .format("memory")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.table("t_stateful_stale").collect()
+    assert len(emitted) == 1
+    assert emitted[0]["lsn"] == 10 and emitted[0]["content"] == "new"
