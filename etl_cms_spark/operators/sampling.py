@@ -1,0 +1,60 @@
+"""Deterministic stratified sampling — per-key caps for training-data
+mixing.
+
+A 100 TB corpus pipeline constantly needs "at most k documents per
+source / language / dedup-cluster, chosen pseudo-randomly but
+REPRODUCIBLY" (data-mixing recipes, eval holdouts, per-domain caps).
+``df.sample`` cannot express per-key caps and ``rand()`` breaks
+replay-stability, so this orders each key's rows by a deterministic
+multiplicative hash of the row id and keeps the first k.
+
+Plan shape: one hash-partitioned window per key (rank within key) —
+the same cost as any per-key ranking; no global sort, no collect.
+Skewed keys cost O(key size log k-ish) in the per-partition sort, and
+the output is at most k rows per key regardless of input skew.
+
+The hash is the portable Knuth multiplicative scheme (NOT xxhash64)
+so an external engine replays the exact sample — the catalog entry
+``stratified_sample_per_source`` is hash-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SAMPLE_MUL = 2654435761  # Knuth multiplicative constant
+SAMPLE_MOD = 2_147_483_647
+
+
+def sample_rank_hash(id_col: Column, seed: int = 0) -> Column:
+    """Deterministic pseudo-random rank key: ((id + seed) * K) mod p.
+    Portable integer arithmetic — any engine reproduces the ordering."""
+    return F.pmod(
+        (id_col.cast("long") + F.lit(seed)) * F.lit(SAMPLE_MUL), F.lit(SAMPLE_MOD)
+    )
+
+
+def deterministic_sample_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    k: int,
+    id_col: str,
+    seed: int = 0,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """At most ``k`` rows per distinct key, chosen by deterministic
+    hash order (ties broken by the id itself, so output is unique for
+    unique ids).  ``rank_col`` optionally exposes the 1-based sample
+    rank.  Changing ``seed`` draws an independent sample; the same
+    seed always returns byte-identical rows — replay-stable."""
+    keys = [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*keys).orderBy(
+        sample_rank_hash(F.col(id_col), seed), F.col(id_col)
+    )
+    out = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    if rank_col is not None:
+        return out.withColumnRenamed("_rn", rank_col)
+    return out.drop("_rn")

@@ -1485,6 +1485,78 @@ def range_join_followups(spark, sf_dir):
 
 
 @q(
+    "stratified_sample_per_source",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id + 7) * 2654435761) % 2147483647, doc_id
+             ) AS sample_rank
+      FROM documents)
+    SELECT doc_id, source, lang, n_chars, sample_rank
+    FROM ranked WHERE sample_rank <= 20
+    """,
+)
+def stratified_sample_per_source(spark, sf_dir):
+    """Deterministic stratified sample: at most 20 docs per source,
+    chosen by a portable multiplicative-hash order (seed 7) — the
+    per-key cap + reproducible draw every data-mixing recipe needs.
+    One hash-partitioned window; output bounded at k rows/key
+    regardless of source skew."""
+    from etl_cms_spark.operators.sampling import deterministic_sample_per_key
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars")
+    return deterministic_sample_per_key(
+        d, ["source"], k=20, id_col="doc_id", seed=7, rank_col="sample_rank"
+    )
+
+
+@q(
+    "asof_join_purchase",
+    """
+    WITH r AS (SELECT user_id, ts AS rts, MAX(event_id) AS purchase_id
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id, l.ts, r.rts AS purchase_ts, r.purchase_id
+    FROM events l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.rts
+    """,
+)
+def asof_join_purchase(spark, sf_dir):
+    """As-of (temporal) join: every event annotated with the user's
+    most recent purchase at-or-before it — checked against DuckDB's
+    NATIVE ASOF JOIN.  The operator is the union-and-window
+    composition (operators/asof.py): one shuffle on the key, per-key
+    running last() — no range-explosion theta join.  The right side is
+    pre-deduped to unique (user, ts) keeping the max event id, so the
+    as-of winner is deterministic on both engines."""
+    from etl_cms_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    right = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("rts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        right,
+        on=["user_id"],
+        left_time="ts",
+        right_time="rts",
+        right_cols=["purchase_id"],
+        suffix="",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("rts").alias("purchase_ts"),
+        F.col("purchase_id"),
+    )
+
+
+@q(
     "snowflake_brand_revenue",
     """
     SELECT p.p_brand AS brand,
