@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     "visit_dedup_reuse",
     "payer_plan_faithful",
     "cdc_pipeline_state",
+    # round 3
+    "asof_join_purchase",
+    "stratified_sample_per_source",
+    "cdc_stateful_stream",
+    "claim_cost_ppp",
 ]
 
 
