@@ -251,3 +251,54 @@ def test_windowed_vs_faithful_payer_plan_divergence_is_pinned(spark):
     pid = id_map[f"P{combos.index((6, 12, 12)):05d}"]
     assert f[pid] == {("2008-06-30", "2010-12-31")}
     assert w[pid] == {("2008-01-01", "2008-06-30"), ("2009-01-01", "2010-12-31")}
+
+
+asof_data = st.tuples(
+    # left rows: (key, time)
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=12),
+    # right rows: (key, time) — version minted from position; unique
+    # (key, time) so the as-of winner is well-defined on both forms
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+
+
+@settings(**_SETTINGS)
+@given(data=asof_data)
+def test_asof_join_agrees_with_naive_on_random_data(spark, data):
+    """asof_join (union+window) == theta-join argmax on arbitrary
+    left/right streams: inclusive bound, unmatched lefts, keys absent
+    from either side."""
+    from pyspark.sql import functions as F
+
+    from etl_cms_spark.operators.asof import asof_join
+
+    lrows, rrows = data
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)], "event_id long, k long, lt long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, 1000 + i) for i, (k, t) in enumerate(rrows)] or [(99, 0, 0)],
+        "k long, rt long, version long",
+    )
+    got = asof_join(
+        left, right, on=["k"], left_time="lt", right_time="rt",
+        right_cols=["version"], suffix="",
+    )
+    exp = (
+        left.join(right, "k", "left")
+        .groupBy("event_id", "k", "lt")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rt").isNotNull() & (F.col("rt") <= F.col("lt")),
+                    F.struct("rt", "version"),
+                )
+            ).alias("_m")
+        )
+        .select("event_id", "k", "lt", F.col("_m.rt").alias("rt"), F.col("_m.version").alias("version"))
+    )
+    assert sorted(map(str, got.collect())) == sorted(map(str, exp.collect()))
