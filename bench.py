@@ -129,6 +129,54 @@ def run_cdc(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_small_batch(spark, n_base: int, n_batch: int, mode: str) -> dict:
+    """Steady-state CDC ingest: ONE small epoch applied to a large
+    EXISTING table (batch ~= n_batch/n_base of the key space) — the
+    shape a long-running tail actually runs in, which the headline
+    rows (batch ~ table) do not measure.  Reports the merge latency,
+    rows/s, and the post-merge snapshot read latency, because MoR
+    shifts cost from the merge (delta append) to readers (base+delta
+    reconciliation) — quoting one without the other flatters it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    n_keys = max(200, n_base // 5)
+    root = tempfile.mkdtemp(prefix=f"cdc_small_{mode}_")
+    stage = tempfile.mkdtemp(prefix=f"cdc_small_stage_{mode}_")
+    try:
+        base = gen_source_changes(spark, n_events=n_base, n_keys=n_keys, n_repos=100)
+        # same key space, strictly later LSNs: a pure update epoch.
+        batch = gen_source_changes(
+            spark, n_events=n_batch, n_keys=n_keys, n_repos=100
+        ).withColumn("lsn", F.col("lsn") + F.lit(2 * n_base + 1))
+        batch.write.mode("overwrite").parquet(stage)
+        p = CDCPipeline(spark, root, n_buckets=64, merge_mode=mode)
+        p.run(base, n_epochs=1)  # untimed: build the existing table
+        stored = spark.read.parquet(stage)
+        t0 = time.time()
+        p.process_epoch(stored, 1)
+        merge_dt = time.time() - t0
+        t0 = time.time()
+        _force(p.current_state())
+        read_dt = time.time() - t0
+        return {
+            "mode": mode,
+            "base_events": n_base,
+            "batch_events": n_batch,
+            "merge_seconds": round(merge_dt, 2),
+            "batch_events_per_sec": round(n_batch / merge_dt, 1),
+            "snapshot_read_seconds": round(read_dt, 2),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def main_bench() -> None:
     from etl_cms_spark.queries import QUERIES
     from etl_cms_spark.session import build_session
@@ -170,6 +218,12 @@ def main_bench() -> None:
     # routing cost is a number, not an assumption.
     cdc_demux = _run_level(CPUS, n_cdc, pin=False, demux=True)
     timings["cdc_pipeline_demux"] = cdc_demux["seconds"]
+    # steady-state: one small epoch (5% of keyspace) against a large
+    # existing table, CoW vs MoR — merge latency + snapshot-read cost.
+    small_cow = run_small_batch(spark, n_base=n_cdc, n_batch=n_cdc // 20, mode="cow")
+    small_mor = run_small_batch(spark, n_base=n_cdc, n_batch=n_cdc // 20, mode="mor")
+    timings["cdc_small_batch_cow"] = small_cow["merge_seconds"]
+    timings["cdc_small_batch_mor"] = small_mor["merge_seconds"]
     total = round(time.time() - total0, 2)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -183,6 +237,7 @@ def main_bench() -> None:
                 "cdc": cdc,
                 "cdc_bucketed_tail": cdc_bucketed,
                 "cdc_demux": cdc_demux,
+                "cdc_small_batch": {"cow": small_cow, "mor": small_mor},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": CPUS,
             }
