@@ -95,3 +95,31 @@ def test_first_write_wins_replay_stable_under_repartition(spark, tmp_root):
     c = winners(bene.repartition(1).sortWithinPartitions("bene_sex_ident_cd"))
     assert a == b == c
     assert len(a) == 40
+
+
+def test_zip_decompress_source_matches_plain_csv(spark, tmp_path):
+    """S3: reading a zipped CSV through the binaryFile + mapInPandas
+    source must equal reading the plain CSV — schema, ''->NULL, and
+    multi-archive union included."""
+    import zipfile
+
+    from etl_cms_spark.sources.zipcsv import read_zipped_csv
+
+    csv_a = "id,name,amount\n1,alpha,10.5\n2,,3.25\n"
+    csv_b = "id,name,amount\n3,gamma,\n"
+    zdir = tmp_path / "zips"
+    zdir.mkdir()
+    for fn, body in [("a.zip", csv_a), ("b.zip", csv_b)]:
+        with zipfile.ZipFile(zdir / fn, "w") as z:
+            z.writestr(fn.replace(".zip", ".csv"), body)
+    plain = tmp_path / "plain.csv"
+    plain.write_text(csv_a + csv_b.split("\n", 1)[1])
+
+    schema = "id int, name string, amount double"
+    got = read_zipped_csv(spark, str(zdir), schema)
+    exp = spark.read.csv(str(plain), header=True, schema=schema)
+    assert sorted(map(str, got.collect())) == sorted(map(str, exp.collect()))
+    # ''->NULL semantics
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[2]["name"] is None
+    assert rows[3]["amount"] is None

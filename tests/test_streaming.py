@@ -206,3 +206,63 @@ def test_stateful_latest_emits_only_on_advance(spark, tmp_root):
     emitted = spark.table("t_stateful_stale").collect()
     assert len(emitted) == 1
     assert emitted[0]["lsn"] == 10 and emitted[0]["content"] == "new"
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_root):
+    """Watermarked tumbling-window aggregation (the classic streaming
+    rollup): an availableNow drain in append mode must emit exactly
+    the windows the batch rollup computes, and only once each window's
+    watermark has passed (append mode emits finalized windows only)."""
+    changes = gen_source_changes(spark, n_events=5000, n_keys=500, n_repos=10)
+    data = changes.select("ts", "repo")
+    log_dir = os.path.join(tmp_root, "winagg_log")
+    # one file: this test pins FINALIZATION semantics (which windows
+    # append mode emits, with exact counts).  Multiple arbitrarily-
+    # ordered files would legitimately drop late rows and change
+    # counts — that late-drop contract is pinned separately by
+    # test_tight_watermark_drops_late_rows.
+    data.coalesce(1).write.parquet(log_dir)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, repo string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("repo"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "repo",
+            "n",
+        )
+    )
+    q = (
+        stream.writeStream.queryName("t_winagg")
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("t_winagg")
+
+    batch = (
+        spark.read.parquet(log_dir)
+        .groupBy(F.window("ts", "1 hour"), F.col("repo"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("win_start"), "repo", "n")
+    )
+    # append mode withholds windows still open at end-of-stream (those
+    # within the watermark of the max event time): emitted ⊆ batch,
+    # every emitted window exact, and everything strictly below the
+    # final watermark must have been emitted.
+    assert got.exceptAll(batch).count() == 0
+    max_ts = spark.read.parquet(log_dir).agg(F.max("ts")).first()[0]
+    import datetime as dt
+
+    horizon = max_ts - dt.timedelta(minutes=10)
+    finalized = batch.where(
+        F.col("win_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(horizon)
+    )
+    assert finalized.exceptAll(got).count() == 0
+    assert got.count() > 0
