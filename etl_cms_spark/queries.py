@@ -1408,6 +1408,55 @@ def cdc_pipeline_state(spark, sf_dir):
 
 
 @q(
+    "incremental_rollup",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()})
+    SELECT repo,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+           CAST(SUM(COALESCE(LENGTH(content), 0)) AS BIGINT) AS content_chars
+    FROM ch GROUP BY repo
+    """,
+)
+def incremental_rollup(spark, sf_dir):
+    """Continuous aggregate (hypertable-rollup/IVM shape): the
+    changelog folds into a per-repo rollup LakeTable across three
+    exactly-once epochs — per epoch, only the batch is aggregated and
+    only touched buckets rewrite — and the final state must equal the
+    oracle's one-shot GROUP BY over the whole changelog."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.rollup import IncrementalRollup
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="rollup_entry_")
+    try:
+        r = IncrementalRollup(
+            spark,
+            root,
+            key_exprs={"repo": F.col("repo")},
+            measures={
+                "n_events": F.count(F.lit(1)),
+                "n_deletes": F.sum((F.col("op") == "D").cast("long")),
+                "content_chars": F.sum(F.coalesce(F.length("content"), F.lit(0))),
+            },
+        )
+        hi = changes.agg(F.max("lsn")).first()[0]
+        width = (hi + 3) // 3
+        for e in range(3):
+            r.apply_epoch(
+                changes.where(
+                    (F.col("lsn") >= e * width) & (F.col("lsn") < (e + 1) * width)
+                ),
+                e,
+            )
+        return r.read().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "cdc_stateful_stream",
     f"""
     WITH ch AS ({_oracle_changelog_sql()}),

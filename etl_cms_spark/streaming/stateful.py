@@ -105,6 +105,13 @@ def drain_latest_state(
     operator only emits when a key's winner advances, the final state
     is each key's max-LSN emission — recovered with one ordinary
     batch max-LSN dedup over the (small: <= emissions) sink table.
+
+    NOTE: the memory sink is the verification-scale harness (it
+    collects emissions to the driver).  A production drain points the
+    SAME ``latest_by_key_stateful`` stream at a durable sink —
+    ``foreachBatch`` into a LakeTable merge (streaming/stream.py) or a
+    partitioned parquet appender — and never materializes state on
+    the driver.
     """
     from etl_cms_spark.operators.dedup import latest_by_lsn_window
 
