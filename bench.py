@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "stratified_sample_per_source",
     "cdc_stateful_stream",
     "claim_cost_ppp",
+    "incremental_rollup",
 ]
 
 
