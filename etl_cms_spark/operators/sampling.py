@@ -37,6 +37,46 @@ def sample_rank_hash(id_col: Column, seed: int = 0) -> Column:
     )
 
 
+def weighted_sample_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    k: int,
+    id_col: str,
+    weight_col: str,
+    seed: int = 0,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Deterministic WEIGHTED sample of ``k`` rows per key:
+    P(row selected) increases with ``weight_col`` (A-Res reservoir
+    scheme, Efraimidis & Spirakis: priority = u^(1/w) with u uniform
+    from the row id's hash; keep the k largest priorities per key).
+
+    The training-data use case: sample per-source documents
+    proportionally to quality/length instead of uniformly.  Everything
+    is derived from (id, seed), so the draw is replay-stable and an
+    external engine reproduces the exact sample (priorities are
+    rounded to 9 dp before ranking, ties broken by id, so a last-ulp
+    pow() difference between engines cannot flip the order).
+
+    Rows with weight <= 0 are never selected.
+    """
+    keys = [F.col(c) for c in key_cols]
+    u = (sample_rank_hash(F.col(id_col), seed) + 1) / F.lit(float(SAMPLE_MOD + 1))
+    w = F.col(weight_col).cast("double")
+    pri = F.when(w > 0, F.round(F.pow(u, 1.0 / w), 9))
+    win = Window.partitionBy(*keys).orderBy(pri.desc_nulls_last(), F.col(id_col))
+    out = (
+        df.withColumn("_pri", pri)
+        .withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= k)
+        .where(F.col("_pri").isNotNull())
+        .drop("_pri")
+    )
+    if rank_col is not None:
+        return out.withColumnRenamed("_rn", rank_col)
+    return out.drop("_rn")
+
+
 def deterministic_sample_per_key(
     df: DataFrame,
     key_cols: Sequence[str],

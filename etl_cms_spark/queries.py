@@ -1562,6 +1562,36 @@ def stratified_sample_per_source(spark, sf_dir):
 
 
 @q(
+    "weighted_sample_per_source",
+    """
+    WITH pri AS (
+      SELECT doc_id, source, lang, n_chars,
+             ROUND(POW((((doc_id + 11) * 2654435761) % 2147483647 + 1) / 2147483648.0,
+                       1.0 / n_chars), 9) AS p
+      FROM documents WHERE n_chars > 0),
+    ranked AS (
+      SELECT doc_id, source, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY p DESC, doc_id) AS sample_rank
+      FROM pri)
+    SELECT doc_id, source, lang, n_chars, sample_rank
+    FROM ranked WHERE sample_rank <= 10
+    """,
+)
+def weighted_sample_per_source(spark, sf_dir):
+    """Weighted per-source sample (A-Res priorities, weight =
+    n_chars): longer documents are proportionally likelier, the draw
+    is replay-stable, and DuckDB reproduces the exact selection from
+    the same integer-hash + pow arithmetic."""
+    from etl_cms_spark.operators.sampling import weighted_sample_per_key
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars")
+    return weighted_sample_per_key(
+        d, ["source"], k=10, id_col="doc_id", weight_col="n_chars",
+        seed=11, rank_col="sample_rank",
+    )
+
+
+@q(
     "asof_join_purchase",
     """
     WITH r AS (SELECT user_id, ts AS rts, MAX(event_id) AS purchase_id

@@ -37,3 +37,35 @@ def test_seed_draws_different_sample(spark):
     # but each seed is individually stable
     s0b = set(r["doc_id"] for r in deterministic_sample_per_key(df, ["src"], 10, "doc_id", seed=0).collect())
     assert s0 == s0b
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """A row with overwhelming weight must be selected under (nearly)
+    every seed; zero-weight rows never appear."""
+    from etl_cms_spark.operators.sampling import weighted_sample_per_key
+
+    df = spark.createDataFrame(
+        [(i, "s", 1.0 if i else 1e9) for i in range(50)] + [(99, "s", 0.0)],
+        "doc_id long, src string, w double",
+    )
+    hits = 0
+    for seed in range(10):
+        got = weighted_sample_per_key(df, ["src"], k=5, id_col="doc_id", weight_col="w", seed=seed)
+        ids = {r["doc_id"] for r in got.collect()}
+        assert 99 not in ids  # zero weight never selected
+        hits += 0 in ids
+    assert hits >= 9  # weight 1e9 vs 1: doc 0 wins essentially always
+
+
+def test_weighted_sample_replay_stable(spark):
+    from etl_cms_spark.operators.sampling import weighted_sample_per_key
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("src"),
+        (F.col("id") % 7 + 1).cast("double").alias("w"),
+    )
+    a = weighted_sample_per_key(df, ["src"], 5, "doc_id", "w", seed=3)
+    b = weighted_sample_per_key(df.repartition(17), ["src"], 5, "doc_id", "w", seed=3)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
