@@ -384,6 +384,13 @@ class LakeTable:
         n_tasks = max(1, min(len(changed_buckets), default_par * 2))
         (
             winner.repartition(n_tasks, F.col(_BUCKET_COL))
+            # clustered layout: each bucket file is key-sorted, so
+            # parquet row-group min/max stats are tight on the key —
+            # point/range reads inside a bucket skip row groups
+            # instead of scanning the whole bucket.  The sort rides
+            # the merge's existing shuffle (per-task, no extra
+            # exchange); cost is CPU-only and small next to the write.
+            .sortWithinPartitions(_BUCKET_COL, *key_cols)
             .write.mode("overwrite")
             .partitionBy(_BUCKET_COL)
             .parquet(out_dir)
@@ -491,6 +498,9 @@ class LakeTable:
         n_tasks = max(1, min(self.n_buckets, default_par * 2))
         (
             resolved.repartition(n_tasks, F.col(_BUCKET_COL))
+            # compaction rewrites whole buckets — the cheapest moment
+            # to (re)establish the clustered key-sorted layout.
+            .sortWithinPartitions(_BUCKET_COL, *manifest["key_cols"])
             .write.mode("overwrite")
             .partitionBy(_BUCKET_COL)
             .parquet(out_dir)

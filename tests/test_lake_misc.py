@@ -112,3 +112,30 @@ def test_expire_tombstones_on_cow_table(spark, tmp_root):
     raw2 = p.table._read_buckets(m2, None)
     assert raw2.where(F.col("_deleted")).count() == 0
     assert sorted(map(str, p.current_state().collect())) == before
+
+
+def test_bucket_files_are_key_sorted(spark, tmp_root):
+    """Clustered layout contract: every bucket data file is sorted by
+    the table key, so parquet row-group min/max stats are tight and
+    in-bucket point/range reads can skip row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = gen_source_changes(spark, n_events=4000, n_keys=800, n_repos=10)
+    root = os.path.join(tmp_root, "clustered_lake")
+    p = CDCPipeline(spark, root, n_buckets=4)
+    p.run(changes, n_epochs=2)
+    files = glob.glob(os.path.join(root, "tables", "files", "data", "v*", "_bucket=*", "*.parquet"))
+    assert files
+    checked = 0
+    for f in files:
+        t = pq.read_table(f, columns=["repo", "path"])
+        keys = list(zip(t.column("repo").to_pylist(), t.column("path").to_pylist()))
+        if len(keys) > 1:
+            assert keys == sorted(keys), f"unsorted bucket file {f}"
+            checked += 1
+    assert checked > 0
