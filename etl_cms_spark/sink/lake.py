@@ -249,6 +249,28 @@ class LakeTable:
         df = self._read_buckets(m, None)
         return df.where(~F.col(_DELETED_COL)).drop(_LSN_COL, _BUCKET_COL, _DELETED_COL)
 
+    def lookup(self, key_values: dict[str, Any]) -> DataFrame:
+        """Point lookup by full key: hash the key to its bucket on the
+        DRIVER, read only that bucket's file set, and push the key
+        equality into the parquet scan.  Three prunes compound:
+        1/n_buckets of the table by bucket, then row groups inside the
+        bucket files via the clustered (key-sorted) layout's min/max
+        stats, then pages via the pushed filter.  At 100 TB this is
+        the difference between a key probe and a table scan."""
+        m = self._load_manifest()
+        key_cols = m["key_cols"]
+        if set(key_values) != set(key_cols):
+            raise ValueError(f"lookup needs the full key {key_cols}, got {list(key_values)}")
+        one = self.spark.createDataFrame(
+            [tuple(key_values[c] for c in key_cols)],
+            ", ".join(f"`{c}` {m['schema'][c]}" for c in key_cols),
+        )
+        bucket = one.select(self.bucket_expr(key_cols).alias("b")).first()["b"]
+        out = self.read(bucket_ids=[int(bucket)])
+        for c in key_cols:
+            out = out.where(F.col(c) == F.lit(key_values[c]))
+        return out
+
     def bucket_expr(self, key_cols: list[str]):
         return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(self.n_buckets)).cast("int")
 

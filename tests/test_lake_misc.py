@@ -139,3 +139,29 @@ def test_bucket_files_are_key_sorted(spark, tmp_root):
             assert keys == sorted(keys), f"unsorted bucket file {f}"
             checked += 1
     assert checked > 0
+
+
+def test_point_lookup_prunes_to_one_bucket_with_pushed_filter(spark, tmp_root):
+    """lookup(): driver-side bucket hash -> single-bucket read, key
+    equality pushed to the parquet scan, exactly the live row back."""
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.operators.dedup import latest_by_lsn
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = gen_source_changes(spark, n_events=3000, n_keys=400, n_repos=10)
+    root = os.path.join(tmp_root, "lookup_lake")
+    p = CDCPipeline(spark, root, n_buckets=16)
+    p.run(changes, n_epochs=2)
+    # pick a key that survives (latest version not a delete, mapped lang)
+    live = p.current_state().limit(1).collect()[0]
+    out = p.table.lookup({"repo": live["repo"], "path": live["path"]})
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["commit"] == live["commit"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # key equality reached the scan
+    assert "PushedFilters: [" in plan and "IsNotNull(repo)" in plan
+    # only ONE bucket directory is in the scan's file listing
+    import re
+    scanned = set(re.findall(r"_bucket=(\d+)", plan))
+    assert len(scanned) <= 1
