@@ -1408,6 +1408,65 @@ def cdc_pipeline_state(spark, sf_dir):
 
 
 @q(
+    "lake_changelog_export",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    b AS (SELECT MIN(lsn) AS lo, MAX(lsn) AS hi FROM ch),
+    cut AS (SELECT lo + (hi - lo + 2) // 2 - 1 AS c FROM b),
+    r1 AS (
+      SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch, cut WHERE ch.lsn <= cut.c),
+    s1 AS (SELECT r1.repo, r1.path, r1.commit FROM r1
+           JOIN {_concept_dim_sql()} ON r1.lang = dim.lang
+           WHERE rn = 1 AND op <> 'D'),
+    r2 AS (
+      SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    s2 AS (SELECT r2.repo, r2.path, r2.commit FROM r2
+           JOIN {_concept_dim_sql()} ON r2.lang = dim.lang
+           WHERE rn = 1 AND op <> 'D')
+    SELECT COALESCE(s1.repo, s2.repo) AS repo,
+           COALESCE(s1.path, s2.path) AS path,
+           CASE WHEN s1.repo IS NULL THEN 'I'
+                WHEN s2.repo IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           s1.commit AS before_commit,
+           s2.commit AS after_commit
+    FROM s1 FULL OUTER JOIN s2 ON s1.repo = s2.repo AND s1.path = s2.path
+    WHERE s1.repo IS NULL OR s2.repo IS NULL OR s1.commit <> s2.commit
+    """,
+)
+def lake_changelog_export(spark, sf_dir):
+    """CDC OUT: run the pipeline's first epoch, snapshot, run the
+    second, then export ``changes_between`` the two snapshots — the
+    oracle independently reconstructs both states (max-LSN windows at
+    the epoch-boundary LSN cutoff and at the end, mapped langs only)
+    and diffs them in SQL.  Verifies the snapshot-diff join, the
+    I/U/D labeling, and the before/after payload carry."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_out_")
+    try:
+        p = CDCPipeline(spark, root, n_buckets=8)
+        p.run(changes, n_epochs=2)
+        v1 = p.table.lineage()[0]["snapshot_version"]
+        diff = p.table.changes_between(v1)
+        return diff.select(
+            "repo",
+            "path",
+            "op",
+            F.col("before.commit").alias("before_commit"),
+            F.col("after.commit").alias("after_commit"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "incremental_rollup",
     f"""
     WITH ch AS ({_oracle_changelog_sql()})

@@ -249,6 +249,48 @@ class LakeTable:
         df = self._read_buckets(m, None)
         return df.where(~F.col(_DELETED_COL)).drop(_LSN_COL, _BUCKET_COL, _DELETED_COL)
 
+    def changes_between(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """CDC OUT — export the row-level diff between two snapshots
+        as a Debezium-shaped changelog: key columns + ``op``
+        ('I'/'U'/'D') + ``before``/``after`` payload structs (before
+        NULL on insert, after NULL on delete).  This closes the CDC
+        loop: downstream consumers subscribe to the lake's own
+        changes the same way this engine tails its source.
+
+        Implementation is a snapshot diff (FULL OUTER join of the two
+        live states on the key, bucket-aligned on both sides so the
+        join shuffles each snapshot once at most).  For CONSECUTIVE
+        epochs prefer tailing the source changelog itself — a
+        snapshot diff is O(both snapshots) and is the right tool for
+        arbitrary version pairs (backfills, audits, late consumers).
+        """
+        m = self._load_manifest()
+        key_cols = m["key_cols"]
+        payload = [c for c in m["schema"] if c not in key_cols]
+        old = self.read_at(v_from).select(
+            *key_cols,
+            F.lit(True).alias("_b_present"),
+            F.struct(*[F.col(c).alias(c) for c in payload]).alias("before"),
+        )
+        new = (self.read_at(v_to) if v_to is not None else self.read()).select(
+            *key_cols,
+            F.lit(True).alias("_a_present"),
+            F.struct(*[F.col(c).alias(c) for c in payload]).alias("after"),
+        )
+        j = old.join(new, list(key_cols), "full")
+        op = (
+            F.when(F.col("_b_present").isNull(), F.lit("I"))
+            .when(F.col("_a_present").isNull(), F.lit("D"))
+            # null-safe struct compare: a payload field moving to/from
+            # NULL is a change, and equal-with-nulls is NOT a change.
+            .when(~F.col("before").eqNullSafe(F.col("after")), F.lit("U"))
+        )
+        return (
+            j.withColumn("op", op)
+            .where(F.col("op").isNotNull())
+            .select(*key_cols, "op", "before", "after")
+        )
+
     def lookup(self, key_values: dict[str, Any]) -> DataFrame:
         """Point lookup by full key: hash the key to its bucket on the
         DRIVER, read only that bucket's file set, and push the key

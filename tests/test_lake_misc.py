@@ -165,3 +165,45 @@ def test_point_lookup_prunes_to_one_bucket_with_pushed_filter(spark, tmp_root):
     import re
     scanned = set(re.findall(r"_bucket=(\d+)", plan))
     assert len(scanned) <= 1
+
+
+def test_changes_between_replays_to_target_snapshot(spark, tmp_root):
+    """CDC OUT: the exported diff between two snapshots, applied to
+    the older state, must reproduce the newer state exactly — and the
+    op labels must partition correctly (I keys absent before, D keys
+    absent after, U keys present in both with changed payload)."""
+    from pyspark.sql import functions as F
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = gen_source_changes(spark, n_events=4000, n_keys=300, n_repos=10)
+    root = os.path.join(tmp_root, "cdcout_lake")
+    p = CDCPipeline(spark, root, n_buckets=8)
+    p.run(changes, n_epochs=2)
+    lin = p.table.lineage()
+    v1 = lin[0]["snapshot_version"]
+    diff = p.table.changes_between(v1).cache()
+    s1 = p.table.read_at(v1)
+    s2 = p.table.read()
+    keys = ["repo", "path"]
+    k1 = {tuple(r) for r in s1.select(*keys).collect()}
+    k2 = {tuple(r) for r in s2.select(*keys).collect()}
+    by_op = {
+        o: {tuple(r) for r in diff.where(F.col("op") == o).select(*keys).collect()}
+        for o in ("I", "U", "D")
+    }
+    assert by_op["I"] == k2 - k1
+    assert by_op["D"] == k1 - k2
+    assert by_op["U"] <= (k1 & k2)
+    # replay: old state minus (U/D keys) plus after-rows of I/U == new state
+    payload = [c for c in s1.columns if c not in keys]
+    changed = diff.select(*keys)
+    kept = s1.join(changed, keys, "left_anti")
+    applied = diff.where(F.col("op") != "D").select(
+        *keys, *[F.col(f"after.{c}").alias(c) for c in payload]
+    )
+    rebuilt = kept.unionByName(applied).select(*s2.columns)
+    assert rebuilt.exceptAll(s2).count() == 0
+    assert s2.exceptAll(rebuilt).count() == 0
+    diff.unpersist()
