@@ -249,6 +249,77 @@ class LakeTable:
         df = self._read_buckets(m, None)
         return df.where(~F.col(_DELETED_COL)).drop(_LSN_COL, _BUCKET_COL, _DELETED_COL)
 
+    def rollback(self, version: int) -> int:
+        """Restore an older snapshot as a NEW commit (write-side time
+        travel).  The target version's bucket map and epoch set become
+        current under a new version number — nothing is rewritten or
+        deleted, so the rolled-back-over versions remain readable and
+        the undone epochs will re-apply on replay (their ids left the
+        epoch set with the rollback)."""
+        target = self._load_manifest(version)
+        cur = self._load_manifest()
+        new = dict(target)
+        new["version"] = cur["version"] + 1
+        new["rolled_back_from"] = cur["version"]
+        new["rolled_back_to"] = version
+        return self._commit_manifest(new)
+
+    def vacuum(self, keep_last: int = 2) -> dict:
+        """Snapshot expiry + orphan GC.  Keeps the last ``keep_last``
+        versions (time travel horizon); deletes every bucket data dir
+        not referenced by a kept manifest — including orphans from
+        crashes between data write and CURRENT swap — and drops the
+        expired manifests so reads of vacuumed versions fail fast.
+
+        Safety: the referenced set is the UNION over kept manifests
+        (buckets are carried across versions by reference, so an old
+        version's dir may still back the current snapshot — it is
+        kept).  Rollback beyond the vacuum horizon is impossible by
+        construction; choose ``keep_last`` >= the replay/audit window.
+        """
+        import shutil
+
+        cur = self._current_version()
+        keep = [
+            v
+            for v in range(max(0, cur - keep_last + 1), cur + 1)
+            if os.path.exists(os.path.join(self._manifest_dir, f"v{v}.json"))
+        ]
+        referenced: set[str] = set()
+        for v in keep:
+            m = self._load_manifest(v)
+            for b in m["buckets"]:
+                referenced.update(self._bucket_dirs(m, b))
+        removed_dirs = []
+        data_root = os.path.join(self.root, "data")
+        if os.path.isdir(data_root):
+            for vdir in sorted(os.listdir(data_root)):
+                vpath = os.path.join(data_root, vdir)
+                if not os.path.isdir(vpath):
+                    continue
+                for leaf in sorted(os.listdir(vpath)):
+                    rel = f"data/{vdir}/{leaf}"
+                    if leaf.startswith(f"{_BUCKET_COL}=") and rel not in referenced:
+                        shutil.rmtree(os.path.join(vpath, leaf), ignore_errors=True)
+                        removed_dirs.append(rel)
+                remaining = [
+                    x for x in os.listdir(vpath) if x.startswith(f"{_BUCKET_COL}=")
+                ]
+                if not remaining:
+                    shutil.rmtree(vpath, ignore_errors=True)
+        removed_manifests = []
+        for f in sorted(os.listdir(self._manifest_dir)):
+            if f.startswith("v") and f.endswith(".json"):
+                v = int(f[1:-5])
+                if v not in keep:
+                    os.remove(os.path.join(self._manifest_dir, f))
+                    removed_manifests.append(v)
+        return {
+            "kept_versions": keep,
+            "removed_bucket_dirs": len(removed_dirs),
+            "removed_manifests": removed_manifests,
+        }
+
     def changes_between(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """CDC OUT — export the row-level diff between two snapshots
         as a Debezium-shaped changelog: key columns + ``op``

@@ -207,3 +207,56 @@ def test_changes_between_replays_to_target_snapshot(spark, tmp_root):
     assert rebuilt.exceptAll(s2).count() == 0
     assert s2.exceptAll(rebuilt).count() == 0
     diff.unpersist()
+
+
+def test_rollback_restores_state_and_reapplies_epochs(spark, tmp_root):
+    """rollback(): current state returns to the target snapshot under
+    a NEW version, and the undone epoch re-applies on replay."""
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = gen_source_changes(spark, n_events=3000, n_keys=300, n_repos=10)
+    root = os.path.join(tmp_root, "rb_lake")
+    p = CDCPipeline(spark, root, n_buckets=8)
+    p.run(changes, n_epochs=2)
+    lin = p.table.lineage()
+    v1 = lin[0]["snapshot_version"]
+    s1 = p.table.read_at(v1).collect()
+    final = {tuple(r) for r in p.table.read().collect()}
+    p.table.rollback(v1)
+    assert {tuple(r) for r in p.table.read().collect()} == {tuple(r) for r in s1}
+    # epoch 1 left the committed set -> replaying the changelog
+    # re-applies it and converges to the original final state.
+    p2 = CDCPipeline(spark, root, n_buckets=8)
+    p2.run(changes, n_epochs=2)
+    assert {tuple(r) for r in p2.table.read().collect()} == final
+
+
+def test_vacuum_gc_keeps_current_drops_expired(spark, tmp_root):
+    """vacuum(): current snapshot still reads (shared bucket dirs are
+    retained), expired versions fail fast, orphaned dirs are gone."""
+    import glob
+
+    import pytest
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = gen_source_changes(spark, n_events=3000, n_keys=300, n_repos=10)
+    root = os.path.join(tmp_root, "vac_lake")
+    p = CDCPipeline(spark, root, n_buckets=8)
+    p.run(changes, n_epochs=3)
+    table_root = os.path.join(root, "tables", "files")
+    before = p.table.read().collect()
+    n_dirs_before = len(glob.glob(os.path.join(table_root, "data", "v*", "_bucket=*")))
+    lin = p.table.lineage()
+    old_v = lin[0]["snapshot_version"]
+    rep = p.table.vacuum(keep_last=1)
+    assert rep["removed_bucket_dirs"] > 0
+    n_dirs_after = len(glob.glob(os.path.join(table_root, "data", "v*", "_bucket=*")))
+    assert n_dirs_after < n_dirs_before
+    # current snapshot intact
+    assert sorted(map(str, p.table.read().collect())) == sorted(map(str, before))
+    # expired version fails fast
+    with pytest.raises(FileNotFoundError):
+        p.table.read_at(old_v)
