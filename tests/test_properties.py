@@ -302,3 +302,76 @@ def test_asof_join_agrees_with_naive_on_random_data(spark, data):
         .select("event_id", "k", "lt", F.col("_m.rt").alias("rt"), F.col("_m.version").alias("version"))
     )
     assert sorted(map(str, got.collect())) == sorted(map(str, exp.collect()))
+
+
+lake_script = st.lists(
+    st.sampled_from(["epoch", "compact", "rollback", "replay"]),
+    min_size=3,
+    max_size=7,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(script=lake_script, mor=st.booleans())
+def test_lake_soak_random_op_interleavings(spark, tmp_path_factory, script, mor):
+    """Model-based soak: any interleaving of epoch applies, compactions,
+    rollbacks, and full replays must leave the lake equal to the
+    model — max-LSN winners over every epoch COMMITTED at the end,
+    tombstones excluded.  Rollback is always followed by a full replay
+    (the documented recovery contract), so the final committed set is
+    every offered epoch."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.operators.dedup import latest_by_lsn_window
+    from etl_cms_spark.sink.lake import LakeTable
+
+    changes = gen_source_changes(spark, n_events=600, n_keys=120, n_repos=6).drop(
+        "schema_change", "ts"
+    ).cache()
+    n_epochs = 3
+    hi = changes.agg(F.max("lsn")).first()[0]
+    width = (hi + n_epochs) // n_epochs
+    batches = [
+        changes.where((F.col("lsn") >= e * width) & (F.col("lsn") < (e + 1) * width))
+        for e in range(n_epochs)
+    ]
+    root = str(tmp_path_factory.mktemp("soak"))
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable(spark, root, n_buckets=4, merge_mode="mor" if mor else "cow")
+    t.create(["repo", "path"], {
+        "repo": "string", "path": "string", "commit": "string",
+        "lang": "string", "content": "string",
+    })
+
+    def offer(e):
+        t.merge_epoch(batches[e], e)
+
+    next_epoch = 0
+    for op in script:
+        if op == "epoch" and next_epoch < n_epochs:
+            offer(next_epoch)
+            next_epoch += 1
+        elif op == "compact" and t.merge_mode == "mor":
+            t.compact()
+        elif op == "rollback" and t.lineage():
+            t.rollback(t.lineage()[0]["snapshot_version"])
+            for e in range(n_epochs):
+                offer(e)
+            next_epoch = n_epochs
+        elif op == "replay":
+            for e in range(next_epoch):
+                offer(e)
+    # drain the rest so the model (all epochs) applies
+    for e in range(next_epoch, n_epochs):
+        offer(e)
+
+    model = latest_by_lsn_window(changes, ["repo", "path"], "lsn").where(
+        F.col("op") != "D"
+    ).select("repo", "path", "commit", "lang", "content")
+    got = t.read().select(*model.columns)
+    assert got.exceptAll(model).count() == 0
+    assert model.exceptAll(got).count() == 0
