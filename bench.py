@@ -69,6 +69,7 @@ def run_cdc(
     salt: bool = False,
     bucketed: bool = False,
     demux: bool = False,
+    demux_targeted: bool = False,
 ) -> dict:
     import shutil
     import tempfile
@@ -93,7 +94,10 @@ def run_cdc(
             s0 = time.time()
             stage_changelog_bucketed(spark, changes, table, n_buckets=64, n_epochs=n_epochs)
             staging_dt = time.time() - s0
-            p = CDCPipeline(spark, root, n_buckets=64, salt_hot_keys=salt, demux_domains=demux)
+            p = CDCPipeline(
+                spark, root, n_buckets=64, salt_hot_keys=salt, demux_domains=demux,
+                demux_tombstones="targeted" if demux_targeted else "blanket",
+            )
             t0 = time.time()
             p.run_from_table(table)
             dt = time.time() - t0
@@ -102,7 +106,10 @@ def run_cdc(
             # counted as ingest throughput.
             changes.repartition(CPUS).write.mode("overwrite").parquet(log_dir)
             stored = spark.read.parquet(log_dir)
-            p = CDCPipeline(spark, root, n_buckets=64, salt_hot_keys=salt, demux_domains=demux)
+            p = CDCPipeline(
+                spark, root, n_buckets=64, salt_hot_keys=salt, demux_domains=demux,
+                demux_tombstones="targeted" if demux_targeted else "blanket",
+            )
             staging = tempfile.mkdtemp(prefix="cdc_bench_stage_")
             # epoch-partitioned staging is PRODUCER work (mirrors the
             # bucketed protocol): measured separately, outside the
@@ -119,6 +126,7 @@ def run_cdc(
             "epochs": n_epochs,
             "bucketed_tail": bucketed,
             "demux": demux,
+            "demux_targeted": demux_targeted,
             "seconds": round(dt, 2),
             "staging_seconds": round(staging_dt, 2),
             "events_per_sec": round(n_events / dt, 1),
@@ -130,7 +138,10 @@ def run_cdc(
         shutil.rmtree(root, ignore_errors=True)
 
 
-def run_small_batch(spark, n_base: int, n_batch: int, mode: str) -> dict:
+def run_small_batch(
+    spark, n_base: int, n_batch: int, mode: str,
+    demux: bool = False, demux_targeted: bool = False,
+) -> dict:
     """Steady-state CDC ingest: ONE small epoch applied to a large
     EXISTING table (batch ~= n_batch/n_base of the key space) — the
     shape a long-running tail actually runs in, which the headline
@@ -156,7 +167,10 @@ def run_small_batch(spark, n_base: int, n_batch: int, mode: str) -> dict:
             spark, n_events=n_batch, n_keys=n_keys, n_repos=100
         ).withColumn("lsn", F.col("lsn") + F.lit(2 * n_base + 1))
         batch.write.mode("overwrite").parquet(stage)
-        p = CDCPipeline(spark, root, n_buckets=64, merge_mode=mode)
+        p = CDCPipeline(
+            spark, root, n_buckets=64, merge_mode=mode, demux_domains=demux,
+            demux_tombstones="targeted" if demux_targeted else "blanket",
+        )
         p.run(base, n_epochs=1)  # untimed: build the existing table
         stored = spark.read.parquet(stage)
         t0 = time.time()
@@ -165,7 +179,7 @@ def run_small_batch(spark, n_base: int, n_batch: int, mode: str) -> dict:
         t0 = time.time()
         _force(p.current_state())
         read_dt = time.time() - t0
-        return {
+        out = {
             "mode": mode,
             "base_events": n_base,
             "batch_events": n_batch,
@@ -173,6 +187,17 @@ def run_small_batch(spark, n_base: int, n_batch: int, mode: str) -> dict:
             "batch_events_per_sec": round(n_batch / merge_dt, 1),
             "snapshot_read_seconds": round(read_dt, 2),
         }
+        if demux:
+            # rows actually applied across domain tables — the number
+            # bucket-rewrite I/O scales with on a real cluster.
+            out["demux_targeted"] = demux_targeted
+            out["domain_rows_applied"] = sum(
+                r["rows_upserted"] + r["rows_deleted"]
+                for t in p.domain_tables.values()
+                for r in t.lineage()
+                if int(r.get("epoch", -1)) == 1
+            )
+        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
@@ -225,6 +250,14 @@ def main_bench() -> None:
     small_mor = run_small_batch(spark, n_base=n_cdc, n_batch=n_cdc // 20, mode="mor")
     timings["cdc_small_batch_cow"] = small_cow["merge_seconds"]
     timings["cdc_small_batch_mor"] = small_mor["merge_seconds"]
+    # demux tombstone strategy A/B in ITS regime (small batch over a
+    # large table): blanket fans n_domains x batch tombstones; the
+    # targeted previous-domain lookup applies only upserts + real
+    # moves (measured ~5x fewer domain rows at 1M/50k).
+    small_dx_b = run_small_batch(spark, n_base=n_cdc, n_batch=n_cdc // 20, mode="cow", demux=True)
+    small_dx_t = run_small_batch(spark, n_base=n_cdc, n_batch=n_cdc // 20, mode="cow", demux=True, demux_targeted=True)
+    timings["cdc_small_batch_demux_blanket"] = small_dx_b["merge_seconds"]
+    timings["cdc_small_batch_demux_targeted"] = small_dx_t["merge_seconds"]
     total = round(time.time() - total0, 2)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -238,7 +271,9 @@ def main_bench() -> None:
                 "cdc": cdc,
                 "cdc_bucketed_tail": cdc_bucketed,
                 "cdc_demux": cdc_demux,
-                "cdc_small_batch": {"cow": small_cow, "mor": small_mor},
+                "cdc_small_batch": {"cow": small_cow, "mor": small_mor,
+                                     "demux_blanket": small_dx_b,
+                                     "demux_targeted": small_dx_t},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": CPUS,
             }
@@ -291,7 +326,7 @@ def run_map_stage(spark, n_events: int) -> dict:
         shutil.rmtree(log_dir, ignore_errors=True)
 
 
-def main_cdc_only(cpus: int, n_events: int, bucketed: bool = False, demux: bool = False) -> None:
+def main_cdc_only(cpus: int, n_events: int, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False) -> None:
     global CPUS
     CPUS = cpus
     spark = _tuned_session(cpus)
@@ -299,14 +334,14 @@ def main_cdc_only(cpus: int, n_events: int, bucketed: bool = False, demux: bool 
     # the timed window measures SUSTAINED throughput (the metric), not
     # JVM/codegen/Python-worker cold start — a long-running tail pays
     # those once per process lifetime, not per epoch.
-    run_cdc(spark, n_events=max(50_000, n_events // 40), n_epochs=2, bucketed=bucketed, demux=demux)
-    res = run_cdc(spark, n_events=n_events, n_epochs=2, bucketed=bucketed, demux=demux)
+    run_cdc(spark, n_events=max(50_000, n_events // 40), n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted)
+    res = run_cdc(spark, n_events=n_events, n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted)
     res["cpus"] = cpus
     res["map_stage"] = run_map_stage(spark, n_events)
     print("CDC_RESULT " + json.dumps(res))
 
 
-def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: bool = False, demux: bool = False) -> dict:
+def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False) -> dict:
     """Run the cdc-only worker; with repeats>1 keep the best run per
     level (this shared VM shows up to 2x run-to-run variance — best-of
     measures the machine's capability rather than its noise)."""
@@ -317,6 +352,8 @@ def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: 
             cmd.append("--bucketed")
         if demux:
             cmd.append("--demux")
+        if demux_targeted:
+            cmd.append("--demux-targeted")
         if pin and shutil_which("taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
@@ -488,7 +525,12 @@ if __name__ == "__main__":
     if "--cdc-only" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
         n = int(sys.argv[sys.argv.index("--events") + 1])
-        main_cdc_only(cpus, n, bucketed="--bucketed" in sys.argv, demux="--demux" in sys.argv)
+        main_cdc_only(
+            cpus, n,
+            bucketed="--bucketed" in sys.argv,
+            demux="--demux" in sys.argv or "--demux-targeted" in sys.argv,
+            demux_targeted="--demux-targeted" in sys.argv,
+        )
     elif "--scaling" in sys.argv:
         n = int(os.environ.get("BENCH_CDC_EVENTS", "8000000"))
         main_scaling(n)

@@ -66,6 +66,7 @@ class CDCPipeline:
         compact_every: int | None = None,
         compact_depth: int | None = None,
         demux_domains: bool = False,
+        demux_tombstones: str = "blanket",
         detailed_lineage: bool = False,
     ):
         """dedup_mode:
@@ -97,11 +98,25 @@ class CDCPipeline:
         batch's keys); tombstones for never-present keys are expired
         by compact(expire_tombstones=True) after the replay horizon.
         At scale, prefer this only when domain count is small (the
-        reference has 6) — or anti-join each slice against its target
-        to drop no-op tombstones at the cost of a target read."""
+        reference has 6).
+
+        ``demux_tombstones`` picks the fan-out strategy:
+        * "blanket" (default) — every non-owning domain receives a
+          tombstone for every batch key; converges under ANY epoch
+          application order.  Merge surface: n_domains x batch.
+        * "targeted" — the batch keys' previous domains are looked up
+          from the main table (bucket-pruned read of the pre-epoch
+          snapshot) and a domain receives only its own upserts plus
+          tombstones for keys that actually LEFT it.  Merge surface:
+          ~batch + moves.  Requires in-order epoch application (all
+          engine runners apply in order; committed epochs replay as
+          no-ops either way)."""
         self.spark = spark
         self.root = root
         self.demux_domains = demux_domains
+        if demux_tombstones not in ("blanket", "targeted"):
+            raise ValueError(f"demux_tombstones must be blanket|targeted, got {demux_tombstones}")
+        self.demux_tombstones = demux_tombstones
         self.table = LakeTable(
             spark, os.path.join(root, "tables", "files"), n_buckets, merge_mode=merge_mode
         )
@@ -278,7 +293,58 @@ class CDCPipeline:
                     )
                     .collect()
                 }
-            # 5. exactly-once merge with lineage.
+            # 5a. per-domain destination tables (demux I) — BEFORE the
+            # main merge, so the "targeted" mode's previous-domain
+            # lookup reads the pre-epoch snapshot even on crash-resume
+            # (the main commit is the last write; if it exists, every
+            # domain commit already does).
+            dom_recs = None
+            if self.demux_domains:
+                dom_recs = {}
+                if self.demux_tombstones == "targeted":
+                    # tombstone ONLY real moves: look up each batch
+                    # key's previous domain from the main table
+                    # (bucket-pruned to the batch's buckets) and
+                    # delete from that domain iff the key left it.
+                    # Merge surface ~ batch + moves, not
+                    # n_domains x batch.  Requires in-order epoch
+                    # application (run()/streaming always are);
+                    # "blanket" remains the arbitrary-order-safe mode.
+                    changed = [int(b) for b in (stats["buckets"] or [])]
+                    prev = self.table.read(bucket_ids=changed).select(
+                        *KEY_COLS, F.col("domain").alias("_prev_domain")
+                    )
+                    joined = mapped.join(prev, KEY_COLS, "left").persist()
+                    try:
+                        for d, t in sorted(self.domain_tables.items()):
+                            is_mine = (F.col("domain") == d) & (F.col("op") != "D")
+                            was_mine = F.col("_prev_domain") == d
+                            slice_d = (
+                                joined.where(is_mine | was_mine)
+                                .withColumn(
+                                    "op",
+                                    F.when(is_mine, F.col("op")).otherwise(F.lit("D")),
+                                )
+                                .drop("_prev_domain")
+                            )
+                            dom_recs[d] = t.merge_epoch(slice_d, epoch)
+                    finally:
+                        joined.unpersist()
+                else:
+                    # blanket delete fan-out: upsert into the row's own
+                    # domain, tombstone into every other — cross-domain
+                    # moves converge under ANY replay order.
+                    for d, t in sorted(self.domain_tables.items()):
+                        slice_d = mapped.withColumn(
+                            "op",
+                            F.when(
+                                (F.col("domain") == d) & (F.col("op") != "D"),
+                                F.col("op"),
+                            ).otherwise(F.lit("D")),
+                        )
+                        dom_recs[d] = t.merge_epoch(slice_d, epoch)
+
+            # 5b. exactly-once main merge with lineage.
             rec = self.table.merge_epoch(
                 updates.drop("_quar"),
                 epoch,
@@ -291,20 +357,8 @@ class CDCPipeline:
                     "changed_buckets": sorted(stats["buckets"] or []),
                 },
             )
-            # 5b. per-domain destination tables (demux I): upsert into
-            # the row's own domain, tombstone into every other —
-            # cross-domain moves converge under any replay order.
-            if self.demux_domains:
-                rec["domains"] = {}
-                for d, t in sorted(self.domain_tables.items()):
-                    slice_d = mapped.withColumn(
-                        "op",
-                        F.when(
-                            (F.col("domain") == d) & (F.col("op") != "D"),
-                            F.col("op"),
-                        ).otherwise(F.lit("D")),
-                    )
-                    rec["domains"][d] = t.merge_epoch(slice_d, epoch)
+            if dom_recs is not None:
+                rec["domains"] = dom_recs
         finally:
             mapped.unpersist()
         if self.table.merge_mode == "mor" and (

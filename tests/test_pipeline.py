@@ -264,3 +264,69 @@ def test_detailed_per_partition_lineage(spark, tmp_root):
         assert sum(v["deletes"] for v in parts.values()) == rec["rows_deleted"]
         assert min(v["lsn_min"] for v in parts.values()) == rec["lsn_min"]
         assert max(v["lsn_max"] for v in parts.values()) == rec["lsn_max"]
+
+
+def test_demux_targeted_equals_blanket_and_handles_moves(spark, tmp_root):
+    """demux_tombstones='targeted' must produce domain tables
+    identical to the blanket fan-out (including cross-domain moves and
+    deletes), with replay a no-op — while merging only ~batch keys per
+    domain instead of every key into every domain."""
+    import os
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+
+    ch = gen_source_changes(spark, n_events=1500, n_keys=250, n_repos=10)
+    roots = {}
+    for mode in ("blanket", "targeted"):
+        root = os.path.join(tmp_root, f"dxt_{mode}")
+        p = CDCPipeline(
+            spark, root, n_buckets=8, demux_domains=True, demux_tombstones=mode
+        )
+        p.run(ch, n_epochs=3)
+        roots[mode] = p
+    pb, pt = roots["blanket"], roots["targeted"]
+    for d in pb.domains:
+        assert_df_equal(pb.domain_state(d), pt.domain_state(d), f"domain {d} ({0})")
+    # the targeted fan-out applied far fewer rows per domain epoch
+    def domain_rows(p):
+        return sum(
+            r2["rows_upserted"] + r2["rows_deleted"]
+            for t in p.domain_tables.values()
+            for r2 in t.lineage()
+        )
+
+    assert domain_rows(pt) < domain_rows(pb) / 2
+    # replay is a no-op for targeted too
+    p3 = CDCPipeline(
+        spark, os.path.join(tmp_root, "dxt_targeted"), n_buckets=8,
+        demux_domains=True, demux_tombstones="targeted",
+    )
+    recs = p3.run(ch, n_epochs=3)
+    assert all(r.get("skipped_duplicate_epoch") for r in recs)
+
+
+def test_demux_targeted_cross_domain_move(spark, tmp_root):
+    """The explicit move scenario under targeted tombstones: the key
+    vanishes from the old domain and only the moved key's delete is
+    fanned out."""
+    import os
+
+    rows = [
+        (1, "U", "r", "f", "c1", "sql", "select 1", None),
+        (5, "U", "r", "f", "c2", "html", "<p>hi</p>", None),
+        (2, "U", "r", "g", "c3", "sql", "select 2", None),
+    ]
+    ch = spark.createDataFrame(
+        rows,
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, schema_change string",
+    )
+    root = os.path.join(tmp_root, "mv_t")
+    p = CDCPipeline(
+        spark, root, n_buckets=4, demux_domains=True, demux_tombstones="targeted"
+    )
+    p.run(ch, n_epochs=2)
+    markup = {(r["repo"], r["path"]) for r in p.domain_state("markup").collect()}
+    query = {(r["repo"], r["path"]) for r in p.domain_state("query").collect()}
+    assert ("r", "f") in markup and ("r", "f") not in query
+    assert ("r", "g") in query
