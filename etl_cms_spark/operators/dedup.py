@@ -205,7 +205,12 @@ def dense_stable_id(
             if len(pdf) == 0:
                 continue
             if base is None:
-                base = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+                # Direct index: if the checkpointed partition layout
+                # ever diverged between the count pass and this pass,
+                # a missing pid must FAIL (KeyError) rather than fall
+                # back to offset 0 and mint duplicate surrogate ids
+                # (round-3 ADVICE).
+                base = offsets[int(pdf["_pid"].iloc[0])]
             out = pdf.drop(columns=["_pid"])
             out[id_col] = pd.RangeIndex(
                 base + seen + 1, base + seen + len(pdf) + 1

@@ -30,10 +30,17 @@ SAMPLE_MOD = 2_147_483_647
 
 
 def sample_rank_hash(id_col: Column, seed: int = 0) -> Column:
-    """Deterministic pseudo-random rank key: ((id + seed) * K) mod p.
-    Portable integer arithmetic — any engine reproduces the ordering."""
+    """Deterministic pseudo-random rank key:
+    (((id + seed) mod p) * K) mod p.  Portable integer arithmetic —
+    any engine reproduces the ordering.  The id is reduced mod p
+    BEFORE the multiply so the product stays < 2^63 for any int64 id
+    ((p-1) * K ≈ 5.7e18): no silent wraparound in default Spark, no
+    overflow error under spark.sql.ansi.enabled, and the value agrees
+    with DuckDB at 10^10-row id ranges (round-3 ADVICE fix)."""
     return F.pmod(
-        (id_col.cast("long") + F.lit(seed)) * F.lit(SAMPLE_MUL), F.lit(SAMPLE_MOD)
+        F.pmod(id_col.cast("long") + F.lit(seed), F.lit(SAMPLE_MOD))
+        * F.lit(SAMPLE_MUL),
+        F.lit(SAMPLE_MOD),
     )
 
 

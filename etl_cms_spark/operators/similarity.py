@@ -223,7 +223,13 @@ def srp_cell_portable(vec: Column, cell_bits: int = 4) -> Column:
     for the same vector, so the cell assignment — the heart of the IVF
     layout — is oracle-checkable end to end.  Near-identical vectors
     share a cell by construction (signs move only when a projection
-    crosses 0)."""
+    crosses 0).
+
+    Supports at most 4096 dimensions: plane components are derived
+    from index ``d + j*4096``, so beyond 4096 dims the index ranges of
+    different cell bits would overlap and the sign projections become
+    correlated (round-3 ADVICE) — a guard raises instead of silently
+    degrading."""
     def _term(j: int):
         # closure factory: zip_with requires a 2-arg lambda (a j=j
         # default would make pyspark count 3 parameters).
@@ -237,12 +243,18 @@ def srp_cell_portable(vec: Column, cell_bits: int = 4) -> Column:
             lambda acc, v: acc + v,
         )
         cell = cell + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-    return cell
+    guard = F.when(
+        F.size(vec) > 4096,
+        F.raise_error(F.lit("srp_cell_portable supports at most 4096 dimensions")),
+    ).otherwise(F.lit(0)).cast("long")
+    return cell + guard
 
 
 def srp_cell_portable_py(vec: list[float], cell_bits: int = 4) -> int:
     """Driver-side twin of ``srp_cell_portable`` (same fold order →
     same doubles) — used to pick the probe cells for a query vector."""
+    if len(vec) > 4096:
+        raise ValueError("srp_cell_portable supports at most 4096 dimensions")
     cell = 0
     for j in range(cell_bits):
         proj = 0.0

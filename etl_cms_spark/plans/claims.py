@@ -653,22 +653,28 @@ def link_payer_plan_period(cost: DataFrame, ppp: DataFrame, date_col: str) -> Da
     join J5 against a small dimension → broadcast): match on (person,
     plan) with period_start <= cost date <= period_end."""
     dim = ppp.select(
-        F.col("person_id"),
-        F.col("plan_source_value"),
+        F.col("person_id").alias("_ppp_pid"),
+        F.col("plan_source_value").alias("_ppp_plan"),
         F.col("payer_plan_period_start_date").alias("_pps"),
         F.col("payer_plan_period_end_date").alias("_ppe"),
         F.col("payer_plan_period_id"),
     )
     keyed = cost.withColumn("person_id", F.xxhash64("person_source_value"))
+    # The date-range predicate is part of the JOIN CONDITION, not a
+    # post-join filter: a cost row whose (person, plan) exists in the
+    # dim but has no covering period must survive with a NULL
+    # payer_plan_period_id, exactly like a row with no key match at
+    # all (round-3 ADVICE: the filter form silently dropped
+    # out-of-enrollment-era claims).
     out = keyed.join(
         F.broadcast(dim),
-        ["person_id", "plan_source_value"],
+        (F.col("person_id") == F.col("_ppp_pid"))
+        & (F.col("plan_source_value") == F.col("_ppp_plan"))
+        & (F.col(date_col) >= F.col("_pps"))
+        & (F.col(date_col) <= F.col("_ppe")),
         "left",
-    ).where(
-        F.col("payer_plan_period_id").isNull()
-        | ((F.col(date_col) >= F.col("_pps")) & (F.col(date_col) <= F.col("_ppe")))
     )
-    return out.drop("_pps", "_ppe")
+    return out.drop("_ppp_pid", "_ppp_plan", "_pps", "_ppe")
 
 
 def build_observation_period_from_visits(

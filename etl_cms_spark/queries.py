@@ -1599,7 +1599,7 @@ def range_join_followups(spark, sf_dir):
       SELECT doc_id, source, lang, n_chars,
              ROW_NUMBER() OVER (
                PARTITION BY source
-               ORDER BY ((doc_id + 7) * 2654435761) % 2147483647, doc_id
+               ORDER BY (((doc_id + 7) % 2147483647) * 2654435761) % 2147483647, doc_id
              ) AS sample_rank
       FROM documents)
     SELECT doc_id, source, lang, n_chars, sample_rank
@@ -1625,7 +1625,7 @@ def stratified_sample_per_source(spark, sf_dir):
     """
     WITH pri AS (
       SELECT doc_id, source, lang, n_chars,
-             ROUND(POW((((doc_id + 11) * 2654435761) % 2147483647 + 1) / 2147483648.0,
+             ROUND(POW(((((doc_id + 11) % 2147483647) * 2654435761) % 2147483647 + 1) / 2147483648.0,
                        1.0 / n_chars), 9) AS p
       FROM documents WHERE n_chars > 0),
     ranked AS (

@@ -297,6 +297,19 @@ class LakeTable:
                 vpath = os.path.join(data_root, vdir)
                 if not os.path.isdir(vpath):
                     continue
+                # Never touch data dirs AHEAD of the current version:
+                # an in-flight merge_epoch writes data/v{N+1} before
+                # its manifest swap, so those files are a live write,
+                # not garbage (round-3 ADVICE — makes a concurrent
+                # vacuum safe against the single in-order writer; a
+                # dir orphaned by a crash is reclaimed by the NEXT
+                # vacuum, once current has moved past it).
+                try:
+                    vnum = int(vdir[1:]) if vdir.startswith("v") else None
+                except ValueError:
+                    vnum = None
+                if vnum is not None and vnum > cur:
+                    continue
                 for leaf in sorted(os.listdir(vpath)):
                     rel = f"data/{vdir}/{leaf}"
                     if leaf.startswith(f"{_BUCKET_COL}=") and rel not in referenced:

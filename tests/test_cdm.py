@@ -126,3 +126,38 @@ def test_drug_eras(spark):
         (1, 11, "2020-04-01", "2020-04-02"): 1,
         (2, 22, "2021-06-01", "2021-06-02"): 1,
     }
+
+
+def test_link_payer_plan_period_out_of_range_survives(spark):
+    """Round-3 ADVICE regression: a cost row whose (person, plan) HAS
+    periods in the dim but none covering the cost date must survive
+    with NULL payer_plan_period_id — same as a row with no key match
+    at all (the old filter form silently dropped it)."""
+    import datetime
+
+    from etl_cms_spark.plans import claims
+
+    d = datetime.date
+    cost = spark.createDataFrame(
+        [
+            ("P1", "planA", d(2008, 6, 1)),   # covered
+            ("P1", "planA", d(2012, 6, 1)),   # key matches, date out of range
+            ("P9", "planA", d(2008, 6, 1)),   # no key match
+        ],
+        "person_source_value string, plan_source_value string, cost_date date",
+    )
+    ppp = spark.createDataFrame(
+        [("P1", "planA", d(2008, 1, 1), d(2008, 12, 31), 101)],
+        "person_source_value string, plan_source_value string, "
+        "payer_plan_period_start_date date, payer_plan_period_end_date date, "
+        "payer_plan_period_id long",
+    ).withColumn("person_id", F.xxhash64("person_source_value"))
+    out = claims.link_payer_plan_period(cost, ppp, "cost_date")
+    rows = {
+        (r["person_source_value"], str(r["cost_date"])): r["payer_plan_period_id"]
+        for r in out.collect()
+    }
+    assert len(rows) == 3  # nothing silently dropped
+    assert rows[("P1", "2008-06-01")] == 101
+    assert rows[("P1", "2012-06-01")] is None
+    assert rows[("P9", "2008-06-01")] is None

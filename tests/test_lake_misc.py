@@ -260,3 +260,25 @@ def test_vacuum_gc_keeps_current_drops_expired(spark, tmp_root):
     # expired version fails fast
     with pytest.raises(FileNotFoundError):
         p.table.read_at(old_v)
+
+
+def test_vacuum_skips_inflight_ahead_version(spark, tmp_root):
+    """Round-3 ADVICE regression: a data/v{N+1} dir written by an
+    in-flight merge that has not yet committed its manifest must NOT
+    be reclaimed by vacuum — only dirs at or below the current
+    version are GC candidates."""
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = gen_source_changes(spark, n_events=1000, n_keys=100, n_repos=5)
+    root = os.path.join(tmp_root, "vac_inflight")
+    p = CDCPipeline(spark, root, n_buckets=4)
+    p.run(changes, n_epochs=2)
+    table_root = os.path.join(root, "tables", "files")
+    cur = p.table._current_version()
+    ahead = os.path.join(table_root, "data", f"v{cur + 1}", "_bucket=0")
+    os.makedirs(ahead)
+    with open(os.path.join(ahead, "part-inflight.parquet"), "w") as f:
+        f.write("x")
+    p.table.vacuum(keep_last=1)
+    assert os.path.exists(os.path.join(ahead, "part-inflight.parquet"))

@@ -69,3 +69,25 @@ def test_weighted_sample_replay_stable(spark):
     b = weighted_sample_per_key(df.repartition(17), ["src"], 5, "doc_id", "w", seed=3)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_big_id_hash_matches_duckdb_no_overflow(spark):
+    """Round-3 ADVICE regression: ids above ~3.47e9 must hash
+    identically in Spark and DuckDB (the old (id+seed)*K form
+    overflowed int64 and wrapped differently per engine)."""
+    import duckdb
+
+    from etl_cms_spark.operators.sampling import sample_rank_hash
+
+    ids = [0, 1, 3_470_000_000, 10_000_000_000, 2**62, 2**63 - 8]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    ours = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", sample_rank_hash(F.col("doc_id"), seed=7).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for i in ids:
+        expect = con.execute(
+            f"SELECT ((({i} + 7) % 2147483647) * 2654435761) % 2147483647"
+        ).fetchone()[0]
+        assert ours[i] == expect, i
