@@ -197,6 +197,14 @@ def run_small_batch(
                 for r in t.lineage()
                 if int(r.get("epoch", -1)) == 1
             )
+            # domain sinks are MoR: blanket's 6x tombstone fan-out is
+            # cheap to APPEND but lands on readers as delta-stack
+            # reconciliation — time the post-merge domain reads so the
+            # deferred cost is a number too.
+            t0 = time.time()
+            for d in p.domains:
+                _force(p.domain_state(d))
+            out["domain_read_seconds"] = round(time.time() - t0, 2)
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -239,9 +247,13 @@ def main_bench() -> None:
     # secondary: producer-bucketed tail (Exchange-free dedup path).
     cdc_bucketed = _run_level(CPUS, n_cdc, pin=False, bucketed=True, repeats=2)
     timings["cdc_pipeline_bucketed_tail"] = cdc_bucketed["seconds"]
-    # tertiary: demux fan-out — per-domain destination tables with
-    # cross-domain tombstones (4x the merge surface), measured so the
-    # routing cost is a number, not an assumption.
+    # tertiary: demux fan-out — per-domain destination MoR sinks.
+    # Headline row = targeted tombstones (the engine default: narrow
+    # previous-domain lookup, tombstones only for keys that left a
+    # domain); blanket (every-domain fan-out, the arbitrary-order-safe
+    # opt-in) measured alongside.  best-of-2 on the headline.
+    cdc_demux_t = _run_level(CPUS, n_cdc, pin=False, demux=True, demux_targeted=True, repeats=2)
+    timings["cdc_pipeline_demux_targeted"] = cdc_demux_t["seconds"]
     cdc_demux = _run_level(CPUS, n_cdc, pin=False, demux=True)
     timings["cdc_pipeline_demux"] = cdc_demux["seconds"]
     # steady-state: one small epoch (5% of keyspace) against a large
@@ -271,6 +283,7 @@ def main_bench() -> None:
                 "cdc": cdc,
                 "cdc_bucketed_tail": cdc_bucketed,
                 "cdc_demux": cdc_demux,
+                "cdc_demux_targeted": cdc_demux_t,
                 "cdc_small_batch": {"cow": small_cow, "mor": small_mor,
                                      "demux_blanket": small_dx_b,
                                      "demux_targeted": small_dx_t},

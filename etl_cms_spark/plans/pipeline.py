@@ -54,6 +54,11 @@ MAIN_SCHEMA = {
 
 
 class CDCPipeline:
+    # MoR domain sinks compact whenever any bucket's base+delta stack
+    # exceeds this depth (when no explicit compact_depth/compact_every
+    # policy is given) — bounds read amplification by work done.
+    _DEFAULT_DOMAIN_COMPACT_DEPTH = 8
+
     def __init__(
         self,
         spark: SparkSession,
@@ -66,7 +71,8 @@ class CDCPipeline:
         compact_every: int | None = None,
         compact_depth: int | None = None,
         demux_domains: bool = False,
-        demux_tombstones: str = "blanket",
+        demux_tombstones: str = "targeted",
+        domain_merge_mode: str | None = None,
         detailed_lineage: bool = False,
     ):
         """dedup_mode:
@@ -90,27 +96,27 @@ class CDCPipeline:
         PER-DOMAIN destination LakeTable (the reference's multi-output
         dispatch to per-CDM-table files, CMS_SynPuf_ETL_CDM_v5.py
         :1228-1290, as exactly-once CDC sinks).  Cross-domain moves
-        are handled by DELETE FAN-OUT: every upsert into its own
-        domain's table is mirrored as a tombstone into every other
-        domain's table, so a key whose latest version changed domain
-        disappears from the old table on any replay order.  Cost: the
-        merge work multiplies by n_domains (each table sees the full
-        batch's keys); tombstones for never-present keys are expired
-        by compact(expire_tombstones=True) after the replay horizon.
-        At scale, prefer this only when domain count is small (the
-        reference has 6).
+        are handled by DELETE FAN-OUT (see ``demux_tombstones``), so a
+        key whose latest version changed domain disappears from the
+        old table on any replay order.  Domain sinks are merge-on-read
+        by default (``domain_merge_mode``) with depth-triggered
+        compaction, and tombstones are narrow key-only rows — the
+        payload never fans out.  Never-present-key tombstones are
+        expired by compact(expire_tombstones=True) after the replay
+        horizon.
 
         ``demux_tombstones`` picks the fan-out strategy:
-        * "blanket" (default) — every non-owning domain receives a
+        * "targeted" (default) — the batch keys' previous domains are
+          looked up from the main table (bucket-pruned read of the
+          pre-epoch snapshot, key/domain columns only) and a domain
+          receives only its own upserts plus tombstones for keys that
+          actually LEFT it.  Merge surface: ~batch + moves.  Requires
+          in-order epoch application — run()/streaming always apply
+          in order, and committed epochs replay as no-ops either way.
+        * "blanket" — every non-owning domain receives a (narrow)
           tombstone for every batch key; converges under ANY epoch
-          application order.  Merge surface: n_domains x batch.
-        * "targeted" — the batch keys' previous domains are looked up
-          from the main table (bucket-pruned read of the pre-epoch
-          snapshot) and a domain receives only its own upserts plus
-          tombstones for keys that actually LEFT it.  Merge surface:
-          ~batch + moves.  Requires in-order epoch application (all
-          engine runners apply in order; committed epochs replay as
-          no-ops either way)."""
+          application order.  Merge surface: n_domains x batch.  Opt
+          in when epochs may be first-applied out of order."""
         self.spark = spark
         self.root = root
         self.demux_domains = demux_domains
@@ -124,12 +130,23 @@ class CDCPipeline:
             from etl_cms_spark.plans.mapping import CONCEPT_MAP
 
             self.domains = sorted({d for _, d in CONCEPT_MAP.values()})
+            # Domain sinks default to MERGE-ON-READ regardless of the
+            # main table's mode: a CoW domain merge rewrites the whole
+            # domain table every epoch (any epoch whose batch touches
+            # all buckets pays table-size × n_domains in writes), while
+            # MoR writes only each epoch's slice and the depth-
+            # triggered compaction below amortizes the rewrite.  At
+            # 10^10 events this is the difference between demux write
+            # amplification O(epochs × table) and O(changes).  Pass
+            # domain_merge_mode="cow" to opt out (e.g. read-latency-
+            # critical domain tables).
+            self.domain_merge_mode = domain_merge_mode or "mor"
             self.domain_tables = {
                 d: LakeTable(
                     spark,
                     os.path.join(root, "tables", f"files_{d}"),
                     n_buckets,
-                    merge_mode=merge_mode,
+                    merge_mode=self.domain_merge_mode,
                 )
                 for d in self.domains
             }
@@ -145,6 +162,17 @@ class CDCPipeline:
         self.salt_hot_keys = salt_hot_keys
         self.mapper = mapper
         self.dedup_mode = "salted" if salt_hot_keys else dedup_mode
+        if demux_domains and demux_tombstones == "targeted" and self.dedup_mode == "merge":
+            # targeted routing reasons about ONE row per key per
+            # batch (its stale-claim analysis is per-row vs the
+            # table); an un-pre-deduped batch can carry a delete and
+            # an older upsert of the same key whose interaction only
+            # blanket fan-out resolves.
+            raise ValueError(
+                "demux_tombstones='targeted' requires a pre-deduped batch "
+                "(dedup_mode 'strict' or 'salted'); use demux_tombstones="
+                "'blanket' with dedup_mode='merge'"
+            )
         # per-PARTITION lineage (north rule): record per-bucket rows
         # applied/deleted + LSN range each epoch.  One extra hash agg
         # per epoch over the cached batch (output = n_buckets rows),
@@ -300,49 +328,7 @@ class CDCPipeline:
             # domain commit already does).
             dom_recs = None
             if self.demux_domains:
-                dom_recs = {}
-                if self.demux_tombstones == "targeted":
-                    # tombstone ONLY real moves: look up each batch
-                    # key's previous domain from the main table
-                    # (bucket-pruned to the batch's buckets) and
-                    # delete from that domain iff the key left it.
-                    # Merge surface ~ batch + moves, not
-                    # n_domains x batch.  Requires in-order epoch
-                    # application (run()/streaming always are);
-                    # "blanket" remains the arbitrary-order-safe mode.
-                    changed = [int(b) for b in (stats["buckets"] or [])]
-                    prev = self.table.read(bucket_ids=changed).select(
-                        *KEY_COLS, F.col("domain").alias("_prev_domain")
-                    )
-                    joined = mapped.join(prev, KEY_COLS, "left").persist()
-                    try:
-                        for d, t in sorted(self.domain_tables.items()):
-                            is_mine = (F.col("domain") == d) & (F.col("op") != "D")
-                            was_mine = F.col("_prev_domain") == d
-                            slice_d = (
-                                joined.where(is_mine | was_mine)
-                                .withColumn(
-                                    "op",
-                                    F.when(is_mine, F.col("op")).otherwise(F.lit("D")),
-                                )
-                                .drop("_prev_domain")
-                            )
-                            dom_recs[d] = t.merge_epoch(slice_d, epoch)
-                    finally:
-                        joined.unpersist()
-                else:
-                    # blanket delete fan-out: upsert into the row's own
-                    # domain, tombstone into every other — cross-domain
-                    # moves converge under ANY replay order.
-                    for d, t in sorted(self.domain_tables.items()):
-                        slice_d = mapped.withColumn(
-                            "op",
-                            F.when(
-                                (F.col("domain") == d) & (F.col("op") != "D"),
-                                F.col("op"),
-                            ).otherwise(F.lit("D")),
-                        )
-                        dom_recs[d] = t.merge_epoch(slice_d, epoch)
+                dom_recs = self._demux_merge(mapped, stats, epoch)
 
             # 5b. exactly-once main merge with lineage.
             rec = self.table.merge_epoch(
@@ -361,23 +347,208 @@ class CDCPipeline:
                 rec["domains"] = dom_recs
         finally:
             mapped.unpersist()
+        due = bool(self.compact_every and (epoch + 1) % self.compact_every == 0)
         if self.table.merge_mode == "mor" and (
-            (self.compact_every and (epoch + 1) % self.compact_every == 0)
+            due
             or (self.compact_depth and self.table.max_delta_depth() > self.compact_depth)
         ):
             rec["compaction"] = self.table.compact()
-            # domain tables accrue a full-batch delete fan-out every
-            # epoch (tombstones into every non-owning domain) — left
-            # uncompacted their delta depth grows without bound, so the
-            # same trigger compacts them too.
-            if self.demux_domains:
-                rec["domain_compactions"] = {
-                    d: t.compact() for d, t in sorted(self.domain_tables.items())
-                    if t.merge_mode == "mor"
-                }
+        if self.demux_domains:
+            # domain tables accrue delta stacks (and, in blanket mode,
+            # a full-batch tombstone fan-out) every epoch — left
+            # uncompacted their depth grows without bound, so each
+            # MoR domain table compacts on ITS OWN depth/schedule,
+            # independent of the main table's mode.
+            depth_cap = self.compact_depth or self._DEFAULT_DOMAIN_COMPACT_DEPTH
+            domc = {
+                d: t.compact()
+                for d, t in sorted(self.domain_tables.items())
+                if t.merge_mode == "mor"
+                and (due or t.max_delta_depth() > depth_cap)
+            }
+            if domc:
+                rec["domain_compactions"] = domc
         self._save_checkpoint(epoch, rec.get("lsn_max"))
         self.metrics.append(rec)
         return rec
+
+    def _demux_merge(self, mapped: DataFrame, stats: dict, epoch: int) -> dict:
+        """Route the mapped batch into the per-domain destination
+        tables (demux I — the reference's multi-output dispatch,
+        CMS_SynPuf_ETL_CDM_v5.py:1228-1290, as exactly-once CDC sinks).
+
+        Shape decisions, all for the 10^10-event case:
+
+        * A domain's UPSERT slice filters the already-persisted batch
+          directly — the full payload (``content`` at ~KB/row) never
+          shuffles through any routing join.
+        * Tombstones are NARROW rows (key cols + lsn + op='D' only;
+          payload normalizes to NULL inside merge_epoch): what fans
+          out across domains is ~40 bytes/row, not the payload.
+        * "targeted" (default) looks up each batch key's previous
+          version from the pre-epoch main snapshot (bucket-pruned,
+          key/domain/_lsn columns only, tombstones included) and
+          routes only: (a) DEPARTURE tombstones — a fresh row whose
+          key left a live previous domain tombstones that domain at
+          the row's LSN; (b) STALE-CLAIM tombstones — a row older
+          than the table's version (out-of-LSN-order delivery, e.g.
+          file-source micro-batches) fabricates a tombstone into its
+          CLAIMED domain at the previous version's (winning) LSN, so
+          its own upsert loses the in-batch max-LSN resolution and a
+          stale redelivery can never resurrect a key in a domain
+          table.  Merge surface ~ batch + moves instead of
+          n_domains × batch — and because the max-LSN merge is
+          order-independent and every non-final cross-domain upsert
+          is covered by a higher-LSN tombstone (from the row that
+          overtook it, or from its own stale-claim), domain tables
+          converge under ANY epoch application order, same as
+          blanket.
+        * "blanket" tombstones every batch key into every non-owning
+          domain — the brute-force fallback (no snapshot lookup);
+          also the only mode that tolerates dedup_mode="merge"
+          (un-pre-deduped batches) in demux.
+        * The n_domains merges are independent tables — they run on a
+          thread pool so their (small) per-merge jobs overlap instead
+          of serializing n_domains× the per-epoch job floor.
+        * Every domain merge receives PRECOMPUTED stats (n_total /
+          n_deletes / lsn range / changed buckets), derived from ONE
+          narrow grouped job over the cached batch (plus one tiny job
+          over the departures frame in targeted mode, which doubles as
+          its eager cache materialization) — without this each of the
+          n_domains merges runs its own stats job over the slice, and
+          the per-epoch serial job count is what bounds scaling
+          efficiency.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        items = sorted(self.domain_tables.items())
+        nbd = {t.n_buckets for _, t in items}
+        assert len(nbd) == 1, f"domain tables disagree on n_buckets: {nbd}"
+        bexpr = items[0][1].bucket_expr(KEY_COLS)
+
+        # one narrow job: per-(domain, is-delete) counts/lsn/buckets.
+        groups = (
+            mapped.groupBy("domain", (F.col("op") == "D").alias("_isd"))
+            .agg(
+                F.count("*").alias("n"),
+                F.min("lsn").alias("lo"),
+                F.max("lsn").alias("hi"),
+                F.collect_set(bexpr).alias("bks"),
+            )
+            .collect()
+        )
+
+        def _acc(rows):
+            n = sum(r["n"] for r in rows)
+            lo = min((r["lo"] for r in rows), default=None)
+            hi = max((r["hi"] for r in rows), default=None)
+            bks = sorted({b for r in rows for b in r["bks"]})
+            return n, lo, hi, bks
+
+        departures = None
+        dep = {}
+        if self.demux_tombstones == "targeted":
+            changed = [int(b) for b in (stats["buckets"] or [])]
+            prev = self.table.read_raw(bucket_ids=changed).select(
+                *KEY_COLS,
+                F.col("domain").alias("_prev_domain"),
+                F.col("_lsn").alias("_prev_lsn"),
+                F.col("_deleted").alias("_prev_del"),
+            )
+            keyinfo = mapped.select(*KEY_COLS, "lsn", "op", "domain").join(
+                prev, KEY_COLS, "left"
+            )
+            fresh = F.col("_prev_lsn").isNull() | (
+                F.col("lsn") >= F.col("_prev_lsn")
+            )
+            live_prev = F.col("_prev_domain").isNotNull() & ~F.coalesce(
+                F.col("_prev_del"), F.lit(False)
+            )
+            # (a) fresh rows that LEFT a live previous domain.
+            depart = keyinfo.where(
+                fresh
+                & live_prev
+                & (
+                    (F.col("op") == "D")
+                    | F.col("domain").isNull()
+                    | (F.col("domain") != F.col("_prev_domain"))
+                )
+            ).select(
+                *KEY_COLS, "lsn", F.lit("D").alias("op"),
+                F.col("_prev_domain").alias("_tomb_domain"),
+            )
+            # (b) stale rows (older than the table's version) whose
+            # claimed domain would otherwise gain a zombie row: a
+            # tombstone at the WINNING lsn outranks the stale upsert
+            # inside the same merge batch.
+            stale = keyinfo.where(
+                ~fresh
+                & (F.col("op") != "D")
+                & F.col("domain").isin(list(self.domain_tables))
+                & (
+                    F.coalesce(F.col("_prev_del"), F.lit(False))
+                    | (F.col("domain") != F.col("_prev_domain"))
+                )
+            ).select(
+                *KEY_COLS, F.col("_prev_lsn").alias("lsn"),
+                F.lit("D").alias("op"), F.col("domain").alias("_tomb_domain"),
+            )
+            departures = depart.unionByName(stale).persist()
+            # tiny job; also materializes the cache BEFORE the merge
+            # threads fan out (a lazy persist would be raced by
+            # n_domains threads, each recomputing the lookup join).
+            dep = {
+                r["_tomb_domain"]: r
+                for r in departures.groupBy("_tomb_domain")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.min("lsn").alias("lo"),
+                    F.max("lsn").alias("hi"),
+                    F.collect_set(bexpr).alias("bks"),
+                )
+                .collect()
+            }
+
+        def _stats_for(d: str) -> dict:
+            mine_up = [r for r in groups if r["domain"] == d and not r["_isd"]]
+            if departures is not None:
+                tomb = [dep[d]] if d in dep else []
+            else:
+                tomb = [r for r in groups if not (r["domain"] == d and not r["_isd"])]
+            n_up, _, _, _ = _acc(mine_up)
+            n_tomb, _, _, _ = _acc(tomb)
+            _, lo, hi, bks = _acc(mine_up + tomb)
+            return {
+                "n_total": n_up + n_tomb,
+                "n_deletes": n_tomb,
+                "lsn_lo": lo,
+                "lsn_hi": hi,
+                "changed_buckets": bks,
+            }
+
+        def _slice(d: str) -> DataFrame:
+            owns = (F.col("domain") == d) & (F.col("op") != "D")
+            upserts = mapped.where(owns)
+            if departures is not None:
+                tombs = departures.where(F.col("_tomb_domain") == d).drop(
+                    "_tomb_domain"
+                )
+            else:
+                tombs = mapped.where(~owns).select(
+                    *KEY_COLS, "lsn", F.lit("D").alias("op")
+                )
+            return upserts.unionByName(tombs, allowMissingColumns=True)
+
+        try:
+            with ThreadPoolExecutor(max_workers=len(items)) as pool:
+                futs = {
+                    d: pool.submit(t.merge_epoch, _slice(d), epoch, stats=_stats_for(d))
+                    for d, t in items
+                }
+                return {d: f.result() for d, f in futs.items()}
+        finally:
+            if departures is not None:
+                departures.unpersist()
 
     def run(
         self,

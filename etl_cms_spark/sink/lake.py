@@ -243,6 +243,16 @@ class LakeTable:
         df = self._read_buckets(m, bucket_ids)
         return df.where(~F.col(_DELETED_COL)).drop(_LSN_COL, _BUCKET_COL, _DELETED_COL)
 
+    def read_raw(self, bucket_ids: list[int] | None = None) -> DataFrame:
+        """Current snapshot INCLUDING tombstone rows and the ``_lsn``
+        / ``_deleted`` system columns (MoR stacks resolved).  For
+        callers that need previous-version metadata — e.g. the demux
+        previous-domain lookup must see a deleted key's LSN to
+        recognize a stale redelivery that would otherwise resurrect
+        the key in a domain table."""
+        m = self._load_manifest()
+        return self._read_buckets(m, bucket_ids).drop(_BUCKET_COL)
+
     def read_at(self, version: int) -> DataFrame:
         """Time travel: read an older snapshot."""
         m = self._load_manifest(version)

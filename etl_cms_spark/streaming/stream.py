@@ -41,6 +41,7 @@ def start_stream(
     salt_hot_keys: bool = False,
     n_buckets: int = 32,
     merge_mode: str = "cow",
+    demux_domains: bool = False,
 ) -> tuple[StreamingQuery, CDCPipeline]:
     """Tail a changelog directory (file source — swap for Kafka/
     binlog reader by changing only this readStream) and upsert each
@@ -60,6 +61,7 @@ def start_stream(
         n_buckets=n_buckets,
         salt_hot_keys=salt_hot_keys,
         merge_mode=merge_mode,
+        demux_domains=demux_domains,
     )
     pipeline.init_tables()
 

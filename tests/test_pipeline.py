@@ -330,3 +330,45 @@ def test_demux_targeted_cross_domain_move(spark, tmp_root):
     query = {(r["repo"], r["path"]) for r in p.domain_state("query").collect()}
     assert ("r", "f") in markup and ("r", "f") not in query
     assert ("r", "g") in query
+
+
+def test_demux_targeted_converges_under_any_epoch_order(spark, tmp_root):
+    """Order-independence of the targeted fan-out (round-4 design):
+    applying LSN-range epochs in ARBITRARY first-application order
+    must converge every domain table to the in-order blanket state —
+    stale cross-domain upserts are neutralized by stale-claim
+    tombstones at the winning LSN."""
+    import itertools
+    import os
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+
+    ch = gen_source_changes(spark, n_events=900, n_keys=120, n_repos=8)
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    n_ep = 3
+    width = (hi - lo + n_ep) // n_ep
+    slices = [
+        ch.where((F.col("lsn") >= lo + i * width) & (F.col("lsn") < lo + (i + 1) * width))
+        for i in range(n_ep)
+    ]
+
+    ref = CDCPipeline(
+        spark, os.path.join(tmp_root, "ooo_ref"), n_buckets=4,
+        demux_domains=True, demux_tombstones="blanket",
+    )
+    ref.run(ch, n_epochs=n_ep)
+
+    for perm in [(2, 0, 1), (1, 2, 0), (2, 1, 0)]:
+        root = os.path.join(tmp_root, f"ooo_{''.join(map(str, perm))}")
+        p = CDCPipeline(
+            spark, root, n_buckets=4, demux_domains=True,
+            demux_tombstones="targeted",
+        )
+        p.init_tables()
+        for e in perm:
+            p.process_epoch(slices[e], e)
+        for d in ref.domains:
+            assert_df_equal(
+                ref.domain_state(d), p.domain_state(d), f"perm {perm} domain {d}"
+            )
+        assert_df_equal(ref.current_state(), p.current_state(), f"perm {perm} main")

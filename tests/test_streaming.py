@@ -266,3 +266,48 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_root):
     )
     assert finalized.exceptAll(got).count() == 0
     assert got.count() > 0
+
+
+def test_stream_restart_demux_domains_exactly_once(spark, tmp_root):
+    """Streaming restart THROUGH the per-domain demux (round-3
+    verdict ask): after a restart over the same checkpoint, every
+    domain table must equal the batch/blanket reference state — the
+    crash-resume ordering argument (domain commits before main
+    commit) exercised end-to-end under Structured Streaming."""
+    changes = gen_source_changes(spark, n_events=1200, n_keys=250, n_repos=10)
+    log_dir = os.path.join(tmp_root, "changelog_dx")
+    changes.repartition(4).write.parquet(log_dir)
+    lake = os.path.join(tmp_root, "lake_dx")
+
+    q1, p1 = start_stream(spark, log_dir, lake, max_files_per_trigger=2,
+                          demux_domains=True)
+    q1.awaitTermination(300)
+    doms1 = {d: p1.domain_state(d) for d in p1.domains}
+    n_epochs_1 = len(p1.table.lineage())
+
+    # restart over the same checkpoint: no new epochs anywhere.
+    q2, p2 = start_stream(spark, log_dir, lake, max_files_per_trigger=2,
+                          demux_domains=True)
+    q2.awaitTermination(300)
+    assert len(p2.table.lineage()) == n_epochs_1
+    for d in p2.domains:
+        assert_df_equal(p2.domain_state(d), doms1[d], f"domain {d} restart no-op")
+
+    # reference: a BATCH pipeline in blanket mode over the same
+    # changelog — domain tables must agree (streaming applies epochs
+    # in order, so the targeted default is safe there).
+    ref = CDCPipeline(
+        spark, os.path.join(tmp_root, "lake_dx_ref"),
+        demux_domains=True, demux_tombstones="blanket",
+    )
+    ref.run(changes, n_epochs=3)
+    cols = ["repo", "path", "commit", "content_sha"]
+    for d in p2.domains:
+        assert_df_equal(
+            p2.domain_state(d).select(cols),
+            ref.domain_state(d).select(cols),
+            f"domain {d} stream == batch blanket",
+        )
+    # and the split is exhaustive: domain rows sum to the main state.
+    n_main = p2.current_state().count()
+    assert sum(p2.domain_state(d).count() for d in p2.domains) == n_main
