@@ -414,6 +414,60 @@ def build_observation(mapped: DataFrame) -> DataFrame:
     )
 
 
+# reference constants.py:44-45 — the remaining two dispatch routes.
+MEASUREMENT_TYPE_DERIVED_VALUE = 45754907
+DEVICE_TYPE_INFERRED_PROCEDURE_CLAIM = 44818705
+
+
+def build_measurement(mapped: DataFrame) -> DataFrame:
+    """domain='Measurement' events → measurement (reference
+    write_measurement, CMS_SynPuf_ETL_CDM_v5.py:1261-1270, routed at
+    :1228-1290): derived-value type concept on every claim route.
+    DE_0 maps no code to Measurement, so the golden
+    measurement.csv is empty-but-headered — the builder exists so the
+    route is real, and the empty-parity test proves the engine agrees
+    it stays empty on DE_0."""
+    m = mapped.where(F.col("domain") == "Measurement")
+    return (
+        _with_visit_id(m)
+        .select(
+            "person_source_value",
+            F.col("target_concept_id").alias("measurement_concept_id"),
+            F.col("from_dt").alias("measurement_date"),
+            F.lit(MEASUREMENT_TYPE_DERIVED_VALUE).alias("measurement_type_concept_id"),
+            F.col("npi").alias("provider_npi"),
+            "visit_occurrence_id",
+            F.col("code").alias("measurement_source_value"),
+            F.col("source_concept_id").alias("measurement_source_concept_id"),
+        )
+        .dropDuplicates()
+    )
+
+
+def build_device_exposure(mapped: DataFrame) -> DataFrame:
+    """domain='Device' events → device_exposure (reference
+    write_device_exposure, CMS_SynPuf_ETL_CDM_v5.py:1282-1290):
+    claim from/thru dates become the exposure window, inferred-from-
+    procedure-claim type concept.  Empty on DE_0 (golden
+    device_exposure.csv is header-only) — see build_measurement."""
+    d = mapped.where(F.col("domain") == "Device")
+    return (
+        _with_visit_id(d)
+        .select(
+            "person_source_value",
+            F.col("target_concept_id").alias("device_concept_id"),
+            F.col("from_dt").alias("device_exposure_start_date"),
+            F.col("thru_dt").alias("device_exposure_end_date"),
+            F.lit(DEVICE_TYPE_INFERRED_PROCEDURE_CLAIM).alias("device_type_concept_id"),
+            F.col("npi").alias("provider_npi"),
+            "visit_occurrence_id",
+            F.col("code").alias("device_source_value"),
+            F.col("source_concept_id").alias("device_source_concept_id"),
+        )
+        .dropDuplicates()
+    )
+
+
 _CC_AMT_FIELDS = (
     "LINE_NCH_PMT_AMT",
     "LINE_BENE_PTB_DDCTBL_AMT",
