@@ -31,6 +31,7 @@ _DEPRIORITIZED = [
     "moving_avg_value",           # W-frame extra; W1/W4 = running_max/lag
     "events_hourly_rollup",       # time-bucket extra; rollups = incremental_rollup
     "embedding_norm_stats",       # extra; ann_* rows cover vector ops
+    "winnowing_fp",               # 2nd fingerprint form; doc_fingerprint is primary
 ]
 
 

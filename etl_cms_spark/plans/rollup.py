@@ -91,3 +91,109 @@ class IncrementalRollup:
 
     def read(self) -> DataFrame:
         return self.table.read().select(*self.key_cols, *self.measures)
+
+
+class StateRollup:
+    """Retraction-capable continuous aggregate over CURRENT ROW STATE
+    (round-4: the mode ``IncrementalRollup`` documents as out of
+    scope) — e.g. "bytes in the LATEST versions per language", which
+    an additive fold over the changelog cannot maintain because an
+    update must RETRACT the old row's contribution.
+
+    Input is the lake's own CDC-out diff (``LakeTable.
+    changes_between``): Debezium-shaped rows with ``before`` /
+    ``after`` payload images.  Each refresh folds one diff:
+
+        delta(key) =  Σ measure(after-image)  —  Σ measure(before-image)
+
+    so updates subtract the old value and add the new, deletes only
+    subtract, inserts only add — including when the ROLLUP KEY itself
+    moved (the before-image subtracts from the old key, the
+    after-image adds to the new).  The signed fold is a single
+    map-side-combined hash agg over the diff (O(changed rows)), and
+    the merge back through the LakeTable epoch commit keeps
+    exactly-once / crash-resume / lineage, like IncrementalRollup.
+
+    ``row_measures`` maps output column -> per-ROW value expression
+    over (table key cols + payload cols), summed with sign: counts
+    are ``F.lit(1)``, sums are the summand (NOT an aggregate).
+    ``count_measure`` optionally names the measure that counts rows;
+    keys whose count reaches zero are tombstoned from the rollup
+    instead of lingering at 0.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_exprs: dict[str, Column],
+        row_measures: dict[str, Column],
+        count_measure: str | None = None,
+        n_buckets: int = 8,
+    ):
+        self.spark = spark
+        self.key_cols = list(key_exprs)
+        self.key_exprs = key_exprs
+        self.row_measures = row_measures
+        if count_measure is not None and count_measure not in row_measures:
+            raise ValueError(f"count_measure {count_measure!r} not in row_measures")
+        self.count_measure = count_measure
+        schema = {k: "string" for k in self.key_cols} | {
+            m: "long" for m in row_measures
+        }
+        self.table = LakeTable(spark, root, n_buckets)
+        if not self.table.exists():
+            self.table.create(self.key_cols, schema)
+
+    def apply_diff(self, diff: DataFrame, epoch: int) -> dict:
+        """Fold one ``changes_between`` diff into the rollup, exactly
+        once per ``epoch`` (use the source table's target version as
+        the epoch id for a natural idempotency key)."""
+        if str(epoch) in {str(e) for e in self.table.committed_epochs()}:
+            return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        key_top = [c for c in diff.columns if c not in ("op", "before", "after")]
+
+        def _side(image: str, sign: int) -> DataFrame:
+            rows = diff.where(F.col(image).isNotNull()).select(
+                *key_top, F.col(f"{image}.*")
+            )
+            return rows.select(
+                *[
+                    expr.cast("string").alias(name)
+                    for name, expr in self.key_exprs.items()
+                ],
+                *[
+                    (F.lit(sign) * v.cast("long")).alias(name)
+                    for name, v in self.row_measures.items()
+                ],
+            )
+
+        delta = (
+            _side("after", +1)
+            .unionByName(_side("before", -1))
+            .groupBy(*self.key_cols)
+            .agg(*[F.sum(m).alias(m) for m in self.row_measures])
+        )
+        current = self.table.read().select(
+            *self.key_cols,
+            *[F.col(m).alias(f"_cur_{m}") for m in self.row_measures],
+        )
+        new_vals = {
+            m: F.col(m) + F.coalesce(F.col(f"_cur_{m}"), F.lit(0))
+            for m in self.row_measures
+        }
+        op = F.lit("U")
+        if self.count_measure is not None:
+            op = F.when(
+                new_vals[self.count_measure] == 0, F.lit("D")
+            ).otherwise(F.lit("U"))
+        merged = delta.join(current, self.key_cols, "left").select(
+            *self.key_cols,
+            *[v.alias(m) for m, v in new_vals.items()],
+            op.alias("op"),
+            F.lit(int(epoch)).alias("lsn"),
+        )
+        return self.table.merge_epoch(merged, epoch)
+
+    def read(self) -> DataFrame:
+        return self.table.read().select(*self.key_cols, *self.row_measures)

@@ -1516,6 +1516,68 @@ def incremental_rollup(spark, sf_dir):
 
 
 @q(
+    "state_rollup",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch)
+    SELECT lang,
+           COUNT(*) AS n_files,
+           CAST(SUM(COALESCE(LENGTH(content), 0)) AS BIGINT) AS content_chars
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    GROUP BY lang
+    """,
+)
+def state_rollup(spark, sf_dir):
+    """RETRACTION-capable continuous aggregate (StateRollup): per-lang
+    file count and bytes over the LATEST live versions, maintained
+    incrementally from the lake's own CDC-out diff (add the after
+    image, subtract the before image — updates that move a key
+    between langs retract from the old lang).  The oracle is the
+    one-shot GROUP BY over the final snapshot: if any retraction were
+    missed, stale versions' contributions would survive and the hash
+    would differ."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.rollup import StateRollup
+    from etl_cms_spark.sink.lake import LakeTable
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="state_rollup_entry_")
+    try:
+        t = LakeTable(spark, f"{root}/files", n_buckets=8)
+        t.create(["repo", "path"], {"repo": "string", "path": "string",
+                                    "commit": "string", "lang": "string",
+                                    "content": "string"})
+        r = StateRollup(
+            spark,
+            f"{root}/rollup",
+            key_exprs={"lang": F.col("lang")},
+            row_measures={
+                "n_files": F.lit(1),
+                "content_chars": F.coalesce(F.length("content"), F.lit(0)),
+            },
+            count_measure="n_files",
+        )
+        hi = changes.agg(F.max("lsn")).first()[0]
+        width = (hi + 3) // 3
+        for e in range(3):
+            v_before = t._current_version()
+            t.merge_epoch(
+                changes.where(
+                    (F.col("lsn") >= e * width) & (F.col("lsn") < (e + 1) * width)
+                ),
+                e,
+            )
+            r.apply_diff(t.changes_between(v_before), epoch=e)
+        return r.read().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "cdc_stateful_stream",
     f"""
     WITH ch AS ({_oracle_changelog_sql()}),

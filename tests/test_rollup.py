@@ -70,3 +70,99 @@ def test_replay_and_resume_are_exactly_once(spark, tmp_root):
     exp = _expected(changes).select(*got.columns)
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------------------------------
+# StateRollup: retraction-capable aggregates over current row state
+# ---------------------------------------------------------------------
+
+from etl_cms_spark.plans.rollup import StateRollup
+from etl_cms_spark.sink.lake import LakeTable
+
+
+def _mk_state(spark, root):
+    return StateRollup(
+        spark,
+        root,
+        key_exprs={"lang": F.col("lang")},
+        row_measures={
+            "n_files": F.lit(1),
+            "content_chars": F.coalesce(F.length("content"), F.lit(0)),
+        },
+        count_measure="n_files",
+    )
+
+
+def _snapshot_agg(table):
+    return table.read().groupBy(F.col("lang").cast("string").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.coalesce(F.length("content"), F.lit(0))).cast("long").alias("content_chars"),
+    )
+
+
+def _mk_lake(spark, root):
+    t = LakeTable(spark, root, n_buckets=4)
+    t.create(["repo", "path"], {"repo": "string", "path": "string",
+                                "commit": "string", "lang": "string",
+                                "content": "string"})
+    return t
+
+
+def test_state_rollup_tracks_snapshot_through_updates_and_deletes(spark, tmp_root):
+    """Multi-epoch fold of the CDC-out diff == one-shot GROUP BY over
+    the final snapshot, with updates retracting old contributions."""
+    from tests.conftest import assert_df_equal
+
+    ch = gen_source_changes(spark, n_events=3000, n_keys=400, n_repos=10)
+    t = _mk_lake(spark, os.path.join(tmp_root, "sr_files"))
+    r = _mk_state(spark, os.path.join(tmp_root, "sr_roll"))
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    width = (hi - lo + 3) // 3
+    for e in range(3):
+        v0 = t._current_version()
+        t.merge_epoch(
+            ch.where((F.col("lsn") >= lo + e * width) & (F.col("lsn") < lo + (e + 1) * width)), e
+        )
+        r.apply_diff(t.changes_between(v0), epoch=e)
+    assert_df_equal(r.read(), _snapshot_agg(t), "state rollup == snapshot agg")
+
+
+def test_state_rollup_key_move_and_zero_count_tombstone(spark, tmp_root):
+    """An update moving a row between rollup keys retracts from the
+    old key; a key whose last row is deleted disappears (count-zero
+    tombstone)."""
+    rows1 = [
+        (1, "U", "r", "a", "c1", "sql", "select 1"),
+        (2, "U", "r", "b", "c2", "py", "print(1)"),
+    ]
+    rows2 = [
+        (11, "U", "r", "a", "c3", "py", "print(22)"),  # sql -> py move
+        (12, "D", "r", "b", None, None, None),          # delete a py row
+    ]
+    schema = ("lsn long, op string, repo string, path string, "
+              "commit string, lang string, content string")
+    t = _mk_lake(spark, os.path.join(tmp_root, "sr2_files"))
+    r = _mk_state(spark, os.path.join(tmp_root, "sr2_roll"))
+    for e, rows in enumerate([rows1, rows2]):
+        v0 = t._current_version()
+        t.merge_epoch(spark.createDataFrame(rows, schema), e)
+        r.apply_diff(t.changes_between(v0), epoch=e)
+    got = {row["lang"]: (row["n_files"], row["content_chars"]) for row in r.read().collect()}
+    # 'sql' had its only row move to py -> tombstoned out entirely
+    assert "sql" not in got
+    # py: +print(1) at e0; e1 adds print(22) (9 chars) and deletes print(1)
+    assert got == {"py": (1, 9)}
+
+
+def test_state_rollup_replay_is_noop(spark, tmp_root):
+    ch = gen_source_changes(spark, n_events=800, n_keys=100, n_repos=5)
+    t = _mk_lake(spark, os.path.join(tmp_root, "sr3_files"))
+    r = _mk_state(spark, os.path.join(tmp_root, "sr3_roll"))
+    v0 = t._current_version()
+    t.merge_epoch(ch, 0)
+    diff = t.changes_between(v0)
+    r.apply_diff(diff, epoch=0)
+    before = sorted(map(str, r.read().collect()))
+    rec = r.apply_diff(diff, epoch=0)
+    assert rec.get("skipped_duplicate_epoch")
+    assert sorted(map(str, r.read().collect())) == before
