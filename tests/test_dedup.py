@@ -114,3 +114,19 @@ def test_join_form_prunes_to_max_lsn(spark, changes):
     # every surviving row carries its key's max lsn (exact dups may
     # both survive; multiset of (key, lsn) pairs collapses to mx).
     assert_df_equal(out.select("repo", "path", "lsn").distinct(), mx, "join pruner")
+
+
+def test_dense_id_partition_autosizing():
+    """Round-3 verdict item 8: the range-partition count scales with
+    the input instead of pinning to shuffle.partitions — 10^10 keys
+    get thousands of partitions, small inputs keep the session floor."""
+    from etl_cms_spark.operators.dedup import (
+        _DENSE_ID_KEYS_PER_PART,
+        _dense_id_partitions,
+    )
+
+    assert _dense_id_partitions(1_000, floor=32) == 32
+    assert _dense_id_partitions(10 * _DENSE_ID_KEYS_PER_PART, floor=4) == 10
+    assert _dense_id_partitions(10_000_000_000, floor=200) == 2500
+    # ceil, not floor: one extra partial partition
+    assert _dense_id_partitions(_DENSE_ID_KEYS_PER_PART + 1, floor=1) == 2
