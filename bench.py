@@ -70,6 +70,7 @@ def run_cdc(
     bucketed: bool = False,
     demux: bool = False,
     demux_targeted: bool = False,
+    dedup_join: bool = False,
 ) -> dict:
     import shutil
     import tempfile
@@ -97,6 +98,7 @@ def run_cdc(
             p = CDCPipeline(
                 spark, root, n_buckets=64, salt_hot_keys=salt, demux_domains=demux,
                 demux_tombstones="targeted" if demux_targeted else "blanket",
+                dedup_mode="join" if dedup_join else "strict",
             )
             t0 = time.time()
             p.run_from_table(table)
@@ -109,6 +111,7 @@ def run_cdc(
             p = CDCPipeline(
                 spark, root, n_buckets=64, salt_hot_keys=salt, demux_domains=demux,
                 demux_tombstones="targeted" if demux_targeted else "blanket",
+                dedup_mode="join" if dedup_join else "strict",
             )
             staging = tempfile.mkdtemp(prefix="cdc_bench_stage_")
             # epoch-partitioned staging is PRODUCER work (mirrors the
@@ -127,6 +130,7 @@ def run_cdc(
             "bucketed_tail": bucketed,
             "demux": demux,
             "demux_targeted": demux_targeted,
+            "dedup_join": dedup_join,
             "seconds": round(dt, 2),
             "staging_seconds": round(staging_dt, 2),
             "events_per_sec": round(n_events / dt, 1),
@@ -339,7 +343,7 @@ def run_map_stage(spark, n_events: int) -> dict:
         shutil.rmtree(log_dir, ignore_errors=True)
 
 
-def main_cdc_only(cpus: int, n_events: int, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False) -> None:
+def main_cdc_only(cpus: int, n_events: int, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False, dedup_join: bool = False) -> None:
     global CPUS
     CPUS = cpus
     spark = _tuned_session(cpus)
@@ -347,14 +351,14 @@ def main_cdc_only(cpus: int, n_events: int, bucketed: bool = False, demux: bool 
     # the timed window measures SUSTAINED throughput (the metric), not
     # JVM/codegen/Python-worker cold start — a long-running tail pays
     # those once per process lifetime, not per epoch.
-    run_cdc(spark, n_events=max(50_000, n_events // 40), n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted)
-    res = run_cdc(spark, n_events=n_events, n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted)
+    run_cdc(spark, n_events=max(50_000, n_events // 40), n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted, dedup_join=dedup_join)
+    res = run_cdc(spark, n_events=n_events, n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted, dedup_join=dedup_join)
     res["cpus"] = cpus
     res["map_stage"] = run_map_stage(spark, n_events)
     print("CDC_RESULT " + json.dumps(res))
 
 
-def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False) -> dict:
+def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False, dedup_join: bool = False) -> dict:
     """Run the cdc-only worker; with repeats>1 keep the best run per
     level (this shared VM shows up to 2x run-to-run variance — best-of
     measures the machine's capability rather than its noise)."""
@@ -367,6 +371,8 @@ def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: 
             cmd.append("--demux")
         if demux_targeted:
             cmd.append("--demux-targeted")
+        if dedup_join:
+            cmd.append("--dedup-join")
         if pin and shutil_which("taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
@@ -403,6 +409,12 @@ def main_scaling(n_events: int) -> None:
     # round-2 Exchange-free dedup path).
     b2 = _run_level(2, n_events, pin=True, repeats=3, bucketed=True)
     b8p = _run_level(8, n_events, pin=True, repeats=3, bucketed=True)
+    # pair 1c: same pinned pair, JOIN-form dedup (max(lsn) hash agg +
+    # semi-join back — the round-3 advice experiment: the dedup
+    # shuffle carries (key,lsn) pairs instead of window-sorting
+    # payload rows).
+    j2 = _run_level(2, n_events, pin=True, repeats=3, dedup_join=True)
+    j8p = _run_level(8, n_events, pin=True, repeats=3, dedup_join=True)
     # pair 2 (driver-suggested proxy: local[8] vs local[32], unpinned):
     r8 = _run_level(8, n_events, pin=False, repeats=3)
     r32 = _run_level(32, n_events, pin=False, repeats=3)
@@ -423,6 +435,11 @@ def main_scaling(n_events: int) -> None:
             "throughput_4n": b8p["events_per_sec"],
             "efficiency": eff(b2["events_per_sec"], b8p["events_per_sec"]),
         },
+        "pair_2_to_8_pinned_join_dedup": {
+            "throughput_n": j2["events_per_sec"],
+            "throughput_4n": j8p["events_per_sec"],
+            "efficiency": eff(j2["events_per_sec"], j8p["events_per_sec"]),
+        },
         "pair_8_to_32": {
             "throughput_n": r8["events_per_sec"],
             "throughput_4n": r32["events_per_sec"],
@@ -440,6 +457,8 @@ def main_scaling(n_events: int) -> None:
             me28=report["pair_2_to_8_pinned"]["map_stage_efficiency"],
             bt2=b2["events_per_sec"], bt8p=b8p["events_per_sec"],
             be28=report["pair_2_to_8_pinned_bucketed"]["efficiency"],
+            jt2=j2["events_per_sec"], jt8p=j8p["events_per_sec"],
+            je28=report["pair_2_to_8_pinned_join_dedup"]["efficiency"],
             t8=r8["events_per_sec"], t32=r32["events_per_sec"],
             e832=report["pair_8_to_32"]["efficiency"],
             m8=r8["map_stage"]["events_per_sec"], m32=r32["map_stage"]["events_per_sec"],
@@ -462,6 +481,7 @@ shuffle dirs on tmpfs, AQE off for the epoch loop.
 |---|---|---|---|
 | end-to-end tail→merge (events/s) | {t2} | {t8p} | {e28} |
 | end-to-end, producer-BUCKETED tail (Exchange-free dedup) | {bt2} | {bt8p} | {be28} |
+| end-to-end, JOIN-form dedup (narrow (key,lsn) agg + semi-join) | {jt2} | {jt8p} | {je28} |
 | map stage only, shuffle-free (events/s) | {m2} | {m8p} | {me28} |
 
 ## Pair B — local[8] vs local[32] (driver-suggested proxy, unpinned)
@@ -543,6 +563,7 @@ if __name__ == "__main__":
             bucketed="--bucketed" in sys.argv,
             demux="--demux" in sys.argv or "--demux-targeted" in sys.argv,
             demux_targeted="--demux-targeted" in sys.argv,
+            dedup_join="--dedup-join" in sys.argv,
         )
     elif "--scaling" in sys.argv:
         n = int(os.environ.get("BENCH_CDC_EVENTS", "8000000"))

@@ -34,7 +34,7 @@ from typing import Any
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from etl_cms_spark.operators.dedup import latest_by_lsn_window
+from etl_cms_spark.operators.dedup import latest_by_lsn_join, latest_by_lsn_window
 from etl_cms_spark.operators.skew import salted_latest_by_lsn
 from etl_cms_spark.plans.mapping import map_concepts_join, map_concepts_udf
 from etl_cms_spark.sink.lake import LakeTable
@@ -86,6 +86,11 @@ class CDCPipeline:
           max(lsn)+semi-join 17.9 s end-to-end; the window sorts only
           (key, lsn) pairs within partitions while the struct
           aggregation sorts whole payload rows.
+        * "join" — max(lsn) hash-agg + semi-join back (operators.
+          dedup.latest_by_lsn_join): the dedup shuffle carries only
+          (key, lsn) pairs on the agg side instead of window-sorting
+          payload rows.  Exact duplicate (key, lsn) deliveries both
+          survive (byte-identical; the merge resolves them).
         * "merge" — no pre-dedup; the lake merge's per-key reduction
           subsumes it (one fewer shuffle; only wins when the update
           ratio is near 1 version/key).  Quarantine then logs every
@@ -258,6 +263,14 @@ class CDCPipeline:
             latest = latest_by_lsn_window(data, KEY_COLS, "lsn")
         elif self.dedup_mode == "salted":
             latest = salted_latest_by_lsn(data, KEY_COLS, "lsn")
+        elif self.dedup_mode == "join":
+            # max(lsn) hash-agg + semi-join back: shuffles only
+            # (key, lsn) pairs through the agg instead of sorting
+            # payload-bearing rows in the window — the round-3 advice
+            # experiment for the plain tail's shuffle efficiency.
+            # Exact duplicate (key, lsn) rows both survive (byte-
+            # identical; the merge resolves them deterministically).
+            latest = latest_by_lsn_join(data, KEY_COLS, "lsn")
         else:  # "merge": the lake merge's per-key reduction dedups.
             latest = data
 
