@@ -20,11 +20,12 @@ time travel, and compaction all come from the sink for free:
 * the merge rewrites only the buckets whose keys the epoch touched —
   cost ~ O(epoch distinct keys), never O(rollup history).
 
-Scope: monotone additive measures of the changelog itself (counts,
-sums over events) — each change event contributes once, so no
-retraction is needed.  Aggregates over CURRENT ROW STATE (e.g. "bytes
-in latest versions") need old-value retraction on update/delete;
-derive those from the main table snapshot instead.
+Scope: ``IncrementalRollup`` covers monotone additive measures of the
+changelog itself (counts, sums over events) — each change event
+contributes once, so no retraction is needed.  Aggregates over
+CURRENT ROW STATE (e.g. "bytes in latest versions") need old-value
+retraction on update/delete — that is ``StateRollup`` below, fed by
+the lake's own CDC-out diff (``LakeTable.changes_between``).
 """
 
 from __future__ import annotations
