@@ -334,7 +334,10 @@ class LakeTable:
         for f in sorted(os.listdir(self._manifest_dir)):
             if f.startswith("v") and f.endswith(".json"):
                 v = int(f[1:-5])
-                if v not in keep:
+                # v > cur is an in-flight commit's manifest written
+                # just before its CURRENT swap — live, same guard as
+                # the data dirs above.
+                if v not in keep and v <= cur:
                     os.remove(os.path.join(self._manifest_dir, f))
                     removed_manifests.append(v)
         return {

@@ -38,6 +38,20 @@ def main() -> None:
         help="route rows into per-domain destination tables",
     )
     ap.add_argument(
+        "--demux-tombstones",
+        choices=["targeted", "blanket"],
+        default="targeted",
+        help="cross-domain delete fan-out strategy (targeted = "
+        "previous-version lookup, order-independent; blanket = "
+        "brute-force every-domain fan-out)",
+    )
+    ap.add_argument(
+        "--dedup-mode",
+        choices=["strict", "salted", "join", "merge"],
+        default="strict",
+        help="per-epoch max-LSN dedup form (see CDCPipeline docstring)",
+    )
+    ap.add_argument(
         "--bucketed-table",
         default=None,
         help="read the changelog from a producer-bucketed catalog table "
@@ -57,7 +71,8 @@ def main() -> None:
         from etl_cms_spark.streaming.stream import start_stream
 
         q, pipeline = start_stream(
-            spark, args.changelog, args.lake, salt_hot_keys=args.salt
+            spark, args.changelog, args.lake, salt_hot_keys=args.salt,
+            demux_domains=args.demux_domains,
         )
         q.awaitTermination()
     else:
@@ -71,6 +86,8 @@ def main() -> None:
             merge_mode=args.merge_mode,
             compact_every=args.compact_every,
             demux_domains=args.demux_domains,
+            demux_tombstones=args.demux_tombstones,
+            dedup_mode=args.dedup_mode,
         )
         if args.bucketed_table:
             pipeline.run_from_table(args.bucketed_table)

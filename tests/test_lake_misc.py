@@ -282,3 +282,25 @@ def test_vacuum_skips_inflight_ahead_version(spark, tmp_root):
         f.write("x")
     p.table.vacuum(keep_last=1)
     assert os.path.exists(os.path.join(ahead, "part-inflight.parquet"))
+
+
+def test_vacuum_skips_inflight_ahead_manifest(spark, tmp_root):
+    """Same guard as the data dirs: a v{N+1}.json written by an
+    in-flight commit (just before its CURRENT swap) must survive
+    vacuum."""
+    import json
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = gen_source_changes(spark, n_events=1000, n_keys=100, n_repos=5)
+    root = os.path.join(tmp_root, "vac_inflight_m")
+    p = CDCPipeline(spark, root, n_buckets=4)
+    p.run(changes, n_epochs=2)
+    t = p.table
+    cur = t._current_version()
+    ahead = os.path.join(t._manifest_dir, f"v{cur + 1}.json")
+    with open(ahead, "w") as f:
+        json.dump({"version": cur + 1}, f)
+    p.table.vacuum(keep_last=1)
+    assert os.path.exists(ahead)
