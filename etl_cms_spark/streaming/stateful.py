@@ -131,3 +131,89 @@ def drain_latest_state(
     q.awaitTermination()
     emitted = spark.table(query_name)
     return latest_by_lsn_window(emitted, list(key_cols), lsn_col)
+
+
+def latest_by_key_tws(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    lsn_col: str = "lsn",
+    payload_cols: Sequence[str] | None = None,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """``latest_by_key_stateful`` on the Spark 4.x
+    ``transformWithStateInPandas`` API (round-4 streaming depth).
+
+    Same semantics — per-key max-LSN winner, emit only when the
+    winner advances — with what the new API adds over
+    ``applyInPandasWithState``:
+
+    * ``state_ttl_ms``: a state-store-enforced TTL on the per-key
+      value state.  For a 10^10-key corpus where most keys go cold,
+      TTL bounds the state store at O(recently-active keys) instead
+      of O(all keys ever seen).  Semantics after expiry: the next
+      event for an expired key looks fresh and re-emits —
+      acceptable for latest-state materialization (the lake merge
+      downstream still resolves by LSN), documented here because it
+      trades re-emission for bounded state.
+    * named state slots + schema'd values managed by the store (no
+      tuple packing), and timer support for future wakeup logic.
+
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (the TWS state backend) and the
+    ``protobuf`` package (the TWS state-server wire protocol —
+    pyspark[connect] ships it).  This container has no protobuf, so
+    the equality test skips here and runs wherever protobuf exists;
+    ``latest_by_key_stateful`` (applyInPandasWithState) is the fully
+    tested form with identical semantics minus TTL.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_list = list(key_cols)
+    pay = list(payload_cols) if payload_cols is not None else [
+        c for c in df.columns if c not in key_list and c != lsn_col
+    ]
+    schema = df.schema
+    out_schema = StructType(
+        [schema[c] for c in key_list] + [schema[lsn_col]] + [schema[c] for c in pay]
+    )
+    state_schema = StructType([schema[lsn_col]] + [schema[c] for c in pay])
+    out_cols = key_list + [lsn_col] + pay
+
+    class LatestByKey(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "latest", state_schema, ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._state.get() if self._state.exists() else None
+            best_lsn = cur[0] if cur is not None else None
+            best_payload = list(cur[1:]) if cur is not None else None
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                row = pdf.loc[pdf[lsn_col].idxmax()]
+                lsn = row[lsn_col]
+                if best_lsn is None or lsn > best_lsn:
+                    best_lsn = lsn
+                    best_payload = [row[c] for c in pay]
+            advanced = best_payload is not None and (
+                cur is None or best_lsn > cur[0]
+            )
+            if advanced:
+                self._state.update((best_lsn, *best_payload))
+                yield pd.DataFrame([[*key, best_lsn, *best_payload]], columns=out_cols)
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(*key_list).transformWithStateInPandas(
+        LatestByKey(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

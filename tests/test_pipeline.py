@@ -372,3 +372,49 @@ def test_demux_targeted_converges_under_any_epoch_order(spark, tmp_root):
                 ref.domain_state(d), p.domain_state(d), f"perm {perm} domain {d}"
             )
         assert_df_equal(ref.current_state(), p.current_state(), f"perm {perm} main")
+
+
+def test_crash_between_domain_and_main_commit_resumes(spark, tmp_root):
+    """The crash-resume ordering argument, exercised: domain tables
+    commit BEFORE the main merge, so a crash in that window leaves the
+    epoch partially applied — on re-offer the domain merges skip as
+    duplicates, the main merge applies, and the end state equals a
+    clean run's."""
+    import os
+
+    import pytest
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+
+    ch = gen_source_changes(spark, n_events=1000, n_keys=200, n_repos=8)
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    s0, s1 = ch.where(F.col("lsn") <= mid), ch.where(F.col("lsn") > mid)
+
+    root = os.path.join(tmp_root, "crashwin")
+    p = CDCPipeline(spark, root, n_buckets=4, demux_domains=True)
+    p.init_tables()
+    p.process_epoch(s0, 0)
+
+    orig = p.table.merge_epoch
+    p.table.merge_epoch = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("crash before main commit")
+    )
+    with pytest.raises(RuntimeError, match="crash before main commit"):
+        p.process_epoch(s1, 1)
+    p.table.merge_epoch = orig
+    # the crash window is real: domains committed epoch 1, main did not
+    assert "1" in {str(e) for e in next(iter(p.domain_tables.values())).committed_epochs()}
+    assert "1" not in {str(e) for e in p.table.committed_epochs()}
+
+    rec = p.process_epoch(s1, 1)  # resume
+    assert all(r.get("skipped_duplicate_epoch") for r in rec["domains"].values())
+
+    clean = CDCPipeline(spark, os.path.join(tmp_root, "crashwin_ref"), n_buckets=4,
+                        demux_domains=True)
+    clean.init_tables()
+    clean.process_epoch(s0, 0)
+    clean.process_epoch(s1, 1)
+    assert_df_equal(p.current_state(), clean.current_state(), "main converges")
+    for d in p.domains:
+        assert_df_equal(p.domain_state(d), clean.domain_state(d), f"domain {d}")

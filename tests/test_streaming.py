@@ -311,3 +311,59 @@ def test_stream_restart_demux_domains_exactly_once(spark, tmp_root):
     # and the split is exhaustive: domain rows sum to the main state.
     n_main = p2.current_state().count()
     assert sum(p2.domain_state(d).count() for d in p2.domains) == n_main
+
+
+def test_tws_latest_by_key_matches_batch_dedup(spark, tmp_root):
+    """transformWithStateInPandas form (Spark 4.x API): the final
+    per-key state after an availableNow drain equals the batch
+    max-LSN dedup — same contract as the applyInPandasWithState
+    form, on the new state backend (RocksDB provider + TTL'd value
+    state).  Skips where protobuf (the TWS state-server protocol's
+    dependency) is absent — this container."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from etl_cms_spark.operators.dedup import latest_by_lsn_window
+    from etl_cms_spark.streaming.stateful import latest_by_key_tws
+
+    changes = gen_source_changes(spark, n_events=2000, n_keys=300, n_repos=10)
+    data = changes.drop("schema_change")
+    log_dir = os.path.join(tmp_root, "tws_log")
+    data.repartition(4).write.parquet(log_dir)
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in data.schema)
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(log_dir)
+        )
+        updates = latest_by_key_tws(
+            stream, ["repo", "path"], "lsn", state_ttl_ms=3_600_000
+        )
+        q = (
+            updates.writeStream.queryName("t_tws_eq")
+            .format("memory")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        emitted = spark.table("t_tws_eq")
+        final = latest_by_lsn_window(emitted, ["repo", "path"], "lsn")
+        expected = latest_by_lsn_window(
+            spark.read.parquet(log_dir), ["repo", "path"], "lsn"
+        ).select(*final.columns)
+        assert final.exceptAll(expected).count() == 0
+        assert expected.exceptAll(final).count() == 0
+    finally:
+        if prev is not None:
+            spark.conf.set(prov_key, prev)
+        else:
+            spark.conf.unset(prov_key)
