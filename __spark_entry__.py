@@ -32,6 +32,7 @@ _DEPRIORITIZED = [
     "events_hourly_rollup",       # time-bucket extra; rollups = incremental_rollup
     "embedding_norm_stats",       # extra; ann_* rows cover vector ops
     "winnowing_fp",               # 2nd fingerprint form; doc_fingerprint is primary
+    "q5_local_supplier_volume",   # TPC-H breadth; q1/q3 + snowflake row cover the shapes
 ]
 
 

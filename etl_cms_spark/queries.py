@@ -1055,6 +1055,45 @@ def minhash_lsh_portable(spark, sf_dir):
     )
 
 
+@q(
+    "neardup_components",
+    f"""
+    WITH RECURSIVE
+    edges AS (SELECT id_a, id_b FROM ({_minhash_portable_oracle_sql()})),
+    sym AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION SELECT id_b AS a, id_a AS b FROM edges),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component_id,
+           (node = MIN(label)) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def neardup_components(spark, sf_dir):
+    """Dedup GROUPS from near-dup pairs (round 4): portable MinHash
+    LSH edges → iterative min-label-propagation connected components
+    → one canonical survivor per group (min doc id — deterministic
+    across replays AND engines; the oracle computes the same
+    components via a recursive-CTE transitive closure over the same
+    portable pairs).  The step a 100 TB dedup pipeline runs between
+    pair generation and corpus filtering; per round it is one
+    hash-join + one min-agg, lineage pinned per round, rounds =
+    component diameter."""
+    from etl_cms_spark.operators.graph import dedup_groups
+    from etl_cms_spark.operators.textdedup import minhash_lsh_pairs_portable
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id", "text")
+    both = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    pairs = minhash_lsh_pairs_portable(
+        both, "text", "doc_id", n_hashes=16, bands=4, verify_threshold=0.8
+    )
+    return dedup_groups(pairs)
+
+
 # ---- non-SQL-expressible ops (driver records rows-only checks) ----
 
 @q(
