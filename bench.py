@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "cdc_stateful_stream",
     "claim_cost_ppp",
     "incremental_rollup",
+    # round 4
+    "state_rollup",
+    "neardup_components",
 ]
 
 
