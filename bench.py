@@ -541,18 +541,16 @@ Shuffle-phase decomposition of the plain tail's sub-0.8 efficiency
 | plain tail | + ONE per-epoch dedup Exchange (window form) | {e28} |
 
 Round-4 addition — the join-form row is the round-3 advice
-experiment: shrink the dedup shuffle's payload by aggregating
-max(lsn) over narrow (key,lsn) pairs and semi-joining back, instead
-of window-sorting payload-bearing rows.  Measured pinned 2->8 at 4M
-events: join 0.706 (93.2k -> 263.2k ev/s) vs window 0.614
-(101.4k -> 249.2k ev/s) — the join form scales better and is FASTER
-at the 4N level, but loses ~25% absolute throughput at local[32]
-(16.1 s vs 12.3 s at 1M x 4 epochs) where its extra narrow shuffle
-contends more than the window's sort.  Decision: the window form
-stays the default (best absolute at production core counts; the
-bucketed tail remains the scaling-shaped path), and the join form
-ships as dedup_mode="join" for deployments where the 2->8-style
-scaling regime dominates.
+experiment: shrink the dedup shuffle by aggregating max(lsn) over
+narrow (key,lsn) pairs and semi-joining back, instead of
+window-sorting payload-bearing rows.  It scales markedly better
+than the window form (8M official run: 0.773 vs 0.535, 42% faster
+at 4N=8) but is ~25% slower at local[32] where its extra narrow
+exchanges contend once the box saturates.  The window form stays
+the default (best absolute at the benched core count; the
+producer-bucketed tail remains the production scaling path), and
+the join form ships as dedup_mode="join" for the few-cores-many-
+executors regime.
 
 The ONLY plan difference between the plain and bucketed rows is the
 per-epoch dedup shuffle (Exchange-free on the bucketed tail,
