@@ -555,7 +555,17 @@ class CDCPipeline:
         try:
             with ThreadPoolExecutor(max_workers=len(items)) as pool:
                 futs = {
-                    d: pool.submit(t.merge_epoch, _slice(d), epoch, stats=_stats_for(d))
+                    d: pool.submit(
+                        t.merge_epoch,
+                        _slice(d),
+                        epoch,
+                        stats=_stats_for(d),
+                        # MoR sinks: read-time per-key resolution
+                        # subsumes the batch-local reduction, so the
+                        # per-domain SortAggregate is skipped and each
+                        # merge is a pure repartition+write.
+                        skip_batch_dedup=(t.merge_mode == "mor"),
+                    )
                     for d, t in items
                 }
                 return {d: f.result() for d, f in futs.items()}

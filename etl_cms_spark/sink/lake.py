@@ -423,6 +423,7 @@ class LakeTable:
         lsn_col: str = "lsn",
         extra_lineage: dict | None = None,
         stats: dict | None = None,
+        skip_batch_dedup: bool = False,
     ) -> dict:
         """MERGE an epoch's deduped change batch into the table.
 
@@ -503,18 +504,32 @@ class LakeTable:
             (F.col(op_col) == "D").alias(_DELETED_COL),
         )
         payload = [c for c in up_norm.columns if c not in key_cols]
-        # one winner per key within the batch (SortAggregate over the
-        # batch only — exact duplicate (key, lsn) rows from
-        # at-least-once delivery are byte-identical, so ties resolve
-        # deterministically).
-        u = up_norm.groupBy(*key_cols).agg(
-            F.max_by(F.struct(*payload), F.col(_LSN_COL)).alias("_u")
-        )
-        if self.merge_mode == "mor":
-            # merge-on-read: the deduped batch IS the delta — no
-            # target read, no table-side shuffle.
+        if self.merge_mode == "mor" and skip_batch_dedup:
+            # MoR + caller-asserted near-deduped batch: the delta is
+            # written AS IS — the read path's per-key max-LSN
+            # resolution across base+deltas subsumes the batch-local
+            # reduction, so the per-merge SortAggregate (struct agg
+            # buffer) disappears entirely and the merge is a pure
+            # repartition+write.  Residual same-key rows (e.g. an
+            # upsert plus a higher-LSN routing tombstone) cost delta
+            # bytes, never correctness.  Invalid for CoW: the outer
+            # join needs one batch row per key.
+            winner = up_norm
+        elif self.merge_mode == "mor":
+            # one winner per key within the batch (SortAggregate over
+            # the batch only — exact duplicate (key, lsn) rows from
+            # at-least-once delivery are byte-identical, so ties
+            # resolve deterministically).  merge-on-read: the deduped
+            # batch IS the delta — no target read, no table-side
+            # shuffle.
+            u = up_norm.groupBy(*key_cols).agg(
+                F.max_by(F.struct(*payload), F.col(_LSN_COL)).alias("_u")
+            )
             winner = u.select(*key_cols, *[F.col(f"_u.{c}").alias(c) for c in payload])
         else:
+            u = up_norm.groupBy(*key_cols).agg(
+                F.max_by(F.struct(*payload), F.col(_LSN_COL)).alias("_u")
+            )
             target = self._read_buckets(manifest, changed_buckets)
             # max-LSN wins per key (E5 + MERGE); deletes persist as
             # tombstone rows so out-of-order replays cannot resurrect
