@@ -74,10 +74,18 @@ def make_concept_mapper(spark: SparkSession, mapping: dict[str, tuple[int, str]]
     return map_lang
 
 
-def map_concepts_udf(spark: SparkSession, df: DataFrame, lang_col: str = "lang") -> DataFrame:
+def map_concepts_udf(
+    spark: SparkSession,
+    df: DataFrame,
+    lang_col: str = "lang",
+    mapping: dict[str, tuple[int, str]] | None = None,
+) -> DataFrame:
     """Attach (concept_id, domain) via the broadcast-dict Arrow UDF;
-    also stamps the per-row sha256 content invariant."""
-    mapper = make_concept_mapper(spark)
+    also stamps the per-row sha256 content invariant.  ``mapping``
+    overrides the default concept dictionary (vocabulary updates —
+    e.g. the quarantine repair flow after a code system gained the
+    missing entries)."""
+    mapper = make_concept_mapper(spark, mapping)
     out = df.withColumn("_m", mapper(F.col(lang_col)))
     return (
         out.withColumn("concept_id", F.col("_m.concept_id"))
@@ -87,10 +95,16 @@ def map_concepts_udf(spark: SparkSession, df: DataFrame, lang_col: str = "lang")
     )
 
 
-def map_concepts_join(spark: SparkSession, df: DataFrame, lang_col: str = "lang") -> DataFrame:
+def map_concepts_join(
+    spark: SparkSession,
+    df: DataFrame,
+    lang_col: str = "lang",
+    mapping: dict[str, tuple[int, str]] | None = None,
+) -> DataFrame:
     """Equivalent broadcast-hash-join form (Catalyst-visible)."""
+    m = mapping if mapping is not None else CONCEPT_MAP
     dim = spark.createDataFrame(
-        [(k, v[0], v[1]) for k, v in CONCEPT_MAP.items()],
+        [(k, v[0], v[1]) for k, v in m.items()],
         f"{lang_col} string, concept_id int, domain string",
     )
     out = df.join(F.broadcast(dim), lang_col, "left")

@@ -74,6 +74,7 @@ class CDCPipeline:
         demux_tombstones: str = "targeted",
         domain_merge_mode: str | None = None,
         detailed_lineage: bool = False,
+        extra_mappings: dict[str, tuple[int, str]] | None = None,
     ):
         """dedup_mode:
         * "strict" (default) — max-LSN dedup before mapping.  Measured
@@ -166,6 +167,13 @@ class CDCPipeline:
         self.checkpoint_path = os.path.join(root, "_checkpoint.json")
         self.salt_hot_keys = salt_hot_keys
         self.mapper = mapper
+        # vocabulary updates: the concept dictionary this pipeline
+        # maps with = the base CONCEPT_MAP plus any entries added
+        # since (the repair flow re-offers quarantined rows under the
+        # extended dictionary).
+        from etl_cms_spark.plans.mapping import CONCEPT_MAP
+
+        self.mapping = {**CONCEPT_MAP, **(extra_mappings or {})}
         self.dedup_mode = "salted" if salt_hot_keys else dedup_mode
         if demux_domains and demux_tombstones == "targeted" and self.dedup_mode == "merge":
             # targeted routing reasons about ONE row per key per
@@ -279,7 +287,7 @@ class CDCPipeline:
         #    merge) — without the cache the dedup shuffle + UDF would
         #    re-execute per job.
         map_fn = map_concepts_udf if self.mapper == "udf" else map_concepts_join
-        mapped = map_fn(self.spark, latest).persist()
+        mapped = map_fn(self.spark, latest, mapping=self.mapping).persist()
         try:
             # 4. route: unmapped upserts leave the main table (delete)
             #    and land in the quarantine log.  All lineage stats
@@ -737,6 +745,33 @@ class CDCPipeline:
 
     def quarantine(self) -> DataFrame:
         return self.spark.read.parquet(self.quarantine_dir)
+
+    def reprocess_quarantine(self, source_epoch: int, repair_epoch: int) -> dict:
+        """Repair flow: re-offer one quarantined epoch slice through
+        the full pipeline after the concept dictionary gained the
+        missing entries (construct the pipeline with
+        ``extra_mappings``).
+
+        The reference's unmapped_code_log is write-only — rows lost
+        to a vocabulary gap stay lost until a full re-run.  Here the
+        quarantined rows keep their ORIGINAL LSNs, so re-offering
+        them as a fresh (exactly-once) epoch converges correctly
+        against everything that happened since: the original epoch
+        tombstoned the unmapped key at LSN L, the repair's upsert at
+        the same L wins the merge tie (batch beats table at equal
+        LSN), and any LATER source update at L' > L still outranks
+        the repaired row.  Rows whose lang is STILL unmapped simply
+        re-quarantine under ``repair_epoch``."""
+        qdir = os.path.join(self.quarantine_dir, f"epoch={source_epoch}")
+        rows = self.spark.read.parquet(qdir)
+        # strip bookkeeping + previously-derived mapping columns: the
+        # repair re-derives them under the current dictionary.
+        drop = [
+            c
+            for c in ("epoch", "_quar", "concept_id", "domain", "content_sha")
+            if c in rows.columns
+        ]
+        return self.process_epoch(rows.drop(*drop), repair_epoch)
 
 
 def stage_changelog_bucketed(

@@ -603,11 +603,36 @@ class LakeTable:
         self._commit_manifest(manifest)
         return rec
 
+    # lossless type promotions (Iceberg's schema-evolution rules):
+    # anything else would silently truncate old data on read.
+    _WIDENINGS = {
+        ("short", "int"), ("short", "long"), ("short", "double"),
+        ("int", "long"), ("int", "double"),
+        ("long", "double"),
+        ("float", "double"),
+    }
+
     def apply_schema_change(self, change: dict, epoch: int | None = None) -> None:
-        """``{"add": "name:type"}`` or ``{"rename": "old:new"}`` —
-        metadata-only commit, no data rewrite (Iceberg-style)."""
+        """``{"add": "name:type"}``, ``{"rename": "old:new"}`` or
+        ``{"widen": "name:type"}`` — metadata-only commit, no data
+        rewrite (Iceberg-style).  ``widen`` promotes a column to a
+        wider type from the allowlisted lossless set; physical files
+        keep the old type and ``_normalize`` casts on read, exactly
+        like renames."""
         manifest = self._load_manifest()
-        if "add" in change:
+        if "widen" in change:
+            name, typ = change["widen"].split(":", 1)
+            cur = manifest["schema"].get(name)
+            if cur is None:
+                raise ValueError(f"widen: no such column {name!r}")
+            if cur != typ:
+                if (cur, typ) not in self._WIDENINGS:
+                    raise ValueError(
+                        f"widen {name}: {cur} -> {typ} is not a lossless "
+                        f"promotion (allowed: {sorted(self._WIDENINGS)})"
+                    )
+                manifest["schema"][name] = typ
+        elif "add" in change:
             name, typ = change["add"].split(":", 1)
             if name not in manifest["schema"]:
                 manifest["schema"][name] = typ

@@ -418,3 +418,80 @@ def test_crash_between_domain_and_main_commit_resumes(spark, tmp_root):
     assert_df_equal(p.current_state(), clean.current_state(), "main converges")
     for d in p.domains:
         assert_df_equal(p.domain_state(d), clean.domain_state(d), f"domain {d}")
+
+
+def test_widen_schema_evolution_mid_stream(spark, tmp_root):
+    """{"widen": "col:type"} promotes a column losslessly (int→long)
+    as a metadata-only commit: old files keep int, reads cast, later
+    epochs write long, replay across the boundary converges."""
+    import os
+
+    import pytest
+
+    from etl_cms_spark.fixtures.generator import gen_schema_events, gen_source_changes
+
+    base = gen_source_changes(spark, n_events=800, n_keys=150, n_repos=5)
+    lo, hi = base.agg(F.min("lsn"), F.max("lsn")).first()
+    sev = gen_schema_events(spark, {int((lo + hi) // 2): '{"widen": "concept_id:long"}'})
+    full = base.unionByName(sev)
+    root = os.path.join(tmp_root, "widen")
+    p = CDCPipeline(spark, root, n_buckets=4)
+    p.run(full, n_epochs=2)
+    st = p.current_state()
+    assert dict(st.dtypes)["concept_id"] == "bigint"
+    # replay from scratch over the same changelog is a no-op
+    p2 = CDCPipeline(spark, root, n_buckets=4)
+    recs = p2.run(full, n_epochs=2)
+    assert all(r.get("skipped_duplicate_epoch") for r in recs)
+    # lossy demotion is refused
+    with pytest.raises(ValueError, match="not a lossless"):
+        p.table.apply_schema_change({"widen": "concept_id:int"})
+
+
+def test_quarantine_repair_flow(spark, tmp_root):
+    """Vocabulary-update repair: rows quarantined for a missing lang
+    re-enter through reprocess_quarantine once the dictionary gains
+    the entry — keeping their original LSNs so later source updates
+    still outrank them; replay of the repair epoch is a no-op."""
+    import os
+
+    rows = [
+        # key (r, f): lua (unmapped at ingest time), v1
+        (10, "U", "r", "f", "c1", "lua", "print(1)", None),
+        # key (r, g): mapped normally
+        (11, "U", "r", "g", "c2", "sql", "select 1", None),
+        # key (r, h): lua v1 then a LATER sql version — repair of v1
+        # must not overwrite the newer version
+        (12, "U", "r", "h", "c3", "lua", "old lua", None),
+        (20, "U", "r", "h", "c4", "sql", "new sql", None),
+    ]
+    ch = spark.createDataFrame(
+        rows,
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, schema_change string",
+    )
+    root = os.path.join(tmp_root, "repair")
+    p = CDCPipeline(spark, root, n_buckets=4)
+    p.init_tables()
+    # epoch 0: the lua rows + the sql row; epoch 1: the newer sql
+    # version of (r, h).  (Within ONE epoch the pre-dedup would drop
+    # the older lua version of (r, h) before it could quarantine.)
+    p.process_epoch(ch.where(F.col("lsn") <= 12), 0)
+    p.process_epoch(ch.where(F.col("lsn") > 12), 1)
+    state0 = {(r["repo"], r["path"]) for r in p.current_state().collect()}
+    assert ("r", "f") not in state0  # quarantined
+    assert p.quarantine().count() == 2  # both lua rows
+
+    # the dictionary gains lua; a NEW pipeline (vocab update) repairs
+    p2 = CDCPipeline(
+        spark, root, n_buckets=4, extra_mappings={"lua": (9901, "script")}
+    )
+    rec = p2.reprocess_quarantine(source_epoch=0, repair_epoch=1000)
+    assert not rec.get("skipped_duplicate_epoch")
+    cur = {(r["repo"], r["path"]): r for r in p2.current_state().collect()}
+    assert cur[("r", "f")]["lang"] == "lua" and cur[("r", "f")]["concept_id"] == 9901
+    # the later sql version of (r, h) survived the lower-LSN repair
+    assert cur[("r", "h")]["content"] == "new sql"
+    # repair epoch is exactly-once
+    rec2 = p2.reprocess_quarantine(source_epoch=0, repair_epoch=1000)
+    assert rec2.get("skipped_duplicate_epoch")
