@@ -74,6 +74,7 @@ def run_cdc(
     demux: bool = False,
     demux_targeted: bool = False,
     dedup_join: bool = False,
+    key_skew: float = 0.0,
 ) -> dict:
     import shutil
     import tempfile
@@ -82,7 +83,7 @@ def run_cdc(
     from etl_cms_spark.plans.pipeline import CDCPipeline, stage_changelog_bucketed
 
     n_keys = max(200, n_events // 5)
-    changes = gen_source_changes(spark, n_events=n_events, n_keys=n_keys, n_repos=100)
+    changes = gen_source_changes(spark, n_events=n_events, n_keys=n_keys, n_repos=100, key_skew=key_skew)
     log_dir = tempfile.mkdtemp(prefix="cdc_bench_log_")
     root = tempfile.mkdtemp(prefix="cdc_bench_lake_")
     table = None
@@ -134,6 +135,7 @@ def run_cdc(
             "demux": demux,
             "demux_targeted": demux_targeted,
             "dedup_join": dedup_join,
+            "key_skew": key_skew,
             "seconds": round(dt, 2),
             "staging_seconds": round(staging_dt, 2),
             "events_per_sec": round(n_events / dt, 1),
@@ -277,6 +279,20 @@ def main_bench() -> None:
     small_dx_t = run_small_batch(spark, n_base=n_cdc, n_batch=n_cdc // 20, mode="cow", demux=True, demux_targeted=True)
     timings["cdc_small_batch_demux_blanket"] = small_dx_b["merge_seconds"]
     timings["cdc_small_batch_demux_targeted"] = small_dx_t["merge_seconds"]
+    # hot-key changelog (power-law keys — a megarepo; the hottest
+    # key takes ~a third of all events at skew 3-10): plain window
+    # dedup vs the salted two-phase form.  Measured finding (r4): at
+    # benchable scale the window form absorbs even a 30%-of-events
+    # key (a 600k-row sort of narrow (key,lsn) pairs is cheap), so
+    # salting's extra shuffle is pure premium (~25-45% slower) —
+    # it's insurance for the 10^8-rows-per-key regime where one
+    # reducer's input exceeds executor memory.  Both rows are
+    # recorded so the trade is a number; salted==strict equality is
+    # property-tested (tests/test_dedup.py, tests/test_properties.py).
+    skew_w = run_cdc(spark, n_events=n_cdc // 2, key_skew=3.0)
+    skew_s = run_cdc(spark, n_events=n_cdc // 2, salt=True, key_skew=3.0)
+    timings["cdc_hotkey_window"] = skew_w["seconds"]
+    timings["cdc_hotkey_salted"] = skew_s["seconds"]
     total = round(time.time() - total0, 2)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -294,6 +310,7 @@ def main_bench() -> None:
                 "cdc_small_batch": {"cow": small_cow, "mor": small_mor,
                                      "demux_blanket": small_dx_b,
                                      "demux_targeted": small_dx_t},
+                "cdc_hotkey": {"window": skew_w, "salted": skew_s},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": CPUS,
             }
