@@ -476,8 +476,10 @@ class CDCPipeline:
                 F.col("_lsn").alias("_prev_lsn"),
                 F.col("_deleted").alias("_prev_del"),
             )
+            # SHUFFLE_HASH: both sides are narrow (key/domain/lsn);
+            # the hash build avoids SMJ's per-partition sorts of both.
             keyinfo = mapped.select(*KEY_COLS, "lsn", "op", "domain").join(
-                prev, KEY_COLS, "left"
+                prev.hint("SHUFFLE_HASH"), KEY_COLS, "left"
             )
             fresh = F.col("_prev_lsn").isNull() | (
                 F.col("lsn") >= F.col("_prev_lsn")
