@@ -1603,14 +1603,15 @@ def state_rollup(spark, sf_dir):
         hi = changes.agg(F.max("lsn")).first()[0]
         width = (hi + 3) // 3
         for e in range(3):
-            v_before = t._current_version()
             t.merge_epoch(
                 changes.where(
                     (F.col("lsn") >= e * width) & (F.col("lsn") < (e + 1) * width)
                 ),
                 e,
             )
-            r.apply_diff(t.changes_between(v_before), epoch=e)
+            # bucket-pruned per-epoch CDC-out: O(changed buckets),
+            # not O(both snapshots)
+            r.apply_diff(t.changes_for_epoch(e), epoch=e)
         return r.read().localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)

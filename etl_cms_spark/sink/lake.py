@@ -253,10 +253,10 @@ class LakeTable:
         m = self._load_manifest()
         return self._read_buckets(m, bucket_ids).drop(_BUCKET_COL)
 
-    def read_at(self, version: int) -> DataFrame:
-        """Time travel: read an older snapshot."""
+    def read_at(self, version: int, bucket_ids: list[int] | None = None) -> DataFrame:
+        """Time travel: read an older snapshot (optionally bucket-pruned)."""
         m = self._load_manifest(version)
-        df = self._read_buckets(m, None)
+        df = self._read_buckets(m, bucket_ids)
         return df.where(~F.col(_DELETED_COL)).drop(_LSN_COL, _BUCKET_COL, _DELETED_COL)
 
     def rollback(self, version: int) -> int:
@@ -346,7 +346,12 @@ class LakeTable:
             "removed_manifests": removed_manifests,
         }
 
-    def changes_between(self, v_from: int, v_to: int | None = None) -> DataFrame:
+    def changes_between(
+        self,
+        v_from: int,
+        v_to: int | None = None,
+        bucket_ids: list[int] | None = None,
+    ) -> DataFrame:
         """CDC OUT — export the row-level diff between two snapshots
         as a Debezium-shaped changelog: key columns + ``op``
         ('I'/'U'/'D') + ``before``/``after`` payload structs (before
@@ -356,20 +361,26 @@ class LakeTable:
 
         Implementation is a snapshot diff (FULL OUTER join of the two
         live states on the key, bucket-aligned on both sides so the
-        join shuffles each snapshot once at most).  For CONSECUTIVE
-        epochs prefer tailing the source changelog itself — a
-        snapshot diff is O(both snapshots) and is the right tool for
+        join shuffles each snapshot once at most), optionally pruned
+        to ``bucket_ids``.  For CONSECUTIVE epochs use
+        ``changes_for_epoch`` — it prunes the diff to the epoch's
+        changed buckets, making the export O(changed buckets) instead
+        of O(both snapshots); the unpruned form is the right tool for
         arbitrary version pairs (backfills, audits, late consumers).
         """
         m = self._load_manifest()
         key_cols = m["key_cols"]
         payload = [c for c in m["schema"] if c not in key_cols]
-        old = self.read_at(v_from).select(
+        old = self.read_at(v_from, bucket_ids).select(
             *key_cols,
             F.lit(True).alias("_b_present"),
             F.struct(*[F.col(c).alias(c) for c in payload]).alias("before"),
         )
-        new = (self.read_at(v_to) if v_to is not None else self.read()).select(
+        new = (
+            self.read_at(v_to, bucket_ids)
+            if v_to is not None
+            else self.read(bucket_ids=bucket_ids)
+        ).select(
             *key_cols,
             F.lit(True).alias("_a_present"),
             F.struct(*[F.col(c).alias(c) for c in payload]).alias("after"),
@@ -387,6 +398,24 @@ class LakeTable:
             .where(F.col("op").isNotNull())
             .select(*key_cols, "op", "before", "after")
         )
+
+    def changes_for_epoch(self, epoch: int) -> DataFrame:
+        """CDC OUT for ONE committed epoch, bucket-pruned: reads the
+        epoch's lineage record for its snapshot version and changed
+        buckets and diffs only those buckets of (v-1, v).  Changes
+        can only occur in buckets the merge touched, so the result is
+        identical to the full ``changes_between(v-1, v)`` at
+        O(changed buckets) cost — the incremental feed a downstream
+        consumer (e.g. plans.rollup.StateRollup) tails per epoch."""
+        m = self._load_manifest()
+        rec = m["epochs"].get(str(epoch))
+        if rec is None:
+            raise ValueError(f"epoch {epoch} is not committed")
+        v = rec["snapshot_version"]
+        buckets = rec.get("changed_buckets")
+        if not buckets:  # empty or schema-change commit: no row changes
+            return self.changes_between(v, v)
+        return self.changes_between(v - 1, v, bucket_ids=[int(b) for b in buckets])
 
     def lookup(self, key_values: dict[str, Any]) -> DataFrame:
         """Point lookup by full key: hash the key to its bucket on the

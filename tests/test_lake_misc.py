@@ -304,3 +304,38 @@ def test_vacuum_skips_inflight_ahead_manifest(spark, tmp_root):
         json.dump({"version": cur + 1}, f)
     p.table.vacuum(keep_last=1)
     assert os.path.exists(ahead)
+
+
+def test_changes_for_epoch_equals_full_diff(spark, tmp_root):
+    """Bucket-pruned per-epoch CDC-out == the unpruned snapshot diff
+    (changes only occur in buckets the merge touched)."""
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.sink.lake import LakeTable
+    from pyspark.sql import functions as F
+    from tests.conftest import assert_df_equal
+
+    ch = gen_source_changes(spark, n_events=2000, n_keys=300, n_repos=10)
+    root = os.path.join(tmp_root, "cfe")
+    t = LakeTable(spark, root, n_buckets=16)
+    t.create(["repo", "path"], {"repo": "string", "path": "string",
+                                "commit": "string", "lang": "string",
+                                "content": "string"})
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    t.merge_epoch(ch.where(F.col("lsn") <= mid), 0)
+    v1 = t._current_version()
+    t.merge_epoch(ch.where(F.col("lsn") > mid), 1)
+    v2 = t._current_version()
+
+    flat = lambda d: d.select(  # noqa: E731
+        "repo", "path", "op",
+        F.col("before.commit").alias("bc"), F.col("after.commit").alias("ac"),
+    )
+    assert_df_equal(
+        flat(t.changes_for_epoch(1)),
+        flat(t.changes_between(v1, v2)),
+        "pruned == full diff",
+    )
+    # epoch 0: diff against the empty v0 — all inserts
+    d0 = t.changes_for_epoch(0)
+    assert d0.where(F.col("op") != "I").count() == 0
