@@ -33,6 +33,7 @@ _DEPRIORITIZED = [
     "embedding_norm_stats",       # extra; ann_* rows cover vector ops
     "winnowing_fp",               # 2nd fingerprint form; doc_fingerprint is primary
     "q5_local_supplier_volume",   # TPC-H breadth; q1/q3 + snowflake row cover the shapes
+    "json_extract_props",         # scalar breadth; scalar_suite is the F-row primary
 ]
 
 

@@ -1094,6 +1094,49 @@ def neardup_components(spark, sf_dir):
     return dedup_groups(pairs)
 
 
+@q(
+    "corpus_dedup_filtered",
+    f"""
+    WITH RECURSIVE
+    both_copies AS (
+      SELECT doc_id FROM documents WHERE doc_id < 300
+      UNION ALL SELECT doc_id + 100000 FROM documents WHERE doc_id < 300),
+    edges AS (SELECT id_a, id_b FROM ({_minhash_portable_oracle_sql()})),
+    sym AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION SELECT id_b AS a, id_a AS b FROM edges),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    drop_set AS (
+      SELECT node AS doc_id FROM reach GROUP BY node
+      HAVING node <> MIN(label)
+    )
+    SELECT b.doc_id FROM both_copies b
+    LEFT JOIN drop_set d ON b.doc_id = d.doc_id
+    WHERE d.doc_id IS NULL
+    """,
+)
+def corpus_dedup_filtered(spark, sf_dir):
+    """The dedup chain END TO END — the corpus a training run would
+    actually consume: MinHash-LSH pairs → connected components → drop
+    every non-canonical group member, keep canonical survivors AND
+    edge-free uniques.  One anti-join against the (small) drop set;
+    the corpus side never shuffles."""
+    from etl_cms_spark.operators.graph import dedup_groups
+    from etl_cms_spark.operators.textdedup import minhash_lsh_pairs_portable
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id", "text")
+    both = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    pairs = minhash_lsh_pairs_portable(
+        both, "text", "doc_id", n_hashes=16, bands=4, verify_threshold=0.8
+    )
+    drop = dedup_groups(pairs).where(~F.col("is_canonical")).select("doc_id")
+    return both.select("doc_id").join(F.broadcast(drop), "doc_id", "left_anti")
+
+
 # ---- non-SQL-expressible ops (driver records rows-only checks) ----
 
 @q(
