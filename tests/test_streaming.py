@@ -367,3 +367,78 @@ def test_tws_latest_by_key_matches_batch_dedup(spark, tmp_root):
             spark.conf.set(prov_key, prev)
         else:
             spark.conf.unset(prov_key)
+
+
+def test_streaming_session_windows_match_batch_sessionize(spark, tmp_root):
+    """Structured Streaming session windows (F.session_window 30-min
+    gap + watermark, append mode) produce the same per-user session
+    count and sizes as the batch lag-based sessionizer — the
+    streaming form of the `sessionize_30m` operator."""
+    from etl_cms_spark.operators.eras import sessionize
+
+    changes = gen_source_changes(spark, n_events=1500, n_keys=200, n_repos=10)
+    # sub-second deterministic jitter: kills exact gap-boundary ties,
+    # where the lag-form (`>` = same session) and session_window
+    # (close at last+gap = new session) legitimately differ.
+    jitter = (F.pmod(F.xxhash64("lsn"), F.lit(997)) * F.expr("INTERVAL 1 MILLISECOND"))
+    ev = changes.select(
+        F.xxhash64("repo").alias("user_id"), (F.col("ts") + jitter).alias("ts")
+    ).where(F.col("ts").isNotNull())
+    # append-mode session windows only FINALIZE when the watermark
+    # passes last_event + gap — a drained finite stream can never
+    # flush each user's last session on its own.  A per-user SENTINEL
+    # event far in the future forces every real session closed; the
+    # sentinel's own (still-open) session is excluded below.
+    sentinel_ts = ev.agg(F.max("ts")).first()[0] + __import__("datetime").timedelta(days=30)
+    sentinels = ev.select("user_id").distinct().withColumn("ts", F.lit(sentinel_ts))
+    log_dir = os.path.join(tmp_root, "sess_log")
+    ev.repartition(3).write.parquet(log_dir)
+    import glob as _glob
+    import time as _time
+
+    for f in _glob.glob(os.path.join(log_dir, "*.parquet")):
+        os.utime(f, (_time.time() - 1000, _time.time() - 1000))
+    sentinels.coalesce(1).write.mode("append").parquet(log_dir)
+    # the file source orders micro-batches by mtime: the sentinel file
+    # MUST arrive last or its watermark jump drops every real event.
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir)
+        # > the data's full event-time span (files arrive in arbitrary
+        # order -> nothing real drops late) and << the sentinel's
+        # +30d jump (so the jump still finalizes every real session).
+        .withWatermark("ts", "7 days")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        stream.writeStream.queryName("t_sessions")
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.table("t_sessions")
+        .where(F.col("w.start") < F.lit(sentinel_ts))  # drop sentinel sessions
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    batch = (
+        sessionize(
+            spark.read.parquet(log_dir).where(F.col("ts") < F.lit(sentinel_ts)),
+            ["user_id"], "ts", "30 minutes",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("event_count").alias("n_events"),
+        )
+    )
+    assert_df_equal(got, batch, "stream session windows == batch sessionize")
