@@ -375,3 +375,89 @@ def test_lake_soak_random_op_interleavings(spark, tmp_path_factory, script, mor)
     got = t.read().select(*model.columns)
     assert got.exceptAll(model).count() == 0
     assert model.exceptAll(got).count() == 0
+
+
+lake_script_v2 = st.lists(
+    st.sampled_from(["epoch", "compact", "rollback", "replay", "widen", "vacuum"]),
+    min_size=4,
+    max_size=8,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(script=lake_script_v2, mor=st.booleans())
+def test_lake_soak_with_schema_and_gc(spark, tmp_path_factory, script, mor):
+    """Round-4 soak extension: the round-3 alphabet plus WIDEN (a
+    lossless int→long type promotion mid-stream — metadata-only, so
+    the model only changes by a cast) and VACUUM (snapshot-expiry GC,
+    which must never disturb the current state; rollback respects the
+    documented vacuum-horizon contract by checking the target
+    manifest still exists)."""
+    import os as _os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.operators.dedup import latest_by_lsn_window
+    from etl_cms_spark.sink.lake import LakeTable
+
+    changes = (
+        gen_source_changes(spark, n_events=600, n_keys=120, n_repos=6)
+        .drop("schema_change", "ts")
+        .withColumn("size", F.coalesce(F.length("content"), F.lit(0)).cast("int"))
+        .cache()
+    )
+    n_epochs = 3
+    hi = changes.agg(F.max("lsn")).first()[0]
+    width = (hi + n_epochs) // n_epochs
+    batches = [
+        changes.where((F.col("lsn") >= e * width) & (F.col("lsn") < (e + 1) * width))
+        for e in range(n_epochs)
+    ]
+    root = str(tmp_path_factory.mktemp("soak2"))
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable(spark, root, n_buckets=4, merge_mode="mor" if mor else "cow")
+    t.create(["repo", "path"], {
+        "repo": "string", "path": "string", "commit": "string",
+        "lang": "string", "content": "string", "size": "int",
+    })
+
+    def offer(e):
+        t.merge_epoch(batches[e], e)
+
+    next_epoch = 0
+    for op in script:
+        if op == "epoch" and next_epoch < n_epochs:
+            offer(next_epoch)
+            next_epoch += 1
+        elif op == "compact" and t.merge_mode == "mor":
+            t.compact()
+        elif op == "rollback" and t.lineage():
+            v = t.lineage()[0]["snapshot_version"]
+            if _os.path.exists(_os.path.join(t._manifest_dir, f"v{v}.json")):
+                t.rollback(v)
+                for e in range(n_epochs):
+                    offer(e)
+                next_epoch = n_epochs
+        elif op == "replay":
+            for e in range(next_epoch):
+                offer(e)
+        elif op == "widen":
+            t.apply_schema_change({"widen": "size:long"})
+        elif op == "vacuum":
+            t.vacuum(keep_last=2)
+    for e in range(next_epoch, n_epochs):
+        offer(e)
+
+    model = latest_by_lsn_window(changes, ["repo", "path"], "lsn").where(
+        F.col("op") != "D"
+    ).select(
+        "repo", "path", "commit", "lang", "content",
+        F.col("size").cast("long").alias("size"),
+    )
+    got = t.read().select("repo", "path", "commit", "lang", "content",
+                          F.col("size").cast("long").alias("size"))
+    assert got.exceptAll(model).count() == 0
+    assert model.exceptAll(got).count() == 0
