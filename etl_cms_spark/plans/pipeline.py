@@ -73,6 +73,7 @@ class CDCPipeline:
         demux_domains: bool = False,
         demux_tombstones: str = "targeted",
         domain_merge_mode: str | None = None,
+        domain_n_buckets: int | None = None,
         detailed_lineage: bool = False,
         extra_mappings: dict[str, tuple[int, str]] | None = None,
     ):
@@ -147,11 +148,17 @@ class CDCPipeline:
             # domain_merge_mode="cow" to opt out (e.g. read-latency-
             # critical domain tables).
             self.domain_merge_mode = domain_merge_mode or "mor"
+            # each domain holds ~1/n_domains of the keys — give its
+            # table proportionally fewer buckets (floor 8) so per-epoch
+            # delta writes produce n_domains× fewer directories/files.
+            # Reopening existing tables takes n_buckets from their
+            # manifests, so the default only shapes NEW tables.
+            nbd = domain_n_buckets or max(8, n_buckets // max(1, len(self.domains)))
             self.domain_tables = {
                 d: LakeTable(
                     spark,
                     os.path.join(root, "tables", f"files_{d}"),
-                    n_buckets,
+                    nbd,
                     merge_mode=self.domain_merge_mode,
                 )
                 for d in self.domains
