@@ -211,18 +211,37 @@ class LakeTable:
                 T.StructField(_DELETED_COL, T.BooleanType()),
             ]
             return self.spark.createDataFrame([], T.StructType(fields))
-        df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
-        # bucket ids are stored as `_bucket=N` leaf dirs; reading the
-        # leaf directly drops the partition column, so recompute it
-        # from the key hash (deterministic by construction).
-        if _BUCKET_COL in df.columns:
-            df = df.drop(_BUCKET_COL)
-        if _DELETED_COL not in df.columns:
-            df = df.withColumn(_DELETED_COL, F.lit(False))
-        df = df.withColumn(_DELETED_COL, F.coalesce(F.col(_DELETED_COL), F.lit(False)))
-        df = self._normalize(df, manifest)
-        df = df.withColumn(_BUCKET_COL, self.bucket_expr(manifest["key_cols"]))
-        df = df.select(*cols)
+        # Group dirs by their WRITE (the data/vN component): files
+        # within one write share a schema, but ACROSS writes both
+        # column names (renames) and physical types (widen) may
+        # differ — parquet mergeSchema refuses int-vs-long mixes, so
+        # each write-group is read + normalized to the CURRENT
+        # logical schema independently and the groups union by name.
+        # (Found by the round-4 soak: a widen followed by one more
+        # MoR delta made the stack unreadable under mergeSchema.)
+        by_write: dict[str, list[str]] = {}
+        for d in dirs:
+            by_write.setdefault(os.path.dirname(d), []).append(d)
+        parts = []
+        for _, ds in sorted(by_write.items()):
+            p = self.spark.read.parquet(*sorted(ds))
+            # bucket ids are stored as `_bucket=N` leaf dirs; reading
+            # the leaf directly drops the partition column, so
+            # recompute it from the key hash (deterministic by
+            # construction).
+            if _BUCKET_COL in p.columns:
+                p = p.drop(_BUCKET_COL)
+            if _DELETED_COL not in p.columns:
+                p = p.withColumn(_DELETED_COL, F.lit(False))
+            p = p.withColumn(
+                _DELETED_COL, F.coalesce(F.col(_DELETED_COL), F.lit(False))
+            )
+            p = self._normalize(p, manifest)
+            p = p.withColumn(_BUCKET_COL, self.bucket_expr(manifest["key_cols"]))
+            parts.append(p.select(*cols))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         if resolve and has_deltas:
             # merge-on-read: resolve the max-LSN winner per key across
             # base + delta files.

@@ -93,3 +93,30 @@ def test_depth_based_compaction_bounds_read_amplification(spark, tmp_root):
     plain = CDCPipeline(spark, os.path.join(tmp_root, "cd_plain"), n_buckets=4)
     plain.run(ch, n_epochs=8)
     assert_df_equal(p.current_state(), plain.current_state(), "depth-compacted == plain")
+
+
+def test_mor_widen_then_delta_is_readable(spark, tmp_root):
+    """Round-4 soak finding, pinned: a MoR delta stack mixing int and
+    long physical files for a widened column must read correctly
+    (mergeSchema refuses int-vs-long; the read normalizes per write
+    group instead)."""
+    from etl_cms_spark.sink.lake import LakeTable
+    from pyspark.sql import functions as F
+
+    t = LakeTable(spark, os.path.join(tmp_root, "widen_mor"), n_buckets=2,
+                  merge_mode="mor")
+    t.create(["k"], {"k": "string", "size": "int"})
+    rows = lambda vals, lsn0: spark.createDataFrame(  # noqa: E731
+        [(f"k{i}", v, lsn0 + i, "U") for i, v in enumerate(vals)],
+        "k string, size long, lsn long, op string",
+    )
+    t.merge_epoch(rows([1, 2, 3], 0), 0)          # int physical files
+    t.apply_schema_change({"widen": "size:long"})
+    t.merge_epoch(rows([10, 20], 100), 1)         # long physical files
+    got = {r["k"]: r["size"] for r in t.read().collect()}
+    assert got == {"k0": 10, "k1": 20, "k2": 3}
+    assert dict(t.read().dtypes)["size"] == "bigint"
+    # compaction folds the mixed-type stack cleanly too
+    t.compact()
+    got2 = {r["k"]: r["size"] for r in t.read().collect()}
+    assert got2 == got
