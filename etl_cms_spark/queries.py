@@ -1629,7 +1629,7 @@ def state_rollup(spark, sf_dir):
     changes = _changelog_from_documents(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="state_rollup_entry_")
     try:
-        t = LakeTable(spark, f"{root}/files", n_buckets=8)
+        t = LakeTable(spark, f"{root}/files", n_buckets=4)
         t.create(["repo", "path"], {"repo": "string", "path": "string",
                                     "commit": "string", "lang": "string",
                                     "content": "string"})
@@ -1642,6 +1642,7 @@ def state_rollup(spark, sf_dir):
                 "content_chars": F.coalesce(F.length("content"), F.lit(0)),
             },
             count_measure="n_files",
+            n_buckets=4,
         )
         hi = changes.agg(F.max("lsn")).first()[0]
         width = (hi + 3) // 3
