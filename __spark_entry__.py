@@ -34,6 +34,8 @@ _DEPRIORITIZED = [
     "winnowing_fp",               # 2nd fingerprint form; doc_fingerprint is primary
     "q5_local_supplier_volume",   # TPC-H breadth; q1/q3 + snowflake row cover the shapes
     "json_extract_props",         # scalar breadth; scalar_suite is the F-row primary
+    "doc_length_histogram",       # analytics breadth (binning); doc_* rows are primary
+    "doc_length_quartiles",       # analytics breadth (order stats); doc_* rows are primary
 ]
 
 

@@ -825,6 +825,70 @@ def doc_quality(spark, sf_dir):
     )
 
 
+@q(
+    "doc_length_histogram",
+    """
+    SELECT lang,
+           CAST(FLOOR(n_chars / 200) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, CAST(FLOOR(n_chars / 200) AS BIGINT)
+    """,
+)
+def doc_length_histogram(spark, sf_dir):
+    """Exact histogram/binning (corpus length profile per language) —
+    the distribution-shape query every data-mixing report starts
+    with.  Pure map-side binning + one hash agg; at 100 TB the
+    output is O(langs × buckets), never O(docs)."""
+    d = _t(spark, sf_dir, "documents")
+    b = F.floor(F.col("n_chars") / 200).cast("long")
+    return d.groupBy("lang", b.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@q(
+    "doc_length_quartiles",
+    """
+    WITH r AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT lang,
+           CAST(MAX(CASE WHEN rn = (n + 3) // 4     THEN n_chars END) AS BIGINT) AS q1_chars,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2     THEN n_chars END) AS BIGINT) AS median_chars,
+           CAST(MAX(CASE WHEN rn = (3 * n + 1) // 4 THEN n_chars END) AS BIGINT) AS q3_chars
+    FROM r GROUP BY lang
+    """,
+)
+def doc_length_quartiles(spark, sf_dir):
+    """EXACT rank-based quartiles per language (integer order
+    statistics with a deterministic doc_id tie-break — no
+    interpolation, so the value is cross-engine byte-exact, unlike
+    percentile_approx sketches whose accuracy is asserted separately
+    in tests/test_text_ops.py)."""
+    d = _t(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "lang", "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    pick = lambda expr: F.max(  # noqa: E731
+        F.when(F.col("rn") == expr, F.col("n_chars"))
+    ).cast("long")
+    return r.groupBy("lang").agg(
+        pick(F.floor((F.col("n") + 3) / 4)).alias("q1_chars"),
+        pick(F.floor((F.col("n") + 1) / 2)).alias("median_chars"),
+        pick(F.floor((3 * F.col("n") + 1) / 4)).alias("q3_chars"),
+    )
+
+
 def _winnow_oracle_sql(k: int = 5, w: int = 4, mod: int = 2_147_483_647, base: int = 257) -> str:
     pows = [base ** (k - 1 - j) for j in range(k)]
     pow_arr = ", ".join(str(p) for p in pows)

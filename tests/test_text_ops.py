@@ -198,3 +198,26 @@ def test_simhash_portable_pairs_pigeonhole_recall(spark, documents):
     }
     assert len(brute) >= 20, "fixture must contain near pairs"
     assert got == brute
+
+
+def test_sketch_accuracy_vs_exact(spark):
+    """Approximate sketches (HLL++ distinct counts, GK percentile) vs
+    exact answers on the documents table: the approximations this
+    engine would use for 100 TB profiling must land within their
+    documented error bounds.  (Sketch values are engine-specific, so
+    this is a pytest bound, not a DuckDB hash oracle — the exact
+    forms are the oracle-checked `doc_length_quartiles` /
+    `distinct_users_per_type` entries.)"""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = d.agg(
+        F.countDistinct("source").alias("nd"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+    ).first()
+    approx = d.agg(
+        F.approx_count_distinct("source", rsd=0.02).alias("nd"),
+        F.percentile_approx("n_chars", 0.5, 10_000).alias("p50"),
+    ).first()
+    assert abs(approx["nd"] - exact["nd"]) <= max(1, 0.05 * exact["nd"])
+    assert abs(approx["p50"] - exact["p50"]) <= max(2, 0.02 * exact["p50"])
