@@ -495,3 +495,32 @@ def test_quarantine_repair_flow(spark, tmp_root):
     # repair epoch is exactly-once
     rec2 = p2.reprocess_quarantine(source_epoch=0, repair_epoch=1000)
     assert rec2.get("skipped_duplicate_epoch")
+
+
+def test_bucketed_tail_with_demux_matches_plain(spark, tmp_root):
+    """The producer-bucketed tail (run_from_table, Exchange-free
+    dedup) composed WITH per-domain demux — the two headline bench
+    paths together — must produce the same main and domain states as
+    the plain staged path."""
+    import os
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.plans.pipeline import stage_changelog_bucketed
+
+    ch = gen_source_changes(spark, n_events=1500, n_keys=250, n_repos=10)
+    table = "t_bucketed_demux"
+    stage_changelog_bucketed(spark, ch, table, n_buckets=8, n_epochs=2)
+    try:
+        pb = CDCPipeline(
+            spark, os.path.join(tmp_root, "bdx"), n_buckets=8, demux_domains=True
+        )
+        pb.run_from_table(table)
+        pp = CDCPipeline(
+            spark, os.path.join(tmp_root, "bdx_ref"), n_buckets=8, demux_domains=True
+        )
+        pp.run(ch, n_epochs=2)
+        assert_df_equal(pb.current_state(), pp.current_state(), "main state")
+        for d in pb.domains:
+            assert_df_equal(pb.domain_state(d), pp.domain_state(d), f"domain {d}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
