@@ -295,27 +295,62 @@ def main_bench() -> None:
     timings["cdc_hotkey_salted"] = skew_s["seconds"]
     total = round(time.time() - total0, 2)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "sustained change-events/sec (tail→merge) + headline query seconds",
-                "value": cdc["events_per_sec"],
-                "unit": "events/sec",
-                "total_seconds": total,
-                "queries": timings,
-                "cdc": cdc,
-                "cdc_bucketed_tail": cdc_bucketed,
-                "cdc_demux": cdc_demux,
-                "cdc_demux_targeted": cdc_demux_t,
-                "cdc_small_batch": {"cow": small_cow, "mor": small_mor,
-                                     "demux_blanket": small_dx_b,
-                                     "demux_targeted": small_dx_t},
-                "cdc_hotkey": {"window": skew_w, "salted": skew_s},
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": CPUS,
-            }
-        )
-    )
+    full = {
+        "metric": "sustained change-events/sec (tail→merge) + headline query seconds",
+        "value": cdc["events_per_sec"],
+        "unit": "events/sec",
+        "total_seconds": total,
+        "queries": timings,
+        "cdc": cdc,
+        "cdc_bucketed_tail": cdc_bucketed,
+        "cdc_demux": cdc_demux,
+        "cdc_demux_targeted": cdc_demux_t,
+        "cdc_small_batch": {"cow": small_cow, "mor": small_mor,
+                             "demux_blanket": small_dx_b,
+                             "demux_targeted": small_dx_t},
+        "cdc_hotkey": {"window": skew_w, "salted": skew_s},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+    }
+    # The driver records only a ~2 kB stdout TAIL, so the full report
+    # goes to a file and the LAST line printed is a compact (<1.5 kB)
+    # JSON the driver can actually parse — BENCH_r03/r04 both show
+    # "parsed": null because the full report alone blew past the tail.
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/last_run_full.json", "w") as f:
+        json.dump(full, f, indent=1)
+    scaling = None
+    if os.path.exists("BENCH/scaling.json"):
+        with open("BENCH/scaling.json") as f:
+            s = json.load(f)
+        scaling = {
+            "pinned_2to8_eff": {
+                "plain": s["pair_2_to_8_pinned"]["efficiency"],
+                "join": s["pair_2_to_8_pinned_join_dedup"]["efficiency"],
+                "bucketed": s["pair_2_to_8_pinned_bucketed"]["efficiency"],
+            },
+            "n_events": s["n_events"],
+        }
+    compact = {
+        "metric": "change-events/sec (CDC tail→merge) at local[%d]" % CPUS,
+        "value": cdc["events_per_sec"],
+        "unit": "events/sec",
+        "queries": timings,
+        "sf": full["sf"],
+        "cpus": CPUS,
+        "total_seconds": total,
+        "scaling": scaling,
+        "full_report": "BENCH/last_run_full.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1400:  # trim query rows until it fits the tail
+        for k in list(timings)[::-1]:
+            if not k.startswith("cdc"):
+                compact["queries"].pop(k)
+                line = json.dumps(compact, separators=(",", ":"))
+                if len(line) <= 1400:
+                    break
+    print(line)
 
 
 def _tuned_session(cpus: int):
@@ -468,6 +503,8 @@ def main_scaling(n_events: int) -> None:
         },
     }
     os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(report, f, indent=1)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(SCALING_TEMPLATE.format(
             n=n_events,

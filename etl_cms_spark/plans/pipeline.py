@@ -237,6 +237,7 @@ class CDCPipeline:
         batch: DataFrame,
         epoch: int,
         schema_events: list | None = None,
+        is_repair: bool = False,
     ) -> dict:
         """Apply one change batch.  Idempotent per epoch.
 
@@ -396,7 +397,11 @@ class CDCPipeline:
             }
             if domc:
                 rec["domain_compactions"] = domc
-        self._save_checkpoint(epoch, rec.get("lsn_max"))
+        if not is_repair:
+            # A repair epoch is out-of-band: it must never advance the
+            # SOURCE cursor (its rows carry old LSNs; overwriting the
+            # checkpoint with them would re-deliver the source tail).
+            self._save_checkpoint(epoch, rec.get("lsn_max"))
         self.metrics.append(rec)
         return rec
 
@@ -768,9 +773,27 @@ class CDCPipeline:
         against everything that happened since: the original epoch
         tombstoned the unmapped key at LSN L, the repair's upsert at
         the same L wins the merge tie (batch beats table at equal
-        LSN), and any LATER source update at L' > L still outranks
-        the repaired row.  Rows whose lang is STILL unmapped simply
-        re-quarantine under ``repair_epoch``."""
+        LSN: CoW's explicit ">=" rule; MoR's (_lsn, _write_version)
+        read resolution), and any LATER source update at L' > L still
+        outranks the repaired row.  Rows whose lang is STILL unmapped
+        simply re-quarantine under ``repair_epoch``.
+
+        ``repair_epoch`` must be NEGATIVE: repair epochs share the
+        per-table idempotency keyspace with source epoch ids and
+        streaming batch ids (both assigned upward from 0), so a
+        caller-chosen positive id could later collide with a real
+        batch — whose merge would then be silently skipped as a
+        duplicate epoch (round-4 ADVICE).  Negative ids are a
+        reserved namespace no source path ever mints.  Repairs also
+        never advance the source checkpoint (their rows carry OLD
+        LSNs; overwriting the cursor with them would rewind the
+        source tail)."""
+        if repair_epoch >= 0:
+            raise ValueError(
+                "repair_epoch must be negative (reserved repair "
+                "namespace): non-negative epoch ids belong to source "
+                f"batches and streaming micro-batches, got {repair_epoch}"
+            )
         qdir = os.path.join(self.quarantine_dir, f"epoch={source_epoch}")
         rows = self.spark.read.parquet(qdir)
         # strip bookkeeping + previously-derived mapping columns: the
@@ -780,7 +803,7 @@ class CDCPipeline:
             for c in ("epoch", "_quar", "concept_id", "domain", "content_sha")
             if c in rows.columns
         ]
-        return self.process_epoch(rows.drop(*drop), repair_epoch)
+        return self.process_epoch(rows.drop(*drop), repair_epoch, is_repair=True)
 
 
 def stage_changelog_bucketed(

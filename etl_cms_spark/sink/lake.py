@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from typing import Any
@@ -56,6 +57,16 @@ _BUCKET_COL = "_bucket"
 # late-arriving older update resurrect the key).  GC of tombstones
 # older than a replay horizon belongs to a compaction pass.
 _DELETED_COL = "_deleted"
+# transient read-side column: the snapshot-version ordinal of the
+# write group a row came from (parsed from its data/vN[-compact] dir).
+# Never persisted — it exists only to order equal-LSN ties in MoR
+# resolution by commit recency.
+_WV_COL = "_write_version"
+
+
+def _write_ordinal(write_dir: str) -> int:
+    m = re.search(r"v(\d+)", os.path.basename(write_dir))
+    return int(m.group(1)) if m else -1
 
 
 def _atomic_write_json(path: str, obj: Any) -> None:
@@ -223,8 +234,18 @@ class LakeTable:
         for d in dirs:
             by_write.setdefault(os.path.dirname(d), []).append(d)
         parts = []
-        for _, ds in sorted(by_write.items()):
+        for wdir, ds in sorted(by_write.items()):
             p = self.spark.read.parquet(*sorted(ds))
+            # Stamp each write group with its snapshot-version ordinal
+            # (parsed from the data/vN[-compact] dir name).  MoR
+            # resolution orders by (_lsn, _write_version): two rows for
+            # the same key at the SAME LSN — e.g. an epoch's tombstone
+            # and a later quarantine repair re-offered at the original
+            # LSN — resolve to the most recently COMMITTED write
+            # instead of nondeterministically (round-4 ADVICE).  This
+            # is the MoR analogue of the CoW merge's explicit
+            # batch-beats-table ">=" rule.
+            p = p.withColumn(_WV_COL, F.lit(_write_ordinal(wdir)))
             # bucket ids are stored as `_bucket=N` leaf dirs; reading
             # the leaf directly drops the partition column, so
             # recompute it from the key hash (deterministic by
@@ -238,21 +259,30 @@ class LakeTable:
             )
             p = self._normalize(p, manifest)
             p = p.withColumn(_BUCKET_COL, self.bucket_expr(manifest["key_cols"]))
-            parts.append(p.select(*cols))
+            parts.append(p.select(*cols, _WV_COL))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         if resolve and has_deltas:
-            # merge-on-read: resolve the max-LSN winner per key across
-            # base + delta files.
+            # merge-on-read: resolve the winner per key across base +
+            # delta files by (max LSN, then max write version) — the
+            # write-version ordinal breaks equal-LSN ties toward the
+            # most recently committed write.
             key_cols = manifest["key_cols"]
             payload = [c for c in cols if c not in key_cols]
             df = (
                 df.groupBy(*key_cols)
-                .agg(F.max_by(F.struct(*payload), F.col(_LSN_COL)).alias("_w"))
+                .agg(
+                    F.max_by(
+                        F.struct(*payload),
+                        F.struct(F.col(_LSN_COL), F.col(_WV_COL)),
+                    ).alias("_w")
+                )
                 .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
                 .select(*cols)  # canonical column order regardless of path
             )
+        else:
+            df = df.select(*cols)
         return df
 
     def read(self, bucket_ids: list[int] | None = None) -> DataFrame:
@@ -432,8 +462,32 @@ class LakeTable:
             raise ValueError(f"epoch {epoch} is not committed")
         v = rec["snapshot_version"]
         buckets = rec.get("changed_buckets")
-        if not buckets:  # empty or schema-change commit: no row changes
-            return self.changes_between(v, v)
+        if not buckets:
+            # empty or schema-change commit: no row changes by
+            # construction — return an empty changelog DIRECTLY
+            # instead of diffing two identical full snapshots
+            # (changes_between(v, v) read both and ran a full-outer
+            # self-join just to produce nothing — round-4 ADVICE).
+            key_cols = m["key_cols"]
+            payload = [c for c in m["schema"] if c not in key_cols]
+            pay_t = T.StructType(
+                [
+                    T.StructField(c, T._parse_datatype_string(m["schema"][c]))
+                    for c in payload
+                ]
+            )
+            schema = T.StructType(
+                [
+                    T.StructField(c, T._parse_datatype_string(m["schema"][c]))
+                    for c in key_cols
+                ]
+                + [
+                    T.StructField("op", T.StringType()),
+                    T.StructField("before", pay_t),
+                    T.StructField("after", pay_t),
+                ]
+            )
+            return self.spark.createDataFrame([], schema)
         return self.changes_between(v - 1, v, bucket_ids=[int(b) for b in buckets])
 
     def lookup(self, key_values: dict[str, Any]) -> DataFrame:

@@ -120,3 +120,37 @@ def test_mor_widen_then_delta_is_readable(spark, tmp_root):
     t.compact()
     got2 = {r["k"]: r["size"] for r in t.read().collect()}
     assert got2 == got
+
+
+def test_mor_equal_lsn_tie_breaks_to_later_write(spark, tmp_root):
+    """Round-4 ADVICE (medium): two rows for the same key at the SAME
+    LSN in different MoR writes — e.g. an epoch's tombstone and a
+    later quarantine repair re-offered at the original LSN — must
+    resolve deterministically to the more recently COMMITTED write
+    (the MoR analogue of CoW's explicit batch-beats-table ">=" rule),
+    and compaction must preserve that resolution."""
+    from etl_cms_spark.sink.lake import LakeTable
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k int, v string, op string, lsn long")
+
+    t = LakeTable(spark, os.path.join(tmp_root, "tie"), n_buckets=4, merge_mode="mor")
+    t.create(["k"], {"k": "int", "v": "string"})
+    t.merge_epoch(batch([(1, "orig", "U", 5), (2, "keep", "U", 5)]), 0)
+    t.merge_epoch(batch([(1, None, "D", 10)]), 1)          # tombstone @10
+    t.merge_epoch(batch([(1, "repaired", "U", 10)]), 2)    # repair @ SAME lsn
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
+        (1, "repaired"), (2, "keep"),
+    ]
+    t.compact()
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
+        (1, "repaired"), (2, "keep"),
+    ]
+
+    # mirror order: upsert first, tombstone in a LATER write at the
+    # same LSN -> the key stays deleted.
+    t2 = LakeTable(spark, os.path.join(tmp_root, "tie2"), n_buckets=4, merge_mode="mor")
+    t2.create(["k"], {"k": "int", "v": "string"})
+    t2.merge_epoch(batch([(1, "orig", "U", 10)]), 0)
+    t2.merge_epoch(batch([(1, None, "D", 10)]), 1)
+    assert t2.read().where(F.col("k") == 1).count() == 0

@@ -1,6 +1,8 @@
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_cms_spark.fixtures.generator import (
@@ -486,15 +488,22 @@ def test_quarantine_repair_flow(spark, tmp_root):
     p2 = CDCPipeline(
         spark, root, n_buckets=4, extra_mappings={"lua": (9901, "script")}
     )
-    rec = p2.reprocess_quarantine(source_epoch=0, repair_epoch=1000)
+    # positive repair ids collide with the source/streaming epoch
+    # keyspace and are refused (round-4 ADVICE)
+    with pytest.raises(ValueError, match="must be negative"):
+        p2.reprocess_quarantine(source_epoch=0, repair_epoch=1000)
+    ckpt_before = p2.checkpoint()
+    rec = p2.reprocess_quarantine(source_epoch=0, repair_epoch=-1)
     assert not rec.get("skipped_duplicate_epoch")
     cur = {(r["repo"], r["path"]): r for r in p2.current_state().collect()}
     assert cur[("r", "f")]["lang"] == "lua" and cur[("r", "f")]["concept_id"] == 9901
     # the later sql version of (r, h) survived the lower-LSN repair
     assert cur[("r", "h")]["content"] == "new sql"
     # repair epoch is exactly-once
-    rec2 = p2.reprocess_quarantine(source_epoch=0, repair_epoch=1000)
+    rec2 = p2.reprocess_quarantine(source_epoch=0, repair_epoch=-1)
     assert rec2.get("skipped_duplicate_epoch")
+    # the repair never advances the SOURCE cursor
+    assert p2.checkpoint() == ckpt_before
 
 
 def test_bucketed_tail_with_demux_matches_plain(spark, tmp_root):
