@@ -1,0 +1,450 @@
+"""Epoch-incremental ANN index maintenance — the CDC-loop upkeep the
+one-shot :class:`~etl_cms_spark.operators.similarity.IVFIndex` lacks.
+
+A 100 TB training corpus under CDC changes every epoch; rebuilding an
+IVF index from scratch per epoch re-scans the whole corpus.  This
+module keeps the inverted-file layout current at **O(changed rows)**
+per epoch, wired into the same exactly-once machinery as the lake
+(idempotent per-epoch application, replay-safe, monotone versions):
+
+* **assignment is a map over the epoch's changes only** — never a
+  full-corpus rescan (plan-asserted in tests: the assignment frame's
+  scan set contains no index files);
+* new/updated vectors append to ``cells/w{k}/cell=N/`` (parquet
+  partitioned by cell, so queries keep partition-pruned probes);
+* every change (upsert or delete) also appends a **mask** row
+  ``(vec_id, _v)`` — narrow, ~16 bytes — that kills any OLDER index
+  row for that id in ANY cell at read time.  This is what makes
+  cross-cell moves correct without knowing the old cell: the stale
+  row in the old cell loses the ``(_v, _write)`` resolution wherever
+  it lives.  The same merge-on-read shape as
+  :class:`~etl_cms_spark.sink.lake.LakeTable` MoR deltas
+  (lake.py:200-290), including the write-ordinal tie-break;
+* ``compact()`` folds masks into a fresh base (bounded, amortized) —
+  the read-side mask stays proportional to changes since the last
+  compaction, not corpus size.
+
+Two cell functions:
+
+* ``kind="srp"`` — data-independent portable SRP cells
+  (similarity.srp_cell_portable).  No centroids, no drift, and the
+  ENTIRE maintenance protocol — latest-wins, deletes, cross-cell
+  moves, probe selection, top-k — replays in the DuckDB oracle
+  (queries.ann_ivf_incremental).
+* ``kind="kmeans"`` — frozen k-means centroids from the initial
+  build (similarity._kmeans_cosine).  Each epoch additionally
+  accumulates per-cell DRIFT statistics (count + mean cosine
+  distance of newly ingested vectors to their assigned centroid) at
+  zero extra jobs' worth of data (n_cells rows), and
+  ``recluster(cells)`` runs a BOUNDED re-centering + re-assignment
+  of only the drifted cells — never the whole corpus.
+
+Reference analogue: the reference persists cross-run lookup state and
+updates it in place rather than rebuilding (CMS_SynPuf_ETL_CDM_v5.py
+:299-370); this is that idea applied to the vector-index sidecar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cms_spark.functions.vectors import cosine
+from etl_cms_spark.operators.similarity import (
+    _cos_py,
+    _kmeans_cosine,
+    _nearest_cell_expr,
+    srp_cell_portable,
+    srp_cell_portable_py,
+)
+
+_V_COL = "_v"          # change version (source LSN / lake snapshot version)
+_WV_COL = "_write"     # write-group ordinal (commit recency tie-break)
+
+
+def _atomic_json(path: str, obj) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+class IncrementalVectorIndex:
+    """An IVF-style ANN index that stays current under CDC epochs.
+
+    Layout under ``path``::
+
+        _meta.json                    cell fn, centroids/bits, applied
+                                      epochs, write ordinal, drift stats
+        cells/w{k}/cell=N/*.parquet   (vec_id, vec, _v) appended per epoch
+        mask/w{k}/*.parquet           (vec_id, _v) — read-time kill list
+
+    Read resolution (``live``): a row survives iff no mask entry for
+    its id carries a strictly greater ``(_v, _write)`` — i.e. the row
+    is its id's most recent write.  Deletes write only a mask entry,
+    so all of the id's rows lose.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._load()
+
+    def _load(self) -> None:
+        with open(os.path.join(self.path, "_meta.json")) as f:
+            self.meta = json.load(f)
+
+    # ------------------------------------------------------------ build
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        vec_col: str,
+        id_col: str,
+        path: str,
+        kind: str = "srp",
+        cell_bits: int = 4,
+        n_cells: int = 16,
+        sample_per_cell: int = 32,
+        base_version: int = 0,
+        seed: int = 42,
+    ) -> "IncrementalVectorIndex":
+        """Initial index: ONE full assignment pass (map + partitioned
+        write), exactly like IVFIndex.build; every later epoch touches
+        only its own changes."""
+        spark = df.sparkSession
+        if kind == "srp":
+            centroids = None
+        elif kind == "kmeans":
+            n_sample = n_cells * sample_per_cell
+            sample = [
+                [float(x) for x in r["_s"]]
+                for r in df.select(
+                    F.col(vec_col).alias("_s"),
+                    F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+                )
+                .orderBy("_h")
+                .limit(n_sample)
+                .collect()
+            ]
+            centroids = _kmeans_cosine(sample, n_cells, iters=5)
+        else:
+            raise ValueError(f"kind must be srp|kmeans, got {kind}")
+        os.makedirs(path, exist_ok=True)
+        meta = {
+            "kind": kind,
+            "cell_bits": cell_bits,
+            "centroids": centroids,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "applied_epochs": [],
+            "next_write": 1,
+            "cell_stats": {},
+        }
+        _atomic_json(os.path.join(path, "_meta.json"), meta)
+        idx = IncrementalVectorIndex.__new__(IncrementalVectorIndex)
+        idx.spark, idx.path, idx.meta = spark, path, meta
+        base = df.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+            F.lit(int(base_version)).cast("long").alias(_V_COL),
+        )
+        base = base.withColumn("cell", idx._cell_expr(F.col("vec")))
+        base.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(path, "cells", "w0")
+        )
+        return idx
+
+    # ----------------------------------------------------- cell mapping
+
+    def _cell_expr(self, vec: Column) -> Column:
+        if self.meta["kind"] == "srp":
+            return srp_cell_portable(vec, self.meta["cell_bits"])
+        return _nearest_cell_expr(vec, self.meta["centroids"])
+
+    def _query_cells(self, query_vec: list[float], n_probes: int, max_flip: int) -> list[int]:
+        if self.meta["kind"] == "srp":
+            bits = self.meta["cell_bits"]
+            qc = srp_cell_portable_py(query_vec, bits)
+            return [c for c in range(1 << bits) if bin(c ^ qc).count("1") <= max_flip]
+        cents = self.meta["centroids"]
+        return sorted(
+            range(len(cents)), key=lambda ci: (-_cos_py(cents[ci], query_vec), ci)
+        )[:n_probes]
+
+    # ---------------------------------------------------- epoch updates
+
+    def assignment_frame(self, upserts: DataFrame, lsn_col: str) -> DataFrame:
+        """The epoch's new index rows — a pure projection over the
+        CHANGES frame (the plan scans only the caller's input; tests
+        assert no index file appears in it)."""
+        vec_col = self.meta["vec_col"]
+        id_col = self.meta["id_col"]
+        rows = upserts.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+            F.col(lsn_col).cast("long").alias(_V_COL),
+        )
+        return rows.withColumn("cell", self._cell_expr(F.col("vec")))
+
+    def apply_epoch(
+        self,
+        changes: DataFrame,
+        epoch: int,
+        op_col: str = "op",
+        lsn_col: str = "lsn",
+    ) -> dict:
+        """Apply one epoch of vector changes (op 'I'/'U'/'D').
+
+        Idempotent: an already-applied epoch is a no-op (replay-safe,
+        same contract as LakeTable.merge_epoch).  Cost is O(changes):
+        one map+write over the epoch's upserts, one narrow mask write,
+        and (kmeans) one n_cells-row drift aggregation riding the
+        same cached frame.
+        """
+        if epoch in self.meta["applied_epochs"]:
+            return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        t0 = time.time()
+        k = self.meta["next_write"]
+        id_col = self.meta["id_col"]
+        changes = changes.persist()
+        try:
+            upserts = changes.where(F.col(op_col) != "D")
+            assigned = self.assignment_frame(upserts, lsn_col)
+            drift_rows = []
+            if self.meta["kind"] == "kmeans":
+                # per-cell drift of the NEWLY ingested vectors: count +
+                # mean cosine distance to the assigned (frozen)
+                # centroid.  n_cells output rows on the same scan that
+                # feeds the write — cheap by construction.
+                cents = self.meta["centroids"]
+                best_cos = F.array_max(
+                    F.array(
+                        *[
+                            cosine(F.col("vec"), F.array(*[F.lit(float(x)) for x in c]))
+                            for c in cents
+                        ]
+                    )
+                )
+                drift_rows = (
+                    assigned.withColumn("_d", F.lit(1.0) - best_cos)
+                    .groupBy("cell")
+                    .agg(F.count("*").alias("n"), F.sum("_d").alias("dsum"))
+                    .collect()
+                )
+            assigned.write.mode("overwrite").partitionBy("cell").parquet(
+                os.path.join(self.path, "cells", f"w{k}")
+            )
+            n_up = None
+            mask = changes.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col(lsn_col).cast("long").alias(_V_COL),
+            )
+            mask.write.mode("overwrite").parquet(
+                os.path.join(self.path, "mask", f"w{k}")
+            )
+            n_total = changes.count()
+            n_up = sum(r["n"] for r in drift_rows) if drift_rows else None
+        finally:
+            changes.unpersist()
+        for r in drift_rows:
+            s = self.meta["cell_stats"].setdefault(str(r["cell"]), {"n": 0, "dsum": 0.0})
+            s["n"] += r["n"]
+            s["dsum"] += float(r["dsum"])
+        self.meta["applied_epochs"].append(epoch)
+        self.meta["next_write"] = k + 1
+        _atomic_json(os.path.join(self.path, "_meta.json"), self.meta)
+        return {
+            "epoch": epoch,
+            "write": k,
+            "n_changes": n_total,
+            "n_upserts": n_up,
+            "seconds": round(time.time() - t0, 3),
+        }
+
+    def update_from_lake(self, lake, epoch: int) -> dict:
+        """Tail a LakeTable's own CDC-out diff for ``epoch`` into the
+        index — the glue that puts index upkeep INSIDE the engine's
+        exactly-once loop.  The diff is bucket-pruned
+        (lake.changes_for_epoch) and the change version is the epoch's
+        snapshot version (monotone per commit, so later epochs always
+        outrank earlier ones in the (_v, _write) resolution)."""
+        rec = lake._load_manifest()["epochs"][str(epoch)]
+        v = rec["snapshot_version"]
+        vec_col = self.meta["vec_col"]
+        id_col = self.meta["id_col"]
+        ch = lake.changes_for_epoch(epoch).select(
+            F.col(id_col),
+            "op",
+            F.col(f"after.{vec_col}").alias(vec_col),
+            F.lit(int(v)).cast("long").alias("lsn"),
+        )
+        return self.apply_epoch(ch, epoch)
+
+    # ------------------------------------------------------------ reads
+
+    @staticmethod
+    def _has_parquet(d: str) -> bool:
+        for _, _, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _stamped(self, sub: str, cells: list[int] | None = None) -> DataFrame | None:
+        root = os.path.join(self.path, sub)
+        if not os.path.isdir(root):
+            return None
+        parts = []
+        for w in sorted(os.listdir(root)):
+            # a rowless write (e.g. a delete-only epoch's cells dir)
+            # leaves only _SUCCESS — reading it would fail schema
+            # inference, and it contributes nothing anyway.
+            if not w.startswith("w") or not self._has_parquet(os.path.join(root, w)):
+                continue
+            p = self.spark.read.parquet(os.path.join(root, w))
+            p = p.withColumn(_WV_COL, F.lit(int(w[1:].split("-")[0])))
+            if cells is not None and "cell" in p.columns:
+                p = p.where(F.col("cell").isin([int(c) for c in cells]))
+            parts.append(p)
+        if not parts:
+            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def live(self, cells: list[int] | None = None) -> DataFrame:
+        """Current rows (vec_id, vec, _v, cell), cell-pruned when
+        ``cells`` is given (parquet partition pruning per write
+        group).  The mask side is always read in full — it is narrow
+        and bounded by changes since the last compaction — and joined
+        as the hash-build side."""
+        rows = self._stamped("cells", cells)
+        if rows is None:  # index built empty and nothing ingested yet
+            return self.spark.createDataFrame(
+                [], "vec_id long, vec array<double>, _v long, cell long"
+            )
+        mask = self._stamped("mask")
+        if mask is None:
+            return rows.select("vec_id", "vec", _V_COL, "cell")
+        top = mask.groupBy("vec_id").agg(
+            F.max(F.struct(F.col(_V_COL), F.col(_WV_COL))).alias("_m")
+        )
+        j = rows.join(top.hint("SHUFFLE_HASH"), "vec_id", "left")
+        keep = F.col("_m").isNull() | (
+            F.struct(F.col(_V_COL), F.col(_WV_COL)) >= F.col("_m")
+        )
+        return j.where(keep).select("vec_id", "vec", _V_COL, "cell")
+
+    def topk(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        n_probes: int = 4,
+        max_flip: int = 1,
+    ) -> DataFrame:
+        """Partition-pruned probe over the live rows of the query's
+        probe cells; exact cosine + deterministic tie-break."""
+        probe = self._query_cells(query_vec, n_probes, max_flip)
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        scored = self.live(cells=probe).select(
+            "vec_id", F.round(cosine(F.col("vec"), q), 4).alias("cos_sim")
+        )
+        return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+
+    # ------------------------------------------------------ maintenance
+
+    def drifted_cells(self, threshold: float = 0.25, min_n: int = 8) -> list[int]:
+        """Cells whose ingested vectors' mean cosine distance to the
+        frozen centroid exceeds ``threshold`` — the bounded-recluster
+        trigger.  Pure driver-side arithmetic over accumulated stats."""
+        out = []
+        for cell, s in self.meta["cell_stats"].items():
+            if s["n"] >= min_n and s["dsum"] / s["n"] > threshold:
+                out.append(int(cell))
+        return sorted(out)
+
+    def recluster(self, cells: list[int]) -> dict:
+        """Bounded re-centering + re-assignment of ONLY the given
+        cells (kmeans kind): recompute each cell's centroid as the
+        mean of its live vectors, then re-assign those cells' rows
+        against the full centroid set; rows that move are rewritten
+        into their new cell with a mask entry at their own version —
+        the write-ordinal tie-break retires the old copy.  Reads only
+        the listed cells' partitions; the rest of the corpus is never
+        scanned."""
+        if self.meta["kind"] != "kmeans":
+            raise ValueError("recluster applies to kind='kmeans' indexes")
+        if not cells:
+            return {"recentered": [], "n_moved": 0}
+        rows = self.live(cells=[int(c) for c in cells]).persist()
+        try:
+            dim = len(self.meta["centroids"][0])
+            # per-(cell, dimension) mean of L2-normalized vectors —
+            # bounded output (|cells| × dim rows), map-side combined.
+            nrm = F.sqrt(
+                F.aggregate(
+                    F.col("vec"), F.lit(0.0), lambda a, v: a + v * v
+                )
+            )
+            means = (
+                rows.select(
+                    "cell",
+                    F.posexplode(
+                        F.transform(F.col("vec"), lambda v: v / nrm)
+                    ).alias("d", "x"),
+                )
+                .groupBy("cell", "d")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            by_cell: dict[int, list[float]] = {}
+            for r in means:
+                by_cell.setdefault(int(r["cell"]), [0.0] * dim)[int(r["d"])] = float(r["m"])
+            for c, vec in by_cell.items():
+                self.meta["centroids"][c] = vec
+            moved = (
+                rows.withColumn("_new", self._cell_expr(F.col("vec")))
+                .where(F.col("_new") != F.col("cell"))
+                .select("vec_id", "vec", _V_COL, F.col("_new").alias("cell"))
+                .persist()
+            )
+            k = self.meta["next_write"]
+            moved.write.mode("overwrite").partitionBy("cell").parquet(
+                os.path.join(self.path, "cells", f"w{k}")
+            )
+            moved.select("vec_id", _V_COL).write.mode("overwrite").parquet(
+                os.path.join(self.path, "mask", f"w{k}")
+            )
+            n_moved = moved.count()
+            moved.unpersist()
+        finally:
+            rows.unpersist()
+        for c in cells:
+            self.meta["cell_stats"].pop(str(c), None)
+        self.meta["next_write"] = k + 1
+        _atomic_json(os.path.join(self.path, "_meta.json"), self.meta)
+        return {"recentered": sorted(int(c) for c in cells), "n_moved": n_moved}
+
+    def compact(self) -> dict:
+        """Fold masks into a fresh base: one bounded rewrite of the
+        LIVE rows (amortizes the read-side mask away).  Applied
+        epochs are retained so replay idempotency survives."""
+        out = self.live()
+        tmp = os.path.join(self.path, "cells_compact_tmp")
+        out.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        shutil.rmtree(os.path.join(self.path, "cells"))
+        mask_dir = os.path.join(self.path, "mask")
+        if os.path.isdir(mask_dir):
+            shutil.rmtree(mask_dir)
+        k = self.meta["next_write"]
+        os.makedirs(os.path.join(self.path, "cells"), exist_ok=True)
+        os.rename(tmp, os.path.join(self.path, "cells", f"w{k}"))
+        self.meta["next_write"] = k + 1
+        _atomic_json(os.path.join(self.path, "_meta.json"), self.meta)
+        return {"compacted_write": k}
