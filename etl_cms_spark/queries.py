@@ -1159,6 +1159,46 @@ def neardup_components(spark, sf_dir):
 
 
 @q(
+    "neardup_components_star",
+    f"""
+    WITH RECURSIVE
+    edges AS (SELECT id_a, id_b FROM ({_minhash_portable_oracle_sql()})),
+    sym AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION SELECT id_b AS a, id_a AS b FROM edges),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component_id,
+           (node = MIN(label)) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def neardup_components_star(spark, sf_dir):
+    """Same dedup groups, computed by the ALTERNATING STAR CONTRACTION
+    variant (large-star/small-star, Kiveris et al. SoCC'14) whose
+    round count is O(log n) regardless of component DIAMETER — the
+    safe algorithm when near-dup chains (overlapping shingle drift)
+    stretch components into paths that would starve min-label
+    propagation.  Oracle: the identical recursive-CTE transitive
+    closure as ``neardup_components`` — both algorithms must land on
+    the same min-id labeling; property tests additionally pin them
+    equal on random graphs and on a 30-edge path where min-label's
+    bounded loop correctly raises (tests/test_graph.py)."""
+    from etl_cms_spark.operators.graph import dedup_groups
+    from etl_cms_spark.operators.textdedup import minhash_lsh_pairs_portable
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id", "text")
+    both = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    pairs = minhash_lsh_pairs_portable(
+        both, "text", "doc_id", n_hashes=16, bands=4, verify_threshold=0.8
+    )
+    return dedup_groups(pairs, algorithm="star")
+
+
+@q(
     "corpus_dedup_filtered",
     f"""
     WITH RECURSIVE

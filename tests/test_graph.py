@@ -61,3 +61,55 @@ def test_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=2)
+
+
+def test_star_contraction_matches_bfs_on_random_graphs(spark):
+    """Property: large-star/small-star produces the identical label
+    assignment as the BFS reference (and hence as min-label
+    propagation, tested above against the same reference) across
+    random graph shapes."""
+    import random
+
+    from etl_cms_spark.operators.graph import connected_components_star
+
+    for seed, n_nodes, n_edges in [(7, 200, 150), (11, 60, 30), (13, 40, 80)]:
+        rng = random.Random(seed)
+        pairs = {(rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)}
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components_star(df).collect()
+        }
+        assert got == _cc_bruteforce(pairs), f"seed={seed}"
+
+
+def test_star_contraction_handles_long_chain_where_minlabel_raises(spark):
+    """The reason the variant exists: a path graph of length 30 needs
+    ~30 label-propagation rounds (the default max_iter=25 raises —
+    correct failure mode), while star contraction collapses it in
+    O(log n) rounds."""
+    from etl_cms_spark.operators.graph import connected_components_star
+
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df).collect()
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components_star(df).collect()
+    }
+    assert got == {i: 0 for i in range(31)}
+
+
+def test_star_contraction_star_and_two_node_fixpoints(spark):
+    from etl_cms_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(
+        [(5, 9), (100, 40), (40, 73), (40, 41)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components_star(df).collect()
+    }
+    assert got == {5: 5, 9: 5, 40: 40, 41: 40, 73: 40, 100: 40}
