@@ -246,13 +246,14 @@ class CDCPipeline:
         for the whole changelog instead of one collect job per epoch —
         the per-epoch serial job count is what bounds scaling
         efficiency at high parallelism.  None = scan this batch."""
+        # The MAIN commit is the LAST write of an epoch (domain merges
+        # run first, 5a), so main-committed implies every domain that
+        # had rows committed too — checking only the main table is
+        # crash-safe AND stays correct now that untouched domains skip
+        # their merge entirely (no epoch record, no version bump).  A
+        # crash inside the domain fan-out leaves main uncommitted; the
+        # re-run is absorbed by each domain merge's own idempotency.
         committed = {str(e) for e in self.table.committed_epochs()}
-        if self.demux_domains:
-            # a crash between per-table commits leaves the epoch
-            # partially applied — only skip when EVERY table has it
-            # (each individual merge is idempotent anyway).
-            for t in self.domain_tables.values():
-                committed &= {str(e) for e in t.committed_epochs()}
         if str(epoch) in committed:
             rec = {"epoch": epoch, "skipped_duplicate_epoch": True}
             self.metrics.append(rec)
@@ -574,23 +575,46 @@ class CDCPipeline:
                 )
             return upserts.unionByName(tombs, allowMissingColumns=True)
 
+        # MERGE FLOOR: a domain with zero upserts AND zero tombstones
+        # this epoch is skipped ENTIRELY — no merge job, no manifest
+        # commit, no version bump (its table provably gains no
+        # snapshot; at small batches the per-merge fixed cost across
+        # untouched domains is what made targeted mode tie blanket).
+        # Replay stays exactly-once: the slice is deterministic, so a
+        # re-offered epoch skips the same domains again, and the main
+        # table's commit (written last) is the epoch's completion
+        # marker.
+        dom_stats = {d: _stats_for(d) for d, _ in items}
+        recs = {
+            d: {
+                "epoch": epoch,
+                "skipped_empty_epoch": True,
+                "rows_upserted": 0,
+                "rows_deleted": 0,
+            }
+            for d, _ in items
+            if not dom_stats[d]["n_total"]
+        }
+        live = [(d, t) for d, t in items if dom_stats[d]["n_total"]]
         try:
-            with ThreadPoolExecutor(max_workers=len(items)) as pool:
-                futs = {
-                    d: pool.submit(
-                        t.merge_epoch,
-                        _slice(d),
-                        epoch,
-                        stats=_stats_for(d),
-                        # MoR sinks: read-time per-key resolution
-                        # subsumes the batch-local reduction, so the
-                        # per-domain SortAggregate is skipped and each
-                        # merge is a pure repartition+write.
-                        skip_batch_dedup=(t.merge_mode == "mor"),
-                    )
-                    for d, t in items
-                }
-                return {d: f.result() for d, f in futs.items()}
+            if live:
+                with ThreadPoolExecutor(max_workers=len(live)) as pool:
+                    futs = {
+                        d: pool.submit(
+                            t.merge_epoch,
+                            _slice(d),
+                            epoch,
+                            stats=dom_stats[d],
+                            # MoR sinks: read-time per-key resolution
+                            # subsumes the batch-local reduction, so the
+                            # per-domain SortAggregate is skipped and each
+                            # merge is a pure repartition+write.
+                            skip_batch_dedup=(t.merge_mode == "mor"),
+                        )
+                        for d, t in live
+                    }
+                    recs.update({d: f.result() for d, f in futs.items()})
+            return recs
         finally:
             if departures is not None:
                 departures.unpersist()

@@ -405,12 +405,19 @@ def test_crash_between_domain_and_main_commit_resumes(spark, tmp_root):
     with pytest.raises(RuntimeError, match="crash before main commit"):
         p.process_epoch(s1, 1)
     p.table.merge_epoch = orig
-    # the crash window is real: domains committed epoch 1, main did not
-    assert "1" in {str(e) for e in next(iter(p.domain_tables.values())).committed_epochs()}
+    # the crash window is real: domains with epoch-1 rows committed
+    # it, main did not (untouched domains skip their merge entirely)
+    assert any(
+        "1" in {str(e) for e in t.committed_epochs()}
+        for t in p.domain_tables.values()
+    )
     assert "1" not in {str(e) for e in p.table.committed_epochs()}
 
     rec = p.process_epoch(s1, 1)  # resume
-    assert all(r.get("skipped_duplicate_epoch") for r in rec["domains"].values())
+    assert all(
+        r.get("skipped_duplicate_epoch") or r.get("skipped_empty_epoch")
+        for r in rec["domains"].values()
+    )
 
     clean = CDCPipeline(spark, os.path.join(tmp_root, "crashwin_ref"), n_buckets=4,
                         demux_domains=True)
@@ -533,3 +540,50 @@ def test_bucketed_tail_with_demux_matches_plain(spark, tmp_root):
             assert_df_equal(pb.domain_state(d), pp.domain_state(d), f"domain {d}")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_demux_untouched_domain_skips_merge_entirely(spark, tmp_root):
+    """Merge-floor trim: a domain with zero upserts AND zero
+    tombstones in an epoch must not run a merge at all — no epoch
+    record, no manifest commit, no snapshot version gained — while
+    replay of the epoch stays a no-op (main commit is the epoch's
+    completion marker)."""
+    import os
+
+    rows0 = [
+        (1, "U", "r", "a", "c1", "sql", "select 1", None),
+        (2, "U", "r", "b", "c2", "html", "<p>x</p>", None),
+    ]
+    rows1 = [
+        (10, "U", "r", "a", "c3", "sql", "select 2", None),
+        (11, "U", "r", "c", "c4", "sql", "select 3", None),
+    ]
+    schema = (
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, schema_change string"
+    )
+    s0 = spark.createDataFrame(rows0, schema)
+    s1 = spark.createDataFrame(rows1, schema)
+    root = os.path.join(tmp_root, "skipmerge")
+    p = CDCPipeline(
+        spark, root, n_buckets=4, demux_domains=True, demux_tombstones="targeted"
+    )
+    p.init_tables()
+    p.process_epoch(s0, 0)
+    markup = p.domain_tables["markup"]
+    lin_before = markup.lineage()
+    ver_before = lin_before[-1]["snapshot_version"]
+
+    rec = p.process_epoch(s1, 1)  # epoch 1 touches only sql → query
+    assert rec["domains"]["markup"].get("skipped_empty_epoch")
+    assert not rec["domains"]["query"].get("skipped_empty_epoch")
+    # untouched domain gained NOTHING: no epoch record, no version
+    assert "1" not in {str(e) for e in markup.committed_epochs()}
+    assert markup.lineage() == lin_before
+    assert markup.lineage()[-1]["snapshot_version"] == ver_before
+
+    # replay of both epochs is still a clean no-op (main-table marker)
+    recs = p.run(s0.unionByName(s1), n_epochs=2)
+    assert all(r.get("skipped_duplicate_epoch") for r in recs)
+    # and the markup table still serves its epoch-0 state
+    assert {(r["repo"], r["path"]) for r in p.domain_state("markup").collect()} == {("r", "b")}
