@@ -150,6 +150,7 @@ def run_cdc(
 def run_small_batch(
     spark, n_base: int, n_batch: int, mode: str,
     demux: bool = False, demux_targeted: bool = False,
+    lang_filter: list | None = None,
 ) -> dict:
     """Steady-state CDC ingest: ONE small epoch applied to a large
     EXISTING table (batch ~= n_batch/n_base of the key space) — the
@@ -175,6 +176,15 @@ def run_small_batch(
         batch = gen_source_changes(
             spark, n_events=n_batch, n_keys=n_keys, n_repos=100
         ).withColumn("lsn", F.col("lsn") + F.lit(2 * n_base + 1))
+        if lang_filter is not None:
+            # SPARSE epoch: only keys of the given langs (lang is
+            # stable per key, so these keys lived in the same domain
+            # in the base table — no cross-domain moves).  Deletes
+            # carry NULL lang and drop out: a pure-upsert epoch.
+            # This is the steady-state shape demux targeting exists
+            # for — most epochs touch a few domains, not all of them.
+            batch = batch.where(F.col("lang").isin(lang_filter))
+            n_batch = batch.count()
         batch.write.mode("overwrite").parquet(stage)
         p = CDCPipeline(
             spark, root, n_buckets=64, merge_mode=mode, demux_domains=demux,
@@ -279,6 +289,18 @@ def main_bench() -> None:
     small_dx_t = run_small_batch(spark, n_base=n_cdc, n_batch=n_cdc // 20, mode="cow", demux=True, demux_targeted=True)
     timings["cdc_small_batch_demux_blanket"] = small_dx_b["merge_seconds"]
     timings["cdc_small_batch_demux_targeted"] = small_dx_t["merge_seconds"]
+    # SPARSE small batch (one domain's langs only — the common
+    # steady-state epoch): targeted mode skips the merge ENTIRELY for
+    # every untouched domain (merge-floor trim), while blanket still
+    # tombstones all batch keys into every domain.
+    _sparse = ["sql", "r", "julia"]  # the 'query' domain
+    small_sx_b = run_small_batch(spark, n_base=n_cdc, n_batch=n_cdc // 20,
+                                 mode="cow", demux=True, lang_filter=_sparse)
+    small_sx_t = run_small_batch(spark, n_base=n_cdc, n_batch=n_cdc // 20,
+                                 mode="cow", demux=True, demux_targeted=True,
+                                 lang_filter=_sparse)
+    timings["cdc_small_batch_demux_sparse_blanket"] = small_sx_b["merge_seconds"]
+    timings["cdc_small_batch_demux_sparse_targeted"] = small_sx_t["merge_seconds"]
     # hot-key changelog (power-law keys — a megarepo; the hottest
     # key takes ~a third of all events at skew 3-10): plain window
     # dedup vs the salted two-phase form.  Measured finding (r4): at
@@ -307,7 +329,9 @@ def main_bench() -> None:
         "cdc_demux_targeted": cdc_demux_t,
         "cdc_small_batch": {"cow": small_cow, "mor": small_mor,
                              "demux_blanket": small_dx_b,
-                             "demux_targeted": small_dx_t},
+                             "demux_targeted": small_dx_t,
+                             "demux_sparse_blanket": small_sx_b,
+                             "demux_sparse_targeted": small_sx_t},
         "cdc_hotkey": {"window": skew_w, "salted": skew_s},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,

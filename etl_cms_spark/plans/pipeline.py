@@ -58,6 +58,11 @@ class CDCPipeline:
     # exceeds this depth (when no explicit compact_depth/compact_every
     # policy is given) — bounds read amplification by work done.
     _DEFAULT_DOMAIN_COMPACT_DEPTH = 8
+    # targeted-demux lookup: batches at or below this many rows get a
+    # broadcast semi prefilter of the previous-snapshot side (keys are
+    # ~40-60 B/row, so 500k keys ≈ 25 MB broadcast — safe; above it,
+    # batch ≈ keyspace and the filter would remove almost nothing).
+    _LOOKUP_PREFILTER_MAX_ROWS = 500_000
 
     def __init__(
         self,
@@ -489,6 +494,20 @@ class CDCPipeline:
                 F.col("_lsn").alias("_prev_lsn"),
                 F.col("_deleted").alias("_prev_del"),
             )
+            # Small-batch regime (steady-state tail): the batch touches
+            # a small fraction of the key space, but bucket pruning
+            # stops helping once its keys spread over every bucket —
+            # the lookup would shuffle the FULL table side.  A
+            # broadcast LEFT-SEMI prefilter keeps the table side
+            # scan-local (only batch keys survive the scan), leaving a
+            # tiny shuffle.  prev rows whose key is absent from the
+            # batch produce nothing in the left join, so the filter
+            # never changes results.  Skipped for large batches (keys
+            # too big to broadcast, and batch≈keyspace removes ~0).
+            if 0 < int(stats["n_total"] or 0) <= self._LOOKUP_PREFILTER_MAX_ROWS:
+                prev = prev.join(
+                    F.broadcast(mapped.select(*KEY_COLS)), KEY_COLS, "leftsemi"
+                )
             # SHUFFLE_HASH: both sides are narrow (key/domain/lsn);
             # the hash build avoids SMJ's per-partition sorts of both.
             keyinfo = mapped.select(*KEY_COLS, "lsn", "op", "domain").join(
