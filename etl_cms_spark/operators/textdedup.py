@@ -20,6 +20,8 @@ only on candidates.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -217,12 +219,16 @@ def minhash_signatures_portable(
     id_col: str,
     n_hashes: int = 16,
     shingle_n: int = 3,
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Like ``minhash_signatures`` but with the portable polynomial
     hash family — same explode + map-side partial-agg shape (shuffle
-    carries n_hashes longs per doc), oracle-replayable in DuckDB."""
+    carries n_hashes longs per doc), oracle-replayable in DuckDB.
+    ``extra_cols`` ride the groupBy key (e.g. a change version when a
+    CDC batch holds several versions of the same doc id)."""
     sh = df.select(
         F.col(id_col).alias("_id"),
+        *extra_cols,
         F.explode_outer(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("_s"),
     ).withColumn("_h", poly_hash(F.col("_s")))
     aggs = [
@@ -232,7 +238,7 @@ def minhash_signatures_portable(
         ).alias(f"_m{i}")
         for i, (a, b) in enumerate(_mh_coeffs(n_hashes))
     ]
-    return sh.groupBy("_id").agg(*aggs)
+    return sh.groupBy("_id", *extra_cols).agg(*aggs)
 
 
 def minhash_lsh_pairs_portable(

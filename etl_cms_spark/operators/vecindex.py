@@ -55,6 +55,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_cms_spark.functions.vectors import cosine
+from etl_cms_spark.operators.incstore import (
+    V_COL as _V_COL,
+    WV_COL as _WV_COL,
+    atomic_json as _atomic_json,
+    mask_resolve,
+    stamped_union,
+)
 from etl_cms_spark.operators.similarity import (
     _cos_py,
     _kmeans_cosine,
@@ -62,16 +69,6 @@ from etl_cms_spark.operators.similarity import (
     srp_cell_portable,
     srp_cell_portable_py,
 )
-
-_V_COL = "_v"          # change version (source LSN / lake snapshot version)
-_WV_COL = "_write"     # write-group ordinal (commit recency tie-break)
-
-
-def _atomic_json(path: str, obj) -> None:
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-    os.replace(tmp, path)
 
 
 class IncrementalVectorIndex:
@@ -288,58 +285,32 @@ class IncrementalVectorIndex:
 
     # ------------------------------------------------------------ reads
 
-    @staticmethod
-    def _has_parquet(d: str) -> bool:
-        for _, _, files in os.walk(d):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
-
     def _stamped(self, sub: str, cells: list[int] | None = None) -> DataFrame | None:
-        root = os.path.join(self.path, sub)
-        if not os.path.isdir(root):
-            return None
-        parts = []
-        for w in sorted(os.listdir(root)):
-            # a rowless write (e.g. a delete-only epoch's cells dir)
-            # leaves only _SUCCESS — reading it would fail schema
-            # inference, and it contributes nothing anyway.
-            if not w.startswith("w") or not self._has_parquet(os.path.join(root, w)):
-                continue
-            p = self.spark.read.parquet(os.path.join(root, w))
-            p = p.withColumn(_WV_COL, F.lit(int(w[1:].split("-")[0])))
-            if cells is not None and "cell" in p.columns:
-                p = p.where(F.col("cell").isin([int(c) for c in cells]))
-            parts.append(p)
-        if not parts:
-            return None
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        return df
+        prune = None
+        if cells is not None:
+            wanted = [int(c) for c in cells]
+
+            def prune(p: DataFrame) -> DataFrame:
+                if "cell" in p.columns:
+                    return p.where(F.col("cell").isin(wanted))
+                return p
+
+        return stamped_union(self.spark, os.path.join(self.path, sub), prune)
 
     def live(self, cells: list[int] | None = None) -> DataFrame:
         """Current rows (vec_id, vec, _v, cell), cell-pruned when
         ``cells`` is given (parquet partition pruning per write
         group).  The mask side is always read in full — it is narrow
         and bounded by changes since the last compaction — and joined
-        as the hash-build side."""
+        as the hash-build side (incstore.mask_resolve)."""
         rows = self._stamped("cells", cells)
         if rows is None:  # index built empty and nothing ingested yet
             return self.spark.createDataFrame(
                 [], "vec_id long, vec array<double>, _v long, cell long"
             )
-        mask = self._stamped("mask")
-        if mask is None:
-            return rows.select("vec_id", "vec", _V_COL, "cell")
-        top = mask.groupBy("vec_id").agg(
-            F.max(F.struct(F.col(_V_COL), F.col(_WV_COL))).alias("_m")
+        return mask_resolve(rows, self._stamped("mask"), "vec_id").select(
+            "vec_id", "vec", _V_COL, "cell"
         )
-        j = rows.join(top.hint("SHUFFLE_HASH"), "vec_id", "left")
-        keep = F.col("_m").isNull() | (
-            F.struct(F.col(_V_COL), F.col(_WV_COL)) >= F.col("_m")
-        )
-        return j.where(keep).select("vec_id", "vec", _V_COL, "cell")
 
     def topk(
         self,

@@ -2466,3 +2466,127 @@ def ann_ivf_incremental(spark, sf_dir):
     for n, e in enumerate(epochs):
         idx.apply_epoch(e.withColumnRenamed("vec", "embedding"), epoch=n + 1)
     return idx.topk(qv, k=10, max_flip=1)
+
+
+def _textdedup_incr_oracle_sql(n_hashes: int = 16, bands: int = 4) -> str:
+    """The whole dedup-index maintenance protocol replayed in SQL:
+    the same deterministic document change epochs, latest-LSN-wins
+    state (deletes drop), portable MinHash signatures recomputed from
+    raw text, and the agreement-count verifier.  NOTHING is staged —
+    by the pigeonhole bound (textindex module docstring) a pair passes
+    the index's band join + verify iff its signatures agree in at
+    least n_hashes-(bands-1) positions, so the oracle needs no band
+    bucket hashes at all: it scores agreement over all live pairs
+    directly."""
+    from etl_cms_spark.operators.textdedup import _mh_coeffs
+
+    verify_min = n_hashes - bands + 1
+    mins = ", ".join(
+        f"coalesce(min(({a} * h + {b}) % 2147483647), 0) AS m{i}"
+        for i, (a, b) in enumerate(_mh_coeffs(n_hashes))
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    return rf"""
+    WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    base AS (
+      SELECT doc_id, text, doc_id AS lsn, 'U' AS op FROM src WHERE doc_id % 10 != 7),
+    e1 AS (
+      SELECT doc_id + 100000, text, 100000 + doc_id, 'U' FROM src WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, text || ' [rev2]', 110000 + doc_id, 'U' FROM src WHERE doc_id % 9 = 2),
+    e2 AS (
+      SELECT doc_id, CAST(NULL AS VARCHAR), 200000 + doc_id, 'D' FROM src WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 200000, text, 210000 + doc_id, 'U' FROM src WHERE doc_id % 7 = 1
+      UNION ALL
+      SELECT doc_id + 100000, CAST(NULL AS VARCHAR), 220000 + doc_id, 'D' FROM src WHERE doc_id % 20 = 0),
+    chlog AS (SELECT * FROM base UNION ALL SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+    latest AS (
+      SELECT doc_id, arg_max(text, lsn) AS text, arg_max(op, lsn) AS op
+      FROM chlog GROUP BY doc_id),
+    live AS (SELECT doc_id, text FROM latest WHERE op != 'D'),
+    toks AS (SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS t
+             FROM live),
+    sh AS (SELECT doc_id,
+             list_distinct(CASE WHEN length(t) < 3 THEN []
+               ELSE list_transform(range(1, length(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS shingles
+           FROM toks),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hs AS (SELECT doc_id,
+             list_reduce(list_transform(range(1, length(s) + 1),
+               c -> ord(substring(s, c::INT, 1))::BIGINT),
+               (a, c) -> (a * 257 + c) % 2147483647) AS h
+           FROM ex),
+    sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(({agree}) / {float(n_hashes)}, 4) AS est_jaccard
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE ({agree}) >= {verify_min}
+    """
+
+
+@q("textdedup_incremental", _textdedup_incr_oracle_sql())
+def textdedup_incremental(spark, sf_dir):
+    """Epoch-incremental MinHash-LSH dedup index (dedup-at-ingest for
+    the CDC loop — the text twin of ``ann_ivf_incremental``): an
+    empty index ingests a base corpus plus two change epochs (dupes
+    under new ids, in-place rewrites that retire every old band row,
+    deletes of originals AND of dupes), probing each batch against the
+    live corpus as it arrives; the returned state is the maintained
+    index's CURRENT near-dup pair set.  The oracle independently
+    replays latest-wins + portable signatures + the pigeonhole-exact
+    agreement verifier from raw text — a hash match certifies that N
+    epochs of O(changes) upkeep converge to exactly the from-scratch
+    answer, update/delete/cross-bucket-move semantics included."""
+    import shutil
+
+    from etl_cms_spark.operators.textindex import IncrementalTextDedupIndex
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id", "text")
+    vid = F.col("doc_id")
+    base = d.where(vid % 10 != 7).select(
+        "doc_id", "text", vid.alias("lsn"), F.lit("U").alias("op")
+    )
+    e1 = (
+        d.where(vid % 5 == 0)
+        .select(
+            (vid + 100000).alias("doc_id"), "text",
+            (F.lit(100000) + vid).alias("lsn"), F.lit("U").alias("op"),
+        )
+        .unionByName(
+            d.where(vid % 9 == 2).select(
+                "doc_id", F.concat("text", F.lit(" [rev2]")).alias("text"),
+                (F.lit(110000) + vid).alias("lsn"), F.lit("U").alias("op"),
+            )
+        )
+    )
+    e2 = (
+        d.where(vid % 10 == 3)
+        .select(
+            "doc_id", F.lit(None).cast("string").alias("text"),
+            (F.lit(200000) + vid).alias("lsn"), F.lit("D").alias("op"),
+        )
+        .unionByName(
+            d.where(vid % 7 == 1).select(
+                (vid + 200000).alias("doc_id"), "text",
+                (F.lit(210000) + vid).alias("lsn"), F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            d.where(vid % 20 == 0).select(
+                (vid + 100000).alias("doc_id"),
+                F.lit(None).cast("string").alias("text"),
+                (F.lit(220000) + vid).alias("lsn"), F.lit("D").alias("op"),
+            )
+        )
+    )
+    path = "/tmp/spark_graft_stage/textdedup_incr"
+    shutil.rmtree(path, ignore_errors=True)
+    idx = IncrementalTextDedupIndex.build(spark, path, "text", "doc_id")
+    for n, e in enumerate([base, e1, e2]):
+        idx.apply_epoch(e, epoch=n)
+    return idx.live_pairs()

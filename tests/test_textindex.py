@@ -1,0 +1,236 @@
+"""Epoch-incremental MinHash-LSH dedup index (operators/textindex.py).
+
+The invariant under test everywhere: N epochs of incremental upkeep
+produce EXACTLY the pair set a from-scratch batch build over the
+final corpus state would produce, at O(changes)/epoch cost — the
+signature frame never rescans the corpus, the probe never shuffles
+the index side, and at-ingest detection flags a duplicate in the
+epoch its copy arrives.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_cms_spark.operators.textindex import IncrementalTextDedupIndex
+
+DOC_A = "the quick brown fox jumps over the lazy dog again and again today"
+DOC_B = "an entirely different document describing spark incremental band indexes"
+DOC_C = "structured streaming applies each micro batch through the same epoch path"
+DOC_D = "tiny"  # < shingle_n tokens: not indexable
+
+
+def _mk(spark, rows):
+    """rows: list of (doc_id, text, lsn, op)."""
+    return spark.createDataFrame(
+        [(int(i), t, int(lsn), op) for i, t, lsn, op in rows],
+        "doc_id long, text string, lsn long, op string",
+    )
+
+
+def _base(spark):
+    return _mk(
+        spark,
+        [
+            (1, DOC_A, 1, "I"),
+            (2, DOC_B, 2, "I"),
+            (3, DOC_C, 3, "I"),
+            (4, DOC_D, 4, "I"),
+            (5, DOC_A, 5, "I"),
+        ],
+    )
+
+
+def _epochs(spark):
+    e1 = _mk(
+        spark,
+        [
+            (6, DOC_B, 10, "I"),          # dup of 2 → detect at ingest
+            (1, DOC_C, 11, "U"),          # rewrite: 1 now dups 3, leaves A-cluster
+            (7, DOC_D, 12, "I"),          # still not indexable
+        ],
+    )
+    e2 = _mk(
+        spark,
+        [
+            (3, None, 20, "D"),           # delete: kills the 1-3 pair
+            (8, DOC_A, 21, "I"),          # dup of 5's near-dup base text
+        ],
+    )
+    return [e1, e2]
+
+
+def _build(spark, path):
+    return IncrementalTextDedupIndex.build(spark, path, "text", "doc_id")
+
+
+def _apply_all(spark, path, frames, **kw):
+    idx = _build(spark, path)
+    for n, f in enumerate(frames):
+        idx.apply_epoch(f, epoch=n, **kw)
+    return idx
+
+
+def _pairs(df):
+    return sorted((r["id_a"], r["id_b"], r["est_jaccard"]) for r in df.collect())
+
+
+def _final_corpus(spark, frames):
+    state = {}
+    for f in frames:
+        for r in sorted(f.collect(), key=lambda r: r["lsn"]):
+            if r["op"] == "D":
+                state.pop(r["doc_id"], None)
+            else:
+                state[r["doc_id"]] = (r["text"], r["lsn"])
+    return _mk(spark, [(i, t, lsn, "I") for i, (t, lsn) in state.items()])
+
+
+def test_incremental_equals_batch_rebuild(spark, tmp_root):
+    frames = [_base(spark)] + _epochs(spark)
+    idx = _apply_all(spark, os.path.join(tmp_root, "ix"), frames)
+    fresh = _build(spark, os.path.join(tmp_root, "fresh"))
+    fresh.apply_epoch(_final_corpus(spark, frames), epoch=0, probe=False)
+    assert _pairs(idx.live_pairs()) == _pairs(fresh.live_pairs())
+    # and the state is what the change history implies: 1 moved to the
+    # C-cluster but C was deleted, so only the A-cluster + the B dup
+    # remain live.
+    got = {(a, b) for a, b, _ in _pairs(idx.live_pairs())}
+    assert (2, 6) in got and (5, 8) in got
+    assert all(3 not in p for p in got)
+
+
+def test_detects_duplicate_in_arrival_epoch(spark, tmp_root):
+    frames = [_base(spark)] + _epochs(spark)
+    idx = _apply_all(spark, os.path.join(tmp_root, "ix"), frames)
+    det = {(r["id_a"], r["id_b"]): r["epoch"] for r in idx.detected_pairs().collect()}
+    assert det[(1, 5)] == 0       # within-batch dup in the initial load
+    assert det[(2, 6)] == 1       # dup of live doc flagged when it arrived
+    assert det[(1, 3)] == 1       # rewrite of 1 collided with live 3 at ingest
+    assert det[(5, 8)] == 2
+
+
+def test_update_retires_old_band_rows(spark, tmp_root):
+    """A rewrite changes every band key; the old bucket's row must
+    lose on any read — the text analogue of vecindex's cross-cell
+    move."""
+    frames = [_base(spark)] + _epochs(spark)
+    idx = _apply_all(spark, os.path.join(tmp_root, "ix"), frames)
+    live1 = idx.live_sigs().where(F.col("doc_id") == 1).collect()
+    assert len(live1) == 1 and live1[0]["_v"] == 11
+    # doc 1 no longer pairs with the A-cluster it was born into
+    assert all(1 not in (a, b) for a, b, _ in _pairs(idx.live_pairs()))
+
+
+def test_delete_removes_doc_everywhere(spark, tmp_root):
+    frames = [_base(spark)] + _epochs(spark)
+    idx = _apply_all(spark, os.path.join(tmp_root, "ix"), frames)
+    assert idx.live_sigs().where(F.col("doc_id") == 3).count() == 0
+    assert idx.live_bands().where(F.col("doc_id") == 3).count() == 0
+
+
+def test_unindexable_docs_excluded_but_masked(spark, tmp_root):
+    frames = [_base(spark)] + _epochs(spark)
+    idx = _apply_all(spark, os.path.join(tmp_root, "ix"), frames)
+    assert idx.live_sigs().where(F.col("doc_id").isin(4, 7)).count() == 0
+    # an update TO unindexable text retires the old signature
+    e3 = _mk(spark, [(2, "now tiny", 30, "U")])
+    idx.apply_epoch(e3, epoch=3)
+    assert idx.live_sigs().where(F.col("doc_id") == 2).count() == 0
+    assert all(2 not in (a, b) for a, b, _ in _pairs(idx.live_pairs()))
+
+
+def test_apply_epoch_idempotent_and_reopens(spark, tmp_root):
+    frames = [_base(spark)] + _epochs(spark)
+    idx = _apply_all(spark, os.path.join(tmp_root, "ix"), frames)
+    before = _pairs(idx.live_pairs())
+    rec = idx.apply_epoch(_epochs(spark)[0], epoch=1)
+    assert rec["skipped_duplicate_epoch"]
+    idx2 = IncrementalTextDedupIndex(spark, idx.path)
+    assert _pairs(idx2.live_pairs()) == before
+
+
+def test_compact_preserves_state_and_detection_log(spark, tmp_root):
+    frames = [_base(spark)] + _epochs(spark)
+    idx = _apply_all(spark, os.path.join(tmp_root, "ix"), frames)
+    before, det = _pairs(idx.live_pairs()), _pairs(idx.detected_pairs().drop("epoch"))
+    idx.compact()
+    assert _pairs(idx.live_pairs()) == before
+    assert _pairs(idx.detected_pairs().drop("epoch")) == det
+    # post-compaction epochs still apply on top of the folded base
+    idx.apply_epoch(_mk(spark, [(9, DOC_B, 40, "I")]), epoch=3)
+    got = {(a, b) for a, b, _ in _pairs(idx.live_pairs())}
+    assert (6, 9) in got
+
+
+def test_sig_frame_scans_only_the_changes(spark, tmp_root):
+    """The O(changes) guarantee: the per-epoch signature plan reads
+    ZERO index files — its only scan is the changes frame."""
+    frames = [_base(spark)] + _epochs(spark)
+    idx = _apply_all(spark, os.path.join(tmp_root, "ix"), frames[:2])
+    frame = idx.sig_frame(frames[2].where(F.col("op") != "D"), "lsn")
+    files = frame.inputFiles()
+    assert all(idx.path not in f for f in files)
+
+
+def test_probe_broadcasts_batch_not_index(spark, tmp_root):
+    """The probe's scale contract: with broadcast_batch the executed
+    plan must broadcast-exchange the BATCH side only — no shuffle
+    exchange may touch the index scan (the corpus-sized side stays
+    scan-local, as in targeted demux's previous-version lookup)."""
+    frames = [_base(spark)] + _epochs(spark)
+    idx = _apply_all(spark, os.path.join(tmp_root, "ix"), frames[:2])
+    e = frames[2].where(F.col("op") != "D")
+    sigs = idx.sig_frame(e, "lsn")
+    plan = (
+        idx.probe(sigs, idx.band_frame(sigs), broadcast_batch=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every join against the bands store is a BroadcastHashJoin
+    assert "BroadcastHashJoin" in plan
+    bands_dir = os.path.join(idx.path, "bands")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert bands_dir not in line
+
+
+def test_lake_integration_indexes_lake_content(spark, tmp_root):
+    """update_from_lake tails the lake's own CDC-out diff: after two
+    pipeline epochs the index's live docs equal the lake's current
+    rows (stable-id keyed), and a content duplicate arriving in epoch
+    2 is detected at ingest."""
+    from etl_cms_spark.sink.lake import LakeTable
+
+    body = "def handler(request): return render(template, context) # " + "x " * 20
+    path = os.path.join(tmp_root, "lake")
+    lake = LakeTable(spark, path, n_buckets=4)
+    lake.create(["repo", "path"], {"repo": "string", "path": "string", "content": "string"})
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "repo string, path string, content string, op string, lsn long")
+
+    lake.merge_epoch(
+        batch([("r1", "a.py", body + "alpha", "U", 1), ("r1", "b.py", "short", "U", 2)]),
+        epoch=0,
+    )
+    idx = IncrementalTextDedupIndex.build(
+        spark, os.path.join(tmp_root, "ix"), "content", "doc_id"
+    )
+    rec0 = idx.update_from_lake(lake, 0)
+    assert rec0["n_indexable"] == 1  # "short" has no shingles
+    lake.merge_epoch(
+        batch([("r2", "copy.py", body + "alpha", "U", 3)]), epoch=1
+    )
+    rec1 = idx.update_from_lake(lake, 1)
+    assert rec1["n_pairs_detected"] == 1
+    live_ids = {r["doc_id"] for r in idx.live_sigs().collect()}
+    expect = {
+        r["doc_id"]
+        for r in lake.read()
+        .where(F.length("content") > 20)
+        .select(F.xxhash64("repo", "path").alias("doc_id"))
+        .collect()
+    }
+    assert live_ids == expect
