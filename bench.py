@@ -73,7 +73,7 @@ def run_cdc(
     bucketed: bool = False,
     demux: bool = False,
     demux_targeted: bool = False,
-    dedup_join: bool = False,
+    dedup_mode: str = "strict",
     key_skew: float = 0.0,
 ) -> dict:
     import shutil
@@ -102,7 +102,7 @@ def run_cdc(
             p = CDCPipeline(
                 spark, root, n_buckets=64, salt_hot_keys=salt, demux_domains=demux,
                 demux_tombstones="targeted" if demux_targeted else "blanket",
-                dedup_mode="join" if dedup_join else "strict",
+                dedup_mode=dedup_mode,
             )
             t0 = time.time()
             p.run_from_table(table)
@@ -115,7 +115,7 @@ def run_cdc(
             p = CDCPipeline(
                 spark, root, n_buckets=64, salt_hot_keys=salt, demux_domains=demux,
                 demux_tombstones="targeted" if demux_targeted else "blanket",
-                dedup_mode="join" if dedup_join else "strict",
+                dedup_mode=dedup_mode,
             )
             staging = tempfile.mkdtemp(prefix="cdc_bench_stage_")
             # epoch-partitioned staging is PRODUCER work (mirrors the
@@ -134,7 +134,7 @@ def run_cdc(
             "bucketed_tail": bucketed,
             "demux": demux,
             "demux_targeted": demux_targeted,
-            "dedup_join": dedup_join,
+            "dedup_mode": dedup_mode,
             "key_skew": key_skew,
             "seconds": round(dt, 2),
             "staging_seconds": round(staging_dt, 2),
@@ -422,7 +422,7 @@ def run_map_stage(spark, n_events: int) -> dict:
         shutil.rmtree(log_dir, ignore_errors=True)
 
 
-def main_cdc_only(cpus: int, n_events: int, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False, dedup_join: bool = False) -> None:
+def main_cdc_only(cpus: int, n_events: int, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False, dedup_mode: str = "strict") -> None:
     global CPUS
     CPUS = cpus
     spark = _tuned_session(cpus)
@@ -430,14 +430,14 @@ def main_cdc_only(cpus: int, n_events: int, bucketed: bool = False, demux: bool 
     # the timed window measures SUSTAINED throughput (the metric), not
     # JVM/codegen/Python-worker cold start — a long-running tail pays
     # those once per process lifetime, not per epoch.
-    run_cdc(spark, n_events=max(50_000, n_events // 40), n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted, dedup_join=dedup_join)
-    res = run_cdc(spark, n_events=n_events, n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted, dedup_join=dedup_join)
+    run_cdc(spark, n_events=max(50_000, n_events // 40), n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted, dedup_mode=dedup_mode)
+    res = run_cdc(spark, n_events=n_events, n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted, dedup_mode=dedup_mode)
     res["cpus"] = cpus
     res["map_stage"] = run_map_stage(spark, n_events)
     print("CDC_RESULT " + json.dumps(res))
 
 
-def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False, dedup_join: bool = False) -> dict:
+def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False, dedup_mode: str = "strict") -> dict:
     """Run the cdc-only worker; with repeats>1 keep the best run per
     level (this shared VM shows up to 2x run-to-run variance — best-of
     measures the machine's capability rather than its noise)."""
@@ -450,8 +450,8 @@ def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: 
             cmd.append("--demux")
         if demux_targeted:
             cmd.append("--demux-targeted")
-        if dedup_join:
-            cmd.append("--dedup-join")
+        if dedup_mode != "strict":
+            cmd.extend(["--dedup-mode", dedup_mode])
         if pin and shutil_which("taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
@@ -492,8 +492,13 @@ def main_scaling(n_events: int) -> None:
     # semi-join back — the round-3 advice experiment: the dedup
     # shuffle carries (key,lsn) pairs instead of window-sorting
     # payload rows).
-    j2 = _run_level(2, n_events, pin=True, repeats=3, dedup_join=True)
-    j8p = _run_level(8, n_events, pin=True, repeats=3, dedup_join=True)
+    j2 = _run_level(2, n_events, pin=True, repeats=3, dedup_mode="join")
+    j8p = _run_level(8, n_events, pin=True, repeats=3, dedup_mode="join")
+    # pair 1d: same pinned pair, BROADCAST-semi dedup — the payload
+    # side never shuffles in the dedup stage (only the narrow
+    # (key, max-lsn) winner set moves, then broadcasts).
+    c2 = _run_level(2, n_events, pin=True, repeats=3, dedup_mode="broadcast")
+    c8p = _run_level(8, n_events, pin=True, repeats=3, dedup_mode="broadcast")
     # pair 2 (driver-suggested proxy: local[8] vs local[32], unpinned):
     r8 = _run_level(8, n_events, pin=False, repeats=3)
     r32 = _run_level(32, n_events, pin=False, repeats=3)
@@ -519,6 +524,11 @@ def main_scaling(n_events: int) -> None:
             "throughput_4n": j8p["events_per_sec"],
             "efficiency": eff(j2["events_per_sec"], j8p["events_per_sec"]),
         },
+        "pair_2_to_8_pinned_broadcast_dedup": {
+            "throughput_n": c2["events_per_sec"],
+            "throughput_4n": c8p["events_per_sec"],
+            "efficiency": eff(c2["events_per_sec"], c8p["events_per_sec"]),
+        },
         "pair_8_to_32": {
             "throughput_n": r8["events_per_sec"],
             "throughput_4n": r32["events_per_sec"],
@@ -540,6 +550,8 @@ def main_scaling(n_events: int) -> None:
             be28=report["pair_2_to_8_pinned_bucketed"]["efficiency"],
             jt2=j2["events_per_sec"], jt8p=j8p["events_per_sec"],
             je28=report["pair_2_to_8_pinned_join_dedup"]["efficiency"],
+            ct2=c2["events_per_sec"], ct8p=c8p["events_per_sec"],
+            ce28=report["pair_2_to_8_pinned_broadcast_dedup"]["efficiency"],
             t8=r8["events_per_sec"], t32=r32["events_per_sec"],
             e832=report["pair_8_to_32"]["efficiency"],
             m8=r8["map_stage"]["events_per_sec"], m32=r32["map_stage"]["events_per_sec"],
@@ -563,6 +575,7 @@ shuffle dirs on tmpfs, AQE off for the epoch loop.
 | end-to-end tail→merge (events/s) | {t2} | {t8p} | {e28} |
 | end-to-end, producer-BUCKETED tail (Exchange-free dedup) | {bt2} | {bt8p} | {be28} |
 | end-to-end, JOIN-form dedup (narrow (key,lsn) agg + semi-join) | {jt2} | {jt8p} | {je28} |
+| end-to-end, BROADCAST-semi dedup (payload never shuffles in dedup) | {ct2} | {ct8p} | {ce28} |
 | map stage only, shuffle-free (events/s) | {m2} | {m8p} | {me28} |
 
 ## Pair B — local[8] vs local[32] (driver-suggested proxy, unpinned)
@@ -657,7 +670,11 @@ if __name__ == "__main__":
             bucketed="--bucketed" in sys.argv,
             demux="--demux" in sys.argv or "--demux-targeted" in sys.argv,
             demux_targeted="--demux-targeted" in sys.argv,
-            dedup_join="--dedup-join" in sys.argv,
+            dedup_mode=(
+                sys.argv[sys.argv.index("--dedup-mode") + 1]
+                if "--dedup-mode" in sys.argv
+                else ("join" if "--dedup-join" in sys.argv else "strict")
+            ),
         )
     elif "--scaling" in sys.argv:
         n = int(os.environ.get("BENCH_CDC_EVENTS", "8000000"))

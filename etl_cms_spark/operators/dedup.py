@@ -68,6 +68,33 @@ def latest_by_lsn_join(
     return df.join(mx.hint("SHUFFLE_HASH"), [*key_cols, lsn_col], "leftsemi")
 
 
+def latest_by_lsn_broadcast(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    lsn_col: str = "lsn",
+) -> DataFrame:
+    """Broadcast-semi form: the payload side NEVER shuffles in the
+    dedup stage.  max(lsn) per key is a narrow hash aggregation
+    ((key, lsn) longs only, map-side combined); the winner set is
+    broadcast and the payload rows semi-join against it scan-local.
+
+    This removes the one per-epoch payload Exchange that the plain
+    (non-bucketed) tail pays — the isolated scaling penalty measured
+    in BENCH/BASELINE.md's decomposition table — at the price of a
+    driver/executor broadcast of one (key, max-lsn) row per distinct
+    key.  Appropriate whenever the epoch's DISTINCT KEY count is
+    broadcastable (steady-state CDC micro-batches; ~10-60 bytes/key,
+    so low tens of millions of keys at most); for corpus-sized
+    backfills use ``latest_by_lsn_join`` (both sides shuffle narrow)
+    or the window form.  Same caveat as the join form: exact
+    duplicate (key, lsn) deliveries both survive (byte-identical by
+    the at-least-once contract; any downstream per-key reducer
+    resolves them deterministically).
+    """
+    mx = df.groupBy(*key_cols).agg(F.max(lsn_col).alias(lsn_col))
+    return df.join(F.broadcast(mx), [*key_cols, lsn_col], "leftsemi")
+
+
 def latest_by_lsn_window(
     df: DataFrame,
     key_cols: Sequence[str],

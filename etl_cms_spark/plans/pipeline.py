@@ -34,7 +34,11 @@ from typing import Any
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from etl_cms_spark.operators.dedup import latest_by_lsn_join, latest_by_lsn_window
+from etl_cms_spark.operators.dedup import (
+    latest_by_lsn_broadcast,
+    latest_by_lsn_join,
+    latest_by_lsn_window,
+)
 from etl_cms_spark.operators.skew import salted_latest_by_lsn
 from etl_cms_spark.plans.mapping import map_concepts_join, map_concepts_udf
 from etl_cms_spark.sink.lake import LakeTable
@@ -81,6 +85,7 @@ class CDCPipeline:
         domain_n_buckets: int | None = None,
         detailed_lineage: bool = False,
         extra_mappings: dict[str, tuple[int, str]] | None = None,
+        sidecars: list | None = None,
     ):
         """dedup_mode:
         * "strict" (default) — max-LSN dedup before mapping.  Measured
@@ -98,6 +103,12 @@ class CDCPipeline:
           (key, lsn) pairs on the agg side instead of window-sorting
           payload rows.  Exact duplicate (key, lsn) deliveries both
           survive (byte-identical; the merge resolves them).
+        * "broadcast" — max(lsn) hash-agg + BROADCAST semi-join back
+          (operators.dedup.latest_by_lsn_broadcast): the payload side
+          never shuffles in the dedup stage at all — only the narrow
+          winner set moves.  For epochs whose distinct-key count fits
+          a broadcast (steady-state micro-batches); same duplicate-
+          (key,lsn) caveat as "join".
         * "merge" — no pre-dedup; the lake merge's per-key reduction
           subsumes it (one fewer shuffle; only wins when the update
           ratio is near 1 version/key).  Quarantine then logs every
@@ -116,6 +127,17 @@ class CDCPipeline:
         payload never fans out.  Never-present-key tombstones are
         expired by compact(expire_tombstones=True) after the replay
         horizon.
+
+        ``sidecars`` — incremental index sidecars (objects exposing
+        ``update_from_lake(lake, epoch)``, e.g.
+        operators.vecindex.IncrementalVectorIndex or
+        operators.textindex.IncrementalTextDedupIndex).  After every
+        committed epoch each sidecar tails the lake's own CDC-out
+        diff for that epoch, so index upkeep rides the exactly-once
+        loop at O(changes)/epoch.  Replaying a committed epoch still
+        syncs the sidecars — that closes the crash window between the
+        main-table commit and the sidecar update (each sidecar's own
+        applied-epoch set makes the re-offer a no-op once caught up).
 
         ``demux_tombstones`` picks the fan-out strategy:
         * "targeted" (default) — the batch keys' previous domains are
@@ -187,6 +209,10 @@ class CDCPipeline:
 
         self.mapping = {**CONCEPT_MAP, **(extra_mappings or {})}
         self.dedup_mode = "salted" if salt_hot_keys else dedup_mode
+        if self.dedup_mode not in ("strict", "salted", "join", "broadcast", "merge"):
+            raise ValueError(
+                f"dedup_mode must be strict|salted|join|broadcast|merge, got {self.dedup_mode}"
+            )
         if demux_domains and demux_tombstones == "targeted" and self.dedup_mode == "merge":
             # targeted routing reasons about ONE row per key per
             # batch (its stale-claim analysis is per-row vs the
@@ -203,6 +229,7 @@ class CDCPipeline:
         # per epoch over the cached batch (output = n_buckets rows),
         # so it's off by default on the hot path.
         self.detailed_lineage = detailed_lineage
+        self.sidecars = list(sidecars or [])
         self.metrics: list[dict[str, Any]] = []
 
     # ---------------- lifecycle ----------------
@@ -261,6 +288,12 @@ class CDCPipeline:
         committed = {str(e) for e in self.table.committed_epochs()}
         if str(epoch) in committed:
             rec = {"epoch": epoch, "skipped_duplicate_epoch": True}
+            # a crash may have landed between the main commit and the
+            # sidecar sync: re-offer the committed epoch to every
+            # sidecar (no-op once each has applied it).
+            sc = self._sync_sidecars(epoch)
+            if sc:
+                rec["sidecars"] = sc
             self.metrics.append(rec)
             return rec
 
@@ -293,6 +326,12 @@ class CDCPipeline:
             # Exact duplicate (key, lsn) rows both survive (byte-
             # identical; the merge resolves them deterministically).
             latest = latest_by_lsn_join(data, KEY_COLS, "lsn")
+        elif self.dedup_mode == "broadcast":
+            # broadcast-semi: the payload side never shuffles in the
+            # dedup stage — only the narrow (key, max-lsn) winner set
+            # moves (then broadcasts).  For epochs whose distinct-key
+            # count fits a broadcast; see operators/dedup.py.
+            latest = latest_by_lsn_broadcast(data, KEY_COLS, "lsn")
         else:  # "merge": the lake merge's per-key reduction dedups.
             latest = data
 
@@ -403,6 +442,9 @@ class CDCPipeline:
             }
             if domc:
                 rec["domain_compactions"] = domc
+        sc = self._sync_sidecars(epoch)
+        if sc:
+            rec["sidecars"] = sc
         if not is_repair:
             # A repair epoch is out-of-band: it must never advance the
             # SOURCE cursor (its rows carry old LSNs; overwriting the
@@ -410,6 +452,21 @@ class CDCPipeline:
             self._save_checkpoint(epoch, rec.get("lsn_max"))
         self.metrics.append(rec)
         return rec
+
+    def _sync_sidecars(self, epoch: int) -> dict | None:
+        """Offer a committed epoch's CDC-out diff to every registered
+        index sidecar.  Runs AFTER the main commit (the epoch's
+        completion marker) and again on duplicate-epoch replays, so a
+        crash between commit and sync is healed on the next offer;
+        each sidecar's applied-epoch set keeps the re-offer
+        idempotent."""
+        if not self.sidecars:
+            return None
+        out = {}
+        for i, sc in enumerate(self.sidecars):
+            name = getattr(sc, "name", None) or f"{type(sc).__name__}#{i}"
+            out[name] = sc.update_from_lake(self.table, epoch)
+        return out
 
     def _demux_merge(self, mapped: DataFrame, stats: dict, epoch: int) -> dict:
         """Route the mapped batch into the per-domain destination

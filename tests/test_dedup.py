@@ -130,3 +130,17 @@ def test_dense_id_partition_autosizing():
     assert _dense_id_partitions(10_000_000_000, floor=200) == 2500
     # ceil, not floor: one extra partial partition
     assert _dense_id_partitions(_DENSE_ID_KEYS_PER_PART + 1, floor=1) == 2
+
+
+def test_broadcast_form_matches_join_form(spark, changes):
+    from etl_cms_spark.operators.dedup import (
+        latest_by_lsn_broadcast,
+        latest_by_lsn_join,
+    )
+
+    a = latest_by_lsn_broadcast(changes, ["repo", "path"], "lsn")
+    b = latest_by_lsn_join(changes, ["repo", "path"], "lsn")
+    cols = ["repo", "path", "lsn", "commit"]
+    assert_df_equal(a.select(cols), b.select(cols), "broadcast==join")
+    mx = changes.groupBy("repo", "path").agg(F.max("lsn").alias("lsn"))
+    assert_df_equal(a.select("repo", "path", "lsn").distinct(), mx, "broadcast pruner")

@@ -587,3 +587,21 @@ def test_demux_untouched_domain_skips_merge_entirely(spark, tmp_root):
     assert all(r.get("skipped_duplicate_epoch") for r in recs)
     # and the markup table still serves its epoch-0 state
     assert {(r["repo"], r["path"]) for r in p.domain_state("markup").collect()} == {("r", "b")}
+
+
+def test_broadcast_dedup_mode_matches_strict(spark, changes, tmp_root):
+    """dedup_mode='broadcast' (payload never shuffles in the dedup
+    stage) converges to the same final state as the strict window
+    form, duplicate (key, lsn) deliveries included."""
+    p = CDCPipeline(spark, os.path.join(tmp_root, "b"), dedup_mode="broadcast")
+    p.run(with_injected_duplicates(changes), n_epochs=3)
+    assert_df_equal(
+        p.current_state().select("repo", "path", "commit"),
+        _expected_keys(changes),
+        "broadcast mode == strict state",
+    )
+
+
+def test_unknown_dedup_mode_rejected(spark, tmp_root):
+    with pytest.raises(ValueError, match="dedup_mode"):
+        CDCPipeline(spark, tmp_root, dedup_mode="stricts")

@@ -210,3 +210,16 @@ def test_aqe_splits_skewed_join(spark, tmp_root):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dedup_broadcast_form_never_shuffles_payload(spark):
+    """dedup_mode='broadcast' scale contract: the ONLY exchange in the
+    plan is the narrow (key, lsn) aggregation — the payload side feeds
+    a BroadcastHashJoin semi straight off its scan."""
+    from etl_cms_spark.operators.dedup import latest_by_lsn_broadcast
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(latest_by_lsn_broadcast(events, ["user_id"], "event_id"))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert plan.count("hashpartitioning(") == 1  # the max(lsn) agg only
+    assert "SortAggregate" not in plan

@@ -234,3 +234,44 @@ def test_lake_integration_indexes_lake_content(spark, tmp_root):
         .collect()
     }
     assert live_ids == expect
+
+
+def test_pipeline_sidecar_rides_epochs_and_heals_crash_window(spark, tmp_root):
+    """sidecars=[index] on CDCPipeline: every committed epoch's
+    CDC-out diff flows into the index inside the exactly-once loop,
+    and a sidecar that MISSED epochs (the crash window between the
+    main commit and the sidecar sync) catches up on replay — the
+    duplicate-epoch skip path still offers the diff."""
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = gen_source_changes(spark, 1200, 200, 10)
+    idx = IncrementalTextDedupIndex.build(
+        spark, os.path.join(tmp_root, "ix"), "content", "doc_id"
+    )
+    root = os.path.join(tmp_root, "lake")
+    p = CDCPipeline(spark, root, sidecars=[idx])
+    recs = p.run(changes, n_epochs=3)
+    assert all("sidecars" in r for r in recs)
+    assert idx.meta["applied_epochs"] == [0, 1, 2]
+    # the index's live doc set == the lake's current rows (every
+    # generated content has >= 3 tokens, so all rows are indexable)
+    live_ids = {r["doc_id"] for r in idx.live_sigs().collect()}
+    expect = {
+        r["doc_id"]
+        for r in p.current_state()
+        .select(F.xxhash64("repo", "path").alias("doc_id"))
+        .collect()
+    }
+    assert live_ids == expect
+    # crash-window heal: a fresh sidecar (missed every epoch) attached
+    # to a replay over the already-committed lake converges without
+    # any epoch re-merging.
+    idx2 = IncrementalTextDedupIndex.build(
+        spark, os.path.join(tmp_root, "ix2"), "content", "doc_id"
+    )
+    p2 = CDCPipeline(spark, root, sidecars=[idx2])
+    recs2 = p2.run(changes, n_epochs=3)
+    assert all(r.get("skipped_duplicate_epoch") for r in recs2)
+    assert idx2.meta["applied_epochs"] == [0, 1, 2]
+    assert {r["doc_id"] for r in idx2.live_sigs().collect()} == live_ids
