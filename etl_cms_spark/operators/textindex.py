@@ -111,13 +111,19 @@ class IncrementalTextDedupIndex:
         bands: int = 4,
         shingle_n: int = 3,
         verify_min: int | None = None,
+        maintain_groups: bool = False,
     ) -> "IncrementalTextDedupIndex":
         """Create an EMPTY index; the base corpus is just epoch 0 of
         ``apply_epoch`` — one code path for initial load and upkeep.
 
         ``verify_min`` defaults to ``n_hashes - bands + 1``, the
         pigeonhole bound that makes detection exact w.r.t. agreement
-        (see module docstring)."""
+        (see module docstring).
+
+        ``maintain_groups=True`` additionally keeps DEDUP GROUPS
+        (connected components of the live near-dup pair graph, min-id
+        canonical) current per epoch at O(touched components), not
+        O(corpus) — see ``live_groups``."""
         if n_hashes % bands:
             raise ValueError("bands must divide n_hashes")
         os.makedirs(path, exist_ok=True)
@@ -128,6 +134,7 @@ class IncrementalTextDedupIndex:
             "bands": bands,
             "shingle_n": shingle_n,
             "verify_min": int(verify_min if verify_min is not None else n_hashes - bands + 1),
+            "maintain_groups": bool(maintain_groups),
             "applied_epochs": [],
             "next_write": 0,
         }
@@ -279,6 +286,11 @@ class IncrementalTextDedupIndex:
         indexable docs); writes are appends sized by the batch."""
         if epoch in self.meta["applied_epochs"]:
             return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        if self.meta.get("maintain_groups") and not probe:
+            raise ValueError(
+                "maintain_groups requires probe=True (group maintenance "
+                "consumes the epoch's detected pairs)"
+            )
         t0 = time.time()
         k = self.meta["next_write"]
         changes = changes.persist()
@@ -288,15 +300,15 @@ class IncrementalTextDedupIndex:
             n_indexable = sigs.count()  # also materializes the cache
             bandrows = self.band_frame(sigs)
             n_pairs = None
+            chg_ids = changes.select(
+                F.col(self.meta["id_col"]).cast("long").alias("doc_id")
+            ).dropDuplicates()
             if probe:
                 bb = (
                     broadcast_batch
                     if broadcast_batch is not None
                     else n_indexable <= 100_000
                 )
-                chg_ids = changes.select(
-                    F.col(self.meta["id_col"]).cast("long").alias("doc_id")
-                ).dropDuplicates()
                 pairs = self.probe(sigs, bandrows, chg_ids, broadcast_batch=bb)
                 pairs.write.mode("overwrite").parquet(
                     os.path.join(self.path, "pairs", f"e{epoch}")
@@ -315,6 +327,15 @@ class IncrementalTextDedupIndex:
                 F.col(lsn_col).cast("long").alias(_V_COL),
             ).write.mode("overwrite").parquet(os.path.join(self.path, "mask", f"w{k}"))
             n_total = changes.count()
+            if self.meta.get("maintain_groups"):
+                # AFTER the appends: the subgraph recompute reads the
+                # post-epoch live state.  Crash-safe because every
+                # write in this epoch (data and groups) lands at the
+                # same ordinal k and replay overwrites it identically.
+                new_pairs = self.spark.read.parquet(
+                    os.path.join(self.path, "pairs", f"e{epoch}")
+                )
+                self._update_groups(k, chg_ids, new_pairs)
             sigs.unpersist()
         finally:
             changes.unpersist()
@@ -329,6 +350,104 @@ class IncrementalTextDedupIndex:
             "n_pairs_detected": n_pairs,
             "seconds": round(time.time() - t0, 3),
         }
+
+    # ----------------------------------------------------- dedup groups
+
+    def _pairs_among(self, members: DataFrame) -> DataFrame:
+        """Live near-dup pairs restricted to ``members`` (doc_id) —
+        the bounded subgraph read that makes group maintenance
+        O(touched components): only the touched components' band rows
+        join, never the whole index."""
+        b = (
+            self.live_bands()
+            .join(members, "doc_id", "leftsemi")
+            .select("doc_id", "band", "bkt")
+            .dropDuplicates()
+        )
+        cand = (
+            b.alias("x")
+            .join(b.alias("y"), ["band", "bkt"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+            .dropDuplicates()
+        )
+        s = self.live_sigs().join(members, "doc_id", "leftsemi")
+        return self._verify(cand, s, s)
+
+    def _update_groups(self, k: int, chg_ids: DataFrame, new_pairs: DataFrame) -> None:
+        """Bounded per-epoch relabel: recompute connected components
+        for ONLY the components touched by this epoch (a changed doc,
+        a deleted doc, or a new pair endpoint), then retire every
+        touched member's old label and append the fresh ones.  Merges
+        (a new pair bridging two components) and SPLITS (a delete or
+        rewrite severing a bridge doc) both fall out of the subgraph
+        recompute — the hard case batch CC re-runs the corpus for."""
+        from etl_cms_spark.operators.graph import connected_components
+
+        labels = self._group_labels()
+        seeds = (
+            chg_ids.select("doc_id")
+            .unionByName(new_pairs.select(F.col("id_a").alias("doc_id")))
+            .unionByName(new_pairs.select(F.col("id_b").alias("doc_id")))
+            .dropDuplicates()
+        )
+        # touched comps come from the seeds' RAW label history (every
+        # write group, mask-unresolved): a crash during a previous
+        # attempt's glabels write can leave a component half-relabeled
+        # (some members on the new id, some on the old), and only the
+        # union of both ids re-collects the whole membership on
+        # replay.  The superset only ever ADDS members (bounded by
+        # label history, which compact() folds away).
+        raw = stamped_union(self.spark, os.path.join(self.path, "glabels"))
+        if raw is None:
+            raw = self.spark.createDataFrame([], "doc_id long, comp long, _v long")
+        touched = (
+            raw.join(seeds, "doc_id", "leftsemi").select("comp").dropDuplicates()
+        )
+        members = (
+            labels.join(touched, "comp", "leftsemi")
+            .select("doc_id")
+            .unionByName(seeds)
+            .dropDuplicates()
+            .persist()
+        )
+        try:
+            sub = self._pairs_among(members)
+            comp = connected_components(sub, "id_a", "id_b", "doc_id", "comp")
+            # glabels BEFORE gmask: if the process dies between the
+            # two, old and new label rows coexist and (_v, _write)
+            # resolution already prefers the new ones; the replay
+            # rewrites both groups identically.
+            comp.select(
+                "doc_id", "comp", F.lit(int(k)).cast("long").alias(_V_COL)
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.path, "glabels", f"w{k}")
+            )
+            members.select("doc_id", F.lit(int(k)).cast("long").alias(_V_COL)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.path, "gmask", f"w{k}"))
+        finally:
+            members.unpersist()
+
+    def _group_labels(self) -> DataFrame:
+        rows = stamped_union(self.spark, os.path.join(self.path, "glabels"))
+        if rows is None:
+            return self.spark.createDataFrame([], "doc_id long, comp long, _v long")
+        mask = stamped_union(self.spark, os.path.join(self.path, "gmask"))
+        return mask_resolve(rows, mask, "doc_id").select("doc_id", "comp", _V_COL)
+
+    def live_groups(self) -> DataFrame:
+        """Current dedup groups (maintain_groups=True indexes): one
+        row per grouped doc with its component id (min member id —
+        replay-stable canonical) and the survivor flag.  Matches a
+        from-scratch ``graph.dedup_groups(live_pairs())`` at every
+        epoch boundary (tested), maintained incrementally."""
+        g = self._group_labels()
+        return g.select(
+            "doc_id",
+            F.col("comp").alias("component_id"),
+            (F.col("doc_id") == F.col("comp")).alias("is_canonical"),
+        )
 
     def update_from_lake(self, lake, epoch: int, text_col: str = "content") -> dict:
         """Tail a LakeTable's own CDC-out diff into the index — dedup
@@ -416,15 +535,18 @@ class IncrementalTextDedupIndex:
         away).  Applied epochs are retained so replay idempotency
         survives."""
         k = self.meta["next_write"]
-        for sub, frame in (("sigs", self.live_sigs()), ("bands", self.live_bands())):
+        folds = [("sigs", self.live_sigs()), ("bands", self.live_bands())]
+        if os.path.isdir(os.path.join(self.path, "glabels")):
+            folds.append(("glabels", self._group_labels()))
+        for sub, frame in folds:
             tmp = os.path.join(self.path, f"{sub}_compact_tmp")
             frame.write.mode("overwrite").parquet(tmp)
             shutil.rmtree(os.path.join(self.path, sub))
             os.makedirs(os.path.join(self.path, sub), exist_ok=True)
             os.rename(tmp, os.path.join(self.path, sub, f"w{k}"))
-        mask_dir = os.path.join(self.path, "mask")
-        if os.path.isdir(mask_dir):
-            shutil.rmtree(mask_dir)
+        for mask_dir in (os.path.join(self.path, "mask"), os.path.join(self.path, "gmask")):
+            if os.path.isdir(mask_dir):
+                shutil.rmtree(mask_dir)
         self.meta["next_write"] = k + 1
         _atomic_json(os.path.join(self.path, "_meta.json"), self.meta)
         return {"compacted_write": k}

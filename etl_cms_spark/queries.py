@@ -2529,24 +2529,11 @@ def _textdedup_incr_oracle_sql(n_hashes: int = 16, bands: int = 4) -> str:
     """
 
 
-@q("textdedup_incremental", _textdedup_incr_oracle_sql())
-def textdedup_incremental(spark, sf_dir):
-    """Epoch-incremental MinHash-LSH dedup index (dedup-at-ingest for
-    the CDC loop — the text twin of ``ann_ivf_incremental``): an
-    empty index ingests a base corpus plus two change epochs (dupes
-    under new ids, in-place rewrites that retire every old band row,
-    deletes of originals AND of dupes), probing each batch against the
-    live corpus as it arrives; the returned state is the maintained
-    index's CURRENT near-dup pair set.  The oracle independently
-    replays latest-wins + portable signatures + the pigeonhole-exact
-    agreement verifier from raw text — a hash match certifies that N
-    epochs of O(changes) upkeep converge to exactly the from-scratch
-    answer, update/delete/cross-bucket-move semantics included."""
-    import shutil
 
-    from etl_cms_spark.operators.textindex import IncrementalTextDedupIndex
-
-    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id", "text")
+def _textdedup_incr_epochs(d):
+    """The shared deterministic document changelog (base + 2 change
+    epochs) behind the textdedup_incremental* entries — mirrored
+    line-for-line by the CTEs in _textdedup_incr_oracle_sql."""
     vid = F.col("doc_id")
     base = d.where(vid % 10 != 7).select(
         "doc_id", "text", vid.alias("lsn"), F.lit("U").alias("op")
@@ -2584,9 +2571,73 @@ def textdedup_incremental(spark, sf_dir):
             )
         )
     )
+    return [base, e1, e2]
+
+
+@q("textdedup_incremental", _textdedup_incr_oracle_sql())
+def textdedup_incremental(spark, sf_dir):
+    """Epoch-incremental MinHash-LSH dedup index (dedup-at-ingest for
+    the CDC loop — the text twin of ``ann_ivf_incremental``): an
+    empty index ingests a base corpus plus two change epochs (dupes
+    under new ids, in-place rewrites that retire every old band row,
+    deletes of originals AND of dupes), probing each batch against the
+    live corpus as it arrives; the returned state is the maintained
+    index's CURRENT near-dup pair set.  The oracle independently
+    replays latest-wins + portable signatures + the pigeonhole-exact
+    agreement verifier from raw text — a hash match certifies that N
+    epochs of O(changes) upkeep converge to exactly the from-scratch
+    answer, update/delete/cross-bucket-move semantics included."""
+    import shutil
+
+    from etl_cms_spark.operators.textindex import IncrementalTextDedupIndex
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id", "text")
     path = "/tmp/spark_graft_stage/textdedup_incr"
     shutil.rmtree(path, ignore_errors=True)
     idx = IncrementalTextDedupIndex.build(spark, path, "text", "doc_id")
-    for n, e in enumerate([base, e1, e2]):
+    for n, e in enumerate(_textdedup_incr_epochs(d)):
         idx.apply_epoch(e, epoch=n)
     return idx.live_pairs()
+
+
+@q(
+    "textdedup_incr_groups",
+    f"""
+    WITH RECURSIVE
+    edges AS (SELECT id_a, id_b FROM ({_textdedup_incr_oracle_sql()})),
+    sym AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION SELECT id_b AS a, id_a AS b FROM edges),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component_id,
+           (node = MIN(label)) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def textdedup_incr_groups(spark, sf_dir):
+    """Incrementally-MAINTAINED dedup groups: the same three change
+    epochs as ``textdedup_incremental``, but with per-epoch bounded
+    component relabeling (only components touched by a changed doc or
+    a new pair recompute — merges AND splits included) instead of a
+    corpus-wide CC pass.  The oracle derives the groups independently:
+    recursive-CTE transitive closure over the pair set its own SQL
+    replay of the maintenance protocol produces.  A hash match
+    certifies that N epochs of O(touched-components) label upkeep
+    land on exactly the from-scratch clustering."""
+    import shutil
+
+    from etl_cms_spark.operators.textindex import IncrementalTextDedupIndex
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select("doc_id", "text")
+    path = "/tmp/spark_graft_stage/textdedup_incr_groups"
+    shutil.rmtree(path, ignore_errors=True)
+    idx = IncrementalTextDedupIndex.build(
+        spark, path, "text", "doc_id", maintain_groups=True
+    )
+    for n, e in enumerate(_textdedup_incr_epochs(d)):
+        idx.apply_epoch(e, epoch=n)
+    return idx.live_groups()

@@ -275,3 +275,62 @@ def test_pipeline_sidecar_rides_epochs_and_heals_crash_window(spark, tmp_root):
     assert all(r.get("skipped_duplicate_epoch") for r in recs2)
     assert idx2.meta["applied_epochs"] == [0, 1, 2]
     assert {r["doc_id"] for r in idx2.live_sigs().collect()} == live_ids
+
+
+def _groups(df):
+    return sorted(
+        (r["doc_id"], r["component_id"], r["is_canonical"]) for r in df.collect()
+    )
+
+
+def _batch_groups(idx):
+    from etl_cms_spark.operators.graph import dedup_groups
+
+    return dedup_groups(idx.live_pairs(), "id_a", "id_b", "doc_id")
+
+
+def test_incremental_groups_match_batch_every_epoch(spark, tmp_root):
+    """maintain_groups: after EVERY epoch the incrementally-relabeled
+    groups equal a from-scratch CC over the live pair graph — through
+    a merge (new pair bridges components), a split-by-rewrite (doc 1
+    leaves the A-cluster), and a split-by-delete (doc 3's group
+    dissolves to a singleton, whose label must disappear)."""
+    frames = [_base(spark)] + _epochs(spark)
+    idx = IncrementalTextDedupIndex.build(
+        spark, os.path.join(tmp_root, "ix"), "text", "doc_id", maintain_groups=True
+    )
+    for n, f in enumerate(frames):
+        idx.apply_epoch(f, epoch=n)
+        assert _groups(idx.live_groups()) == _groups(_batch_groups(idx)), f"epoch {n}"
+    # final shape: {2,6} and {5,8}; 1 and 3 ungrouped
+    got = {r["doc_id"]: r["component_id"] for r in idx.live_groups().collect()}
+    assert got == {2: 2, 6: 2, 5: 5, 8: 5}
+
+
+def test_groups_replay_idempotent_and_compact(spark, tmp_root):
+    frames = [_base(spark)] + _epochs(spark)
+    idx = IncrementalTextDedupIndex.build(
+        spark, os.path.join(tmp_root, "ix"), "text", "doc_id", maintain_groups=True
+    )
+    for n, f in enumerate(frames):
+        idx.apply_epoch(f, epoch=n)
+    before = _groups(idx.live_groups())
+    assert idx.apply_epoch(frames[1], epoch=1)["skipped_duplicate_epoch"]
+    assert _groups(idx.live_groups()) == before
+    idx.compact()
+    assert _groups(idx.live_groups()) == before
+    # a post-compaction merge: 9 dups doc 2's text → joins group 2
+    idx.apply_epoch(_mk(spark, [(9, DOC_B, 40, "I")]), epoch=3)
+    assert _groups(idx.live_groups()) == _groups(_batch_groups(idx))
+    got = {r["doc_id"]: r["component_id"] for r in idx.live_groups().collect()}
+    assert got[9] == 2
+
+
+def test_groups_require_probe(spark, tmp_root):
+    import pytest
+
+    idx = IncrementalTextDedupIndex.build(
+        spark, os.path.join(tmp_root, "ix"), "text", "doc_id", maintain_groups=True
+    )
+    with pytest.raises(ValueError, match="maintain_groups"):
+        idx.apply_epoch(_base(spark), epoch=0, probe=False)
