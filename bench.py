@@ -628,6 +628,7 @@ Shuffle-phase decomposition of the plain tail's sub-0.8 efficiency
 |---|---|---|
 | map stage only | — (the VM's raw 2->8 multiprocess CPU ceiling is 0.78-0.87) | {me28} |
 | bucketed tail | + merge join + bucket parquet write | {be28} |
+| broadcast-semi tail | dedup = narrow max(lsn) agg + broadcast semi-join (payload NEVER shuffles in dedup) | {ce28} |
 | join-form tail | window dedup replaced by (key,lsn) hash-agg + semi-join | {je28} |
 | plain tail | + ONE per-epoch dedup Exchange (window form) | {e28} |
 
@@ -642,6 +643,20 @@ the default (best absolute at the benched core count; the
 producer-bucketed tail remains the production scaling path), and
 the join form ships as dedup_mode="join" for the few-cores-many-
 executors regime.
+
+Round-5 addition — the BROADCAST-semi row (dedup_mode="broadcast"):
+max(lsn) per key is a narrow hash-agg whose winner set broadcasts, so
+the payload-bearing side never shuffles in the dedup stage at all.
+Exploratory pinned samples (8M): N=2 113.8-133.9k ev/s — the fastest
+of any form at N=2, because removing the payload shuffle helps the
+small level too, which COMPRESSES the efficiency ratio even as both
+absolutes improve — and 4N=8 339.5-348.8k.  At local[32] unpinned the two
+are a wash inside this VM's variance (two samples each at 4M:
+broadcast 395.6-414.1k, window 386.8-437.4k) — unlike the join form,
+which was consistently ~25% slower there.  It stays opt-in rather than default because its
+precondition is a broadcastable distinct-key set (~tens of bytes/key:
+fine for steady-state micro-batches, impossible for a 10^10-event
+backfill epoch with ~10^9 keys); the window form has no such cliff.
 
 The ONLY plan difference between the plain and bucketed rows is the
 per-epoch dedup shuffle (Exchange-free on the bucketed tail,
