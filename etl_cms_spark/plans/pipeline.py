@@ -453,6 +453,25 @@ class CDCPipeline:
         self.metrics.append(rec)
         return rec
 
+    def catch_up_sidecars(self) -> dict:
+        """Back-fill every registered sidecar with ALL committed
+        epochs it has not applied yet, in commit order.  Batch mode
+        never needs this (run() re-offers every epoch and the
+        duplicate-epoch skip path syncs sidecars), but a STREAMING
+        restart does: the Structured Streaming checkpoint does not
+        re-deliver committed micro-batches, so a sidecar attached
+        after the fact — or one that missed the crash window between
+        a commit and its sync — must catch up from the lake's epoch
+        history.  Requires the epochs' snapshots to still be retained
+        (vacuum/expiry can GC them; a sidecar older than the retained
+        horizon should be rebuilt instead)."""
+        out = {}
+        for epoch in sorted(self.table.committed_epochs()):
+            r = self._sync_sidecars(epoch)
+            if r:
+                out[epoch] = r
+        return out
+
     def _sync_sidecars(self, epoch: int) -> dict | None:
         """Offer a committed epoch's CDC-out diff to every registered
         index sidecar.  Runs AFTER the main commit (the epoch's

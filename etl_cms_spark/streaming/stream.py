@@ -42,6 +42,7 @@ def start_stream(
     n_buckets: int = 32,
     merge_mode: str = "cow",
     demux_domains: bool = False,
+    sidecars: list | None = None,
 ) -> tuple[StreamingQuery, CDCPipeline]:
     """Tail a changelog directory (file source — swap for Kafka/
     binlog reader by changing only this readStream) and upsert each
@@ -62,8 +63,15 @@ def start_stream(
         salt_hot_keys=salt_hot_keys,
         merge_mode=merge_mode,
         demux_domains=demux_domains,
+        sidecars=sidecars,
     )
     pipeline.init_tables()
+    if sidecars:
+        # the streaming checkpoint never re-delivers committed
+        # micro-batches, so a sidecar that lags the table (attached
+        # later, or crashed between a commit and its sync) back-fills
+        # here before new batches flow.
+        pipeline.catch_up_sidecars()
 
     from pyspark.sql import functions as F
 

@@ -442,3 +442,40 @@ def test_streaming_session_windows_match_batch_sessionize(spark, tmp_root):
         )
     )
     assert_df_equal(got, batch, "stream session windows == batch sessionize")
+
+
+def test_stream_sidecar_index_tracks_state_through_restart(spark, tmp_root):
+    """sidecars ride foreachBatch for free (process_epoch IS the sink
+    body): after the stream drains, the dedup index's live docs equal
+    the lake state; a restart with a FRESH index (the crash window —
+    epochs committed, sidecar never synced) catches up through the
+    duplicate-epoch skip path without re-merging anything."""
+    from etl_cms_spark.operators.textindex import IncrementalTextDedupIndex
+
+    changes = gen_source_changes(spark, n_events=1000, n_keys=200, n_repos=10)
+    log_dir = os.path.join(tmp_root, "changelog")
+    changes.repartition(4).write.parquet(log_dir)
+    lake = os.path.join(tmp_root, "lake")
+
+    ix = IncrementalTextDedupIndex.build(
+        spark, os.path.join(tmp_root, "ix"), "content", "doc_id"
+    )
+    q1, p1 = start_stream(spark, log_dir, lake, max_files_per_trigger=2, sidecars=[ix])
+    q1.awaitTermination(300)
+    expect = {
+        r["doc_id"]
+        for r in p1.current_state()
+        .select(F.xxhash64("repo", "path").alias("doc_id"))
+        .collect()
+    }
+    assert {r["doc_id"] for r in ix.live_sigs().collect()} == expect
+    n_epochs_1 = len(p1.table.lineage())
+
+    ix2 = IncrementalTextDedupIndex.build(
+        spark, os.path.join(tmp_root, "ix2"), "content", "doc_id"
+    )
+    q2, p2 = start_stream(spark, log_dir, lake, max_files_per_trigger=2, sidecars=[ix2])
+    q2.awaitTermination(300)
+    assert len(p2.table.lineage()) == n_epochs_1  # no re-merge
+    assert sorted(ix2.meta["applied_epochs"]) == sorted(ix.meta["applied_epochs"])
+    assert {r["doc_id"] for r in ix2.live_sigs().collect()} == expect
