@@ -16,13 +16,13 @@ from etl_cms_spark.queries import ORACLES, QUERIES
 
 # The driver's CORRECTNESS gate records (at most) the first 50 catalog
 # entries.  ROUND-5 ROTATION (deliberate, one round only — flagged per
-# the round-4 advice): the 17 entries with no driver-green record yet —
+# the round-4 advice): the 18 entries with no driver-green record yet —
 # the 13 round-4-deprioritized property twins / breadth extras plus the
-# four round-5 additions (ann_ivf_incremental, neardup_components_star,
-# textdedup_incremental, textdedup_incr_groups) — are ordered FIRST so
-# this round's gate gives them their driver row; the 50 entries proven
-# green in CORRECTNESS_r04.json fill the window's remaining 33 slots in
-# their natural (§2-primary-first) order.  After
+# five round-5 additions (ann_ivf_incremental, neardup_components_star,
+# textdedup_incremental, textdedup_incr_groups, lake_rebucket_state) —
+# are ordered FIRST so this round's gate gives them their driver row;
+# the 50 entries proven green in CORRECTNESS_r04.json fill the window's
+# remaining 32 slots in their natural (§2-primary-first) order.  After
 # this round the §2-primary-first order returns.  ALL entries always
 # stay oracle-checked in the in-repo mirror of the gate
 # (tests/test_entry.py::test_query_matches_oracle).
@@ -32,6 +32,7 @@ _PRIORITIZED = [
     "neardup_components_star",    # large-star/small-star CC (r4 ask #5)
     "textdedup_incremental",      # epoch-incremental MinHash-LSH dedup-at-ingest
     "textdedup_incr_groups",      # incremental dedup-group (CC) maintenance
+    "lake_rebucket_state",        # bucket-count evolution mid-history
     # round-4 deprioritized tail (never driver-checked)
     "cdc_latest_by_key_salted",   # property-twin of cdc_latest_by_key
     "minhash_lsh_portable",       # twin; minhash_lsh_neardup is primary

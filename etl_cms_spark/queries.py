@@ -2641,3 +2641,44 @@ def textdedup_incr_groups(spark, sf_dir):
     for n, e in enumerate(_textdedup_incr_epochs(d)):
         idx.apply_epoch(e, epoch=n)
     return idx.live_groups()
+
+
+@q(
+    "lake_rebucket_state",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT l.repo, l.path, l.commit, l.lang, l.content,
+           dim.concept_id, dim.domain, sha256(l.content) AS content_sha
+    FROM latest l JOIN {_concept_dim_sql()} ON l.lang = dim.lang
+    """,
+)
+def lake_rebucket_state(spark, sf_dir):
+    """Bucket-count EVOLUTION mid-history: epoch 0 lands in 8 buckets,
+    ``LakeTable.rebucket(32)`` rewrites the snapshot into the grown
+    layout (tombstones carried, prior versions readable under their
+    own bucketing), epoch 1 lands in the new layout.  The oracle is
+    the SAME one-pass latest-wins SQL as ``cdc_pipeline_state`` —
+    bucket evolution must be invisible to query results, so a hash
+    match certifies the rewrite changed placement and nothing else."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).first()
+    width = max(1, (hi - lo + 1 + 1) // 2)
+    root = tempfile.mkdtemp(prefix="cdc_rebucket_")
+    try:
+        p = CDCPipeline(spark, root, n_buckets=8)
+        p.init_tables()
+        p.process_epoch(changes.where(F.col("lsn") < lo + width), 0)
+        p.table.rebucket(32)
+        p.process_epoch(changes.where(F.col("lsn") >= lo + width), 1)
+        return p.current_state().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -258,7 +258,14 @@ class LakeTable:
                 _DELETED_COL, F.coalesce(F.col(_DELETED_COL), F.lit(False))
             )
             p = self._normalize(p, manifest)
-            p = p.withColumn(_BUCKET_COL, self.bucket_expr(manifest["key_cols"]))
+            # bucket under THIS manifest's count — an older snapshot
+            # predating a rebucket() keeps its own bucketing.
+            p = p.withColumn(
+                _BUCKET_COL,
+                self.bucket_expr(
+                    manifest["key_cols"], manifest.get("n_buckets", self.n_buckets)
+                ),
+            )
             parts.append(p.select(*cols, _WV_COL))
         df = parts[0]
         for p in parts[1:]:
@@ -321,7 +328,11 @@ class LakeTable:
         new["version"] = cur["version"] + 1
         new["rolled_back_from"] = cur["version"]
         new["rolled_back_to"] = version
-        return self._commit_manifest(new)
+        v = self._commit_manifest(new)
+        # the restored manifest may predate a rebucket() — keep the
+        # instance's bucket count in step with what is now current.
+        self.n_buckets = int(new.get("n_buckets", self.n_buckets))
+        return v
 
     def vacuum(self, keep_last: int = 2) -> dict:
         """Snapshot expiry + orphan GC.  Keeps the last ``keep_last``
@@ -512,8 +523,12 @@ class LakeTable:
             out = out.where(F.col(c) == F.lit(key_values[c]))
         return out
 
-    def bucket_expr(self, key_cols: list[str]):
-        return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(self.n_buckets)).cast("int")
+    def bucket_expr(self, key_cols: list[str], n_buckets: int | None = None):
+        """Bucket id of a row.  ``n_buckets`` defaults to the CURRENT
+        bucket count; reads of an older snapshot must pass that
+        manifest's own value (bucket-count evolution — ``rebucket``)."""
+        n = self.n_buckets if n_buckets is None else int(n_buckets)
+        return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n)).cast("int")
 
     # ---------------- write path ----------------
 
@@ -824,6 +839,79 @@ class LakeTable:
         return {
             "compacted_buckets": len(target_buckets),
             "snapshot_version": new_version,
+            "seconds": round(time.time() - t0, 2),
+        }
+
+    def rebucket(self, new_n_buckets: int) -> dict:
+        """Bucket-count EVOLUTION (the Iceberg partition-spec-evolution
+        analog): rewrite the current rows into ``new_n_buckets`` hash
+        buckets as a fresh snapshot.  A table sized for last year's
+        volume concentrates too many keys per bucket as it grows —
+        merge tasks and bucket-pruned reads both degrade — and the
+        bucket count is baked into every file's placement, so growing
+        it is necessarily one bounded full rewrite (paid once,
+        amortized over every epoch after).
+
+        Guarantees:
+        * tombstones are carried over — replays of older epochs still
+          resolve against their LSNs, so exactly-once survives the
+          boundary;
+        * prior versions stay readable under THEIR OWN bucket count
+          (each snapshot's manifest records its ``n_buckets`` and the
+          read path buckets rows per-manifest), so time travel and
+          ``changes_between`` across the boundary stay correct;
+        * like ``compact``, this is a maintenance commit: no epoch
+          record, so CDC-out per epoch is unaffected (any epoch's
+          (v-1, v) pair lies entirely on one side of the boundary).
+
+        A producer-BUCKETED changelog aligned to the old count keeps
+        working but loses its Exchange-free co-bucketing until the
+        producer re-buckets to match (the merge recomputes bucket ids
+        itself, so only the shuffle saving is lost, never
+        correctness).
+        """
+        t0 = time.time()
+        manifest = self._load_manifest()
+        old_n = int(manifest.get("n_buckets", self.n_buckets))
+        if int(new_n_buckets) == old_n:
+            return {
+                "snapshot_version": manifest["version"],
+                "n_buckets": old_n,
+                "skipped_noop": True,
+            }
+        resolved = self._read_buckets(manifest, None)  # tombstones included
+        key_cols = manifest["key_cols"]
+        resolved = resolved.withColumn(
+            _BUCKET_COL, self.bucket_expr(key_cols, int(new_n_buckets))
+        )
+        new_version = manifest["version"] + 1
+        rel_dir = f"data/v{new_version}-rebucket"
+        out_dir = os.path.join(self.root, rel_dir)
+        default_par = self.spark.sparkContext.defaultParallelism
+        n_tasks = max(1, min(int(new_n_buckets), default_par * 2))
+        (
+            resolved.repartition(n_tasks, F.col(_BUCKET_COL))
+            .sortWithinPartitions(_BUCKET_COL, *key_cols)
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET_COL)
+            .parquet(out_dir)
+        )
+        written = {
+            int(p.split("=", 1)[1])
+            for p in os.listdir(out_dir)
+            if p.startswith(f"{_BUCKET_COL}=")
+        }
+        manifest["buckets"] = {
+            str(b): [f"{rel_dir}/{_BUCKET_COL}={b}"] for b in sorted(written)
+        }
+        manifest["n_buckets"] = int(new_n_buckets)
+        manifest["version"] = new_version
+        self._commit_manifest(manifest)
+        self.n_buckets = int(new_n_buckets)
+        return {
+            "snapshot_version": new_version,
+            "n_buckets": int(new_n_buckets),
+            "old_n_buckets": old_n,
             "seconds": round(time.time() - t0, 2),
         }
 

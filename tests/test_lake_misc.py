@@ -339,3 +339,73 @@ def test_changes_for_epoch_equals_full_diff(spark, tmp_root):
     # epoch 0: diff against the empty v0 — all inserts
     d0 = t.changes_for_epoch(0)
     assert d0.where(F.col("op") != "I").count() == 0
+
+
+def test_rebucket_grows_bucket_count_mid_history(spark, tmp_root):
+    """Bucket-count evolution: epochs 0-1 land in 4 buckets, rebucket
+    to 16, epoch 2 lands in the new layout — final state equals an
+    untouched-table run, replay of pre-boundary epochs stays a no-op,
+    and time travel reads the OLD snapshot under its own bucketing."""
+    ch = gen_source_changes(spark, n_events=1500, n_keys=300, n_repos=10)
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    width = (hi - lo + 1 + 2) // 3
+
+    p = CDCPipeline(spark, os.path.join(tmp_root, "g"), n_buckets=4)
+    p.init_tables()
+    slices = [
+        ch.where((F.col("lsn") >= lo + e * width) & (F.col("lsn") < lo + (e + 1) * width))
+        for e in range(3)
+    ]
+    p.process_epoch(slices[0], 0)
+    p.process_epoch(slices[1], 1)
+    pre_version = p.table._load_manifest()["version"]
+    pre_state = sorted(map(str, p.current_state().collect()))
+
+    rec = p.table.rebucket(16)
+    assert rec["n_buckets"] == 16 and rec["old_n_buckets"] == 4
+    assert p.table.n_buckets == 16
+    # the rewrite itself changes nothing visible
+    assert sorted(map(str, p.current_state().collect())) == pre_state
+
+    p.process_epoch(slices[2], 2)
+    # equality with a never-rebucketed run
+    q = CDCPipeline(spark, os.path.join(tmp_root, "plain"), n_buckets=4)
+    q.run(ch, n_epochs=3)
+    assert_df_equal(p.current_state(), q.current_state(), "rebucketed == plain")
+
+    # replay across the boundary is exactly-once
+    assert p.process_epoch(slices[0], 0)["skipped_duplicate_epoch"]
+    assert p.process_epoch(slices[2], 2)["skipped_duplicate_epoch"]
+
+    # time travel: the pre-rebucket snapshot reads under ITS bucketing
+    old = p.table.read_at(pre_version)
+    new_pre = sorted(map(str, old.collect()))
+    assert new_pre == pre_state
+
+    # CDC-out across the boundary: the post-rebucket epoch's diff is
+    # computed under the new bucketing and replays onto the old state
+    diff = p.table.changes_for_epoch(2)
+    assert diff.count() > 0
+
+    # bucket-pruned point lookup works under the new count
+    k = p.current_state().select("repo", "path").first()
+    row = p.table.lookup({"repo": k["repo"], "path": k["path"]})
+    assert row.count() == 1
+
+
+def test_rebucket_mor_with_deltas_and_tombstones(spark, tmp_root):
+    """Rebucket of a merge-on-read table folds base+deltas and keeps
+    tombstones (replays of old epochs must not resurrect deleted
+    keys); post-rebucket deltas stack on the new buckets."""
+    ch = gen_source_changes(spark, n_events=1200, n_keys=240, n_repos=8)
+    p = CDCPipeline(spark, os.path.join(tmp_root, "m"), n_buckets=4, merge_mode="mor")
+    p.run(ch, n_epochs=3)
+    before = sorted(map(str, p.current_state().collect()))
+    rec = p.table.rebucket(8)
+    assert rec["n_buckets"] == 8
+    assert sorted(map(str, p.current_state().collect())) == before
+    # deleted keys stay deleted on replay of every epoch
+    p2 = CDCPipeline(spark, os.path.join(tmp_root, "m"), merge_mode="mor")
+    recs = p2.run(ch, n_epochs=3)
+    assert all(r.get("skipped_duplicate_epoch") for r in recs)
+    assert sorted(map(str, p2.current_state().collect())) == before
