@@ -86,6 +86,7 @@ class CDCPipeline:
         detailed_lineage: bool = False,
         extra_mappings: dict[str, tuple[int, str]] | None = None,
         sidecars: list | None = None,
+        dedup_filter_index: "object | None" = None,
     ):
         """dedup_mode:
         * "strict" (default) — max-LSN dedup before mapping.  Measured
@@ -138,6 +139,22 @@ class CDCPipeline:
         syncs the sidecars — that closes the crash window between the
         main-table commit and the sidecar update (each sidecar's own
         applied-epoch set makes the re-offer a no-op once caught up).
+
+        ``dedup_filter_index`` — ingest-time corpus dedup ENFORCEMENT
+        (opt-in): an IncrementalTextDedupIndex whose live corpus each
+        epoch's NEW keys are probed against BEFORE the merge; a new
+        document that near-duplicates a live canonical (or a
+        smaller-id document arriving in the same batch) is routed to
+        the ``duplicates/`` log instead of the main table —
+        canonical-first-wins, the training-corpus crawl-dedup rule.
+        Updates and deletes of EXISTING keys always flow (a key's own
+        content history is never suppressed).  The index is
+        auto-registered as a sidecar, so it indexes exactly what the
+        table commits (suppressed docs never enter it) strictly AFTER
+        the commit — which is what makes a crash-replay recompute the
+        identical routing: the in-epoch probe always sees the
+        pre-epoch corpus.  Requires a pre-deduped batch (any
+        dedup_mode except "merge").
 
         ``demux_tombstones`` picks the fan-out strategy:
         * "targeted" (default) — the batch keys' previous domains are
@@ -198,6 +215,7 @@ class CDCPipeline:
         self.compact_every = compact_every
         self.compact_depth = compact_depth
         self.quarantine_dir = os.path.join(root, "quarantine")
+        self.duplicates_dir = os.path.join(root, "duplicates")
         self.checkpoint_path = os.path.join(root, "_checkpoint.json")
         self.salt_hot_keys = salt_hot_keys
         self.mapper = mapper
@@ -230,6 +248,15 @@ class CDCPipeline:
         # so it's off by default on the hot path.
         self.detailed_lineage = detailed_lineage
         self.sidecars = list(sidecars or [])
+        self.dedup_filter_index = dedup_filter_index
+        if dedup_filter_index is not None:
+            if self.dedup_mode == "merge":
+                raise ValueError(
+                    "dedup_filter_index requires a pre-deduped batch "
+                    "(any dedup_mode except 'merge')"
+                )
+            if dedup_filter_index not in self.sidecars:
+                self.sidecars.append(dedup_filter_index)
         self.metrics: list[dict[str, Any]] = []
 
     # ---------------- lifecycle ----------------
@@ -335,6 +362,12 @@ class CDCPipeline:
         else:  # "merge": the lake merge's per-key reduction dedups.
             latest = data
 
+        # 2b. ingest-time duplicate suppression (opt-in — see
+        #     ``dedup_filter_index`` in __init__).
+        n_suppressed = 0
+        if self.dedup_filter_index is not None:
+            latest, n_suppressed = self._filter_duplicates(latest, epoch)
+
         # 3. broadcast-dict concept mapping (Arrow UDF — no per-row Python).
         #    Persisted: the epoch re-reads this batch (quarantine,
         #    merge) — without the cache the dedup shuffle + UDF would
@@ -373,6 +406,8 @@ class CDCPipeline:
                 ).parquet(os.path.join(self.quarantine_dir, f"epoch={epoch}"))
 
             extra = {"rows_quarantined": qn}
+            if self.dedup_filter_index is not None:
+                extra["rows_suppressed_duplicates"] = n_suppressed
             if self.detailed_lineage:
                 # per-bucket lineage: rows applied/deleted + source LSN
                 # range per partition (bucket) — the north rule's
@@ -452,6 +487,89 @@ class CDCPipeline:
             self._save_checkpoint(epoch, rec.get("lsn_max"))
         self.metrics.append(rec)
         return rec
+
+    def _filter_duplicates(self, latest: DataFrame, epoch: int) -> tuple[DataFrame, int]:
+        """Route near-duplicate NEW documents out of the batch (2b).
+
+        Mechanics, all pre-epoch-state so replays recompute the same
+        routing:
+        * new keys = batch upserts minus existing table keys — the
+          table side is prefiltered with a broadcast semi join on the
+          batch keys (scan-local narrow read, the targeted-demux
+          lookup shape) so the anti join never shuffles the table;
+        * each new doc's portable MinHash signature probes the filter
+          index's live bands (batch side broadcast, index side never
+          shuffled) and its within-batch peers;
+        * suppression rule: a new doc loses to any LIVE canonical it
+          matches, and to any SMALLER-id batch doc it matches
+          (deterministic, replay-stable);
+        * losers land in ``duplicates/epoch=N`` (epoch-keyed
+          overwrite — replays rewrite, never duplicate) with the
+          canonical they matched and the estimated Jaccard.
+        """
+        idx = self.dedup_filter_index
+        did = F.xxhash64(*KEY_COLS)
+        ups = latest.where(F.col("op") != "D").withColumn("_doc_id", did)
+        chg_ids = latest.select(did.alias("doc_id")).dropDuplicates()
+        bkeys = ups.select(*KEY_COLS).dropDuplicates()
+        tbl_keys = self.table.read().select(*KEY_COLS)
+        hit = tbl_keys.join(F.broadcast(bkeys), KEY_COLS, "leftsemi")
+        news = ups.join(F.broadcast(hit), KEY_COLS, "left_anti")
+        sigs = idx.sig_frame(
+            news.select(F.col("_doc_id").alias("doc_id"), F.col("content"), "lsn"),
+            "lsn",
+        )
+        nb = idx.band_frame(sigs).select("doc_id", "band", "bkt").dropDuplicates()
+        live_b = idx.live_bands().join(F.broadcast(chg_ids), "doc_id", "left_anti")
+        live_s = idx.live_sigs().join(F.broadcast(chg_ids), "doc_id", "left_anti")
+        vs_live = (
+            live_b.join(
+                F.broadcast(nb.withColumnRenamed("doc_id", "_bid")), ["band", "bkt"]
+            )
+            .select(F.col("doc_id").alias("id_a"), F.col("_bid").alias("id_b"))
+            .dropDuplicates()
+        )
+        v1 = idx._verify(vs_live, live_s, sigs)
+        within = (
+            nb.alias("x")
+            .join(nb.alias("y"), ["band", "bkt"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+            .dropDuplicates()
+        )
+        v2 = idx._verify(within, sigs, sigs)
+        sup = (
+            v1.unionByName(v2)
+            .groupBy("id_b")
+            .agg(
+                F.min("id_a").alias("dup_of_doc_id"),
+                F.max("est_jaccard").alias("est_jaccard"),
+            )
+            .withColumnRenamed("id_b", "_doc_id")
+        )
+        logged = news.join(sup, "_doc_id").select(
+            *KEY_COLS,
+            "lsn",
+            F.col("_doc_id").alias("doc_id"),
+            "dup_of_doc_id",
+            "est_jaccard",
+        )
+        logged.write.mode("overwrite").parquet(
+            os.path.join(self.duplicates_dir, f"epoch={epoch}")
+        )
+        n_sup = self.spark.read.parquet(
+            os.path.join(self.duplicates_dir, f"epoch={epoch}")
+        ).count()
+        if not n_sup:
+            return latest, 0
+        keep = latest.withColumn("_doc_id", did).join(
+            F.broadcast(sup.select("_doc_id")), "_doc_id", "left_anti"
+        ).drop("_doc_id")
+        return keep, n_sup
+
+    def duplicates(self) -> DataFrame:
+        """The ingest-time duplicate log (dedup_filter_index mode)."""
+        return self.spark.read.parquet(self.duplicates_dir)
 
     def catch_up_sidecars(self) -> dict:
         """Back-fill every registered sidecar with ALL committed

@@ -334,3 +334,120 @@ def test_groups_require_probe(spark, tmp_root):
     )
     with pytest.raises(ValueError, match="maintain_groups"):
         idx.apply_epoch(_base(spark), epoch=0, probe=False)
+
+
+def _dup_pipeline(spark, tmp_root, name="lake"):
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    ix = IncrementalTextDedupIndex.build(
+        spark, os.path.join(tmp_root, f"{name}_ix"), "content", "doc_id"
+    )
+    p = CDCPipeline(
+        spark, os.path.join(tmp_root, name), n_buckets=8, dedup_filter_index=ix
+    )
+    p.init_tables()
+    return p, ix
+
+
+def _ev(rows):
+    """rows: (lsn, op, repo, path, content)"""
+    return [
+        (int(l), op, r, pa, c, None if op == "D" else f"c{l}", "python", None)
+        for l, op, r, pa, c in rows
+    ]
+
+
+def _mkch(spark, rows):
+    import datetime
+
+    return spark.createDataFrame(
+        [
+            (l, op, datetime.datetime(2024, 1, 1), r, pa, cm, lg, c, sc)
+            for (l, op, r, pa, c, cm, lg, sc) in rows
+        ],
+        "lsn long, op string, ts timestamp, repo string, path string, "
+        "commit string, lang string, content string, schema_change string",
+    ).select("lsn", "op", "ts", "repo", "path", "commit", "lang", "content", "schema_change")
+
+
+def test_ingest_dedup_filter_suppresses_new_duplicates(spark, tmp_root):
+    """Canonical-first-wins: a NEW document duplicating a live
+    canonical (or a smaller-id same-batch peer) is logged, not merged;
+    updates of existing keys always flow even when their content
+    matches another doc."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    body = "def main(): return compute(data) over the shared corpus " + "pad " * 10
+    other = "a completely different module with its own logic entirely " + "word " * 10
+    p, ix = _dup_pipeline(spark, tmp_root)
+    e0 = _mkch(spark, _ev([
+        (1, "U", "r1", "a.py", body),
+        (2, "U", "r1", "b.py", other),
+        (3, "U", "r2", "copy_in_batch.py", body),   # within-batch dup of a.py
+    ]))
+    rec0 = p.process_epoch(e0, 0)
+    # exactly one of {a.py, copy_in_batch.py} survives — the smaller doc_id
+    st0 = p.current_state()
+    assert st0.count() == 2
+    assert rec0["rows_suppressed_duplicates"] == 1
+    dup0 = p.duplicates().collect()
+    assert len(dup0) == 1
+
+    e1 = _mkch(spark, _ev([
+        (10, "U", "r3", "late_copy.py", body),      # dup of live canonical
+        (11, "U", "r1", "b.py", body),              # EXISTING key update: flows
+        (12, "U", "r4", "fresh.py", "totally novel content here nothing like it " + "tok " * 10),
+    ]))
+    rec1 = p.process_epoch(e1, 1)
+    assert rec1["rows_suppressed_duplicates"] == 1  # only late_copy.py
+    st1 = {r["path"]: r["content"] for r in p.current_state().collect()}
+    assert "late_copy.py" not in st1
+    assert st1["b.py"] == body          # update flowed though it matches a.py
+    assert "fresh.py" in st1
+    # the log names the canonical each loser matched
+    d = {r["path"]: r["dup_of_doc_id"] for r in p.duplicates().collect()}
+    assert set(d) == {"copy_in_batch.py", "late_copy.py"}
+    # the sidecar indexed only committed rows (suppressed docs absent)
+    live = {r["doc_id"] for r in ix.live_sigs().collect()}
+    committed = {
+        r["doc_id"]
+        for r in p.current_state()
+        .selectExpr("xxhash64(repo, path) as doc_id")
+        .collect()
+    }
+    assert live == committed
+
+
+def test_ingest_dedup_filter_replay_is_deterministic(spark, tmp_root):
+    """Crash-replay: re-running every epoch over the committed lake
+    reproduces the identical duplicates log and final state (the
+    probe reads pre-epoch corpus state; the sidecar sync is strictly
+    post-commit)."""
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    body = "shared function body for the replay determinism test " + "fill " * 12
+    p, ix = _dup_pipeline(spark, tmp_root)
+    epochs = [
+        _mkch(spark, _ev([(1, "U", "r1", "x.py", body), (2, "U", "r1", "y.py", "unrelated text " * 8)])),
+        _mkch(spark, _ev([(10, "U", "r2", "z.py", body)])),
+    ]
+    for n, e in enumerate(epochs):
+        p.process_epoch(e, n)
+    state = sorted(map(str, p.current_state().collect()))
+    dups = sorted(map(str, p.duplicates().collect()))
+    # fresh pipeline + fresh index over the SAME lake: all epochs skip,
+    # the index catches up, nothing re-routes
+    ix2 = IncrementalTextDedupIndex.build(
+        spark, os.path.join(tmp_root, "ix2"), "content", "doc_id"
+    )
+    p2 = CDCPipeline(
+        spark, os.path.join(tmp_root, "lake"), n_buckets=8, dedup_filter_index=ix2
+    )
+    p2.init_tables()
+    for n, e in enumerate(epochs):
+        assert p2.process_epoch(e, n)["skipped_duplicate_epoch"]
+    assert sorted(map(str, p2.current_state().collect())) == state
+    assert sorted(map(str, p2.duplicates().collect())) == dups
+    assert {r["doc_id"] for r in ix2.live_sigs().collect()} == {
+        r["doc_id"] for r in ix.live_sigs().collect()
+    }
