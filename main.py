@@ -47,9 +47,25 @@ def main() -> None:
     )
     ap.add_argument(
         "--dedup-mode",
-        choices=["strict", "salted", "join", "merge"],
+        choices=["strict", "salted", "join", "broadcast", "merge"],
         default="strict",
-        help="per-epoch max-LSN dedup form (see CDCPipeline docstring)",
+        help="per-epoch max-LSN dedup form (see CDCPipeline docstring; "
+        "'broadcast' = payload never shuffles in the dedup stage — for "
+        "micro-batches whose distinct-key set is broadcastable)",
+    )
+    ap.add_argument(
+        "--dedup-filter-index",
+        default=None,
+        help="path of an IncrementalTextDedupIndex (created if absent): "
+        "near-duplicate NEW documents route to the duplicates/ log "
+        "instead of the main table, canonical-first-wins",
+    )
+    ap.add_argument(
+        "--rebucket",
+        type=int,
+        default=None,
+        help="grow the lake's bucket count to N before ingesting "
+        "(one bounded rewrite; no-op if already N)",
     )
     ap.add_argument(
         "--bucketed-table",
@@ -67,12 +83,26 @@ def main() -> None:
     spark = SparkSession.builder.appName("etl-cms-spark").getOrCreate()
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
+    filter_index = None
+    if args.dedup_filter_index:
+        import os
+
+        from etl_cms_spark.operators.textindex import IncrementalTextDedupIndex
+
+        if os.path.exists(os.path.join(args.dedup_filter_index, "_meta.json")):
+            filter_index = IncrementalTextDedupIndex(spark, args.dedup_filter_index)
+        else:
+            filter_index = IncrementalTextDedupIndex.build(
+                spark, args.dedup_filter_index, "content", "doc_id"
+            )
+
     if args.stream:
         from etl_cms_spark.streaming.stream import start_stream
 
         q, pipeline = start_stream(
             spark, args.changelog, args.lake, salt_hot_keys=args.salt,
             demux_domains=args.demux_domains,
+            sidecars=[filter_index] if filter_index else None,
         )
         q.awaitTermination()
     else:
@@ -88,7 +118,11 @@ def main() -> None:
             demux_domains=args.demux_domains,
             demux_tombstones=args.demux_tombstones,
             dedup_mode=args.dedup_mode,
+            dedup_filter_index=filter_index,
         )
+        if args.rebucket:
+            pipeline.init_tables()
+            print(json.dumps(pipeline.table.rebucket(args.rebucket)))
         if args.bucketed_table:
             pipeline.run_from_table(args.bucketed_table)
         else:

@@ -58,11 +58,16 @@ events = st.lists(
 def test_dedup_forms_agree_on_random_streams(spark, evts):
     rows = [(k, lsn, f"payload-{k}-{lsn}") for k, lsn in evts]
     df = spark.createDataFrame(rows, "k int, lsn long, payload string")
+    from etl_cms_spark.operators.dedup import latest_by_lsn_broadcast
+
     a = latest_by_lsn(df, ["k"], "lsn")
     b = latest_by_lsn_window(df, ["k"], "lsn")
     c = salted_latest_by_lsn(df, ["k"], "lsn", n_salts=4)
+    d = latest_by_lsn_broadcast(df, ["k"], "lsn")
     ra = sorted(map(str, a.collect()))
     assert ra == sorted(map(str, b.collect())) == sorted(map(str, c.collect()))
+    # broadcast-semi form: unique (k, lsn) fixture => exact equality
+    assert ra == sorted(map(str, d.collect()))
     # law: kept lsn is the max per key
     expect = {}
     for k, lsn in evts:
