@@ -128,18 +128,31 @@ def run_cdc(
             p.run_staged(n_epochs=n_epochs, staging_dir=staging, meta=meta)
             dt = time.time() - t0
             shutil.rmtree(staging, ignore_errors=True)
-        return {
+        res = {
             "events": n_events,
             "epochs": n_epochs,
             "bucketed_tail": bucketed,
             "demux": demux,
             "demux_targeted": demux_targeted,
-            "dedup_mode": dedup_mode,
+            "dedup_mode": "salted" if salt else dedup_mode,
             "key_skew": key_skew,
             "seconds": round(dt, 2),
             "staging_seconds": round(staging_dt, 2),
             "events_per_sec": round(n_events / dt, 1),
         }
+        if key_skew:
+            # measured hot-key share of the fixture (narrow cols only;
+            # outside the timed window) — the x-axis of the skew A/B.
+            from etl_cms_spark.operators.skew import estimate_top_key_share
+
+            res["top_key_share"] = round(
+                estimate_top_key_share(changes, ["repo", "path"]), 4
+            )
+        if dedup_mode == "auto":
+            res["auto_resolved"] = sorted(
+                {m["dedup_auto"]["resolved"] for m in p.metrics if "dedup_auto" in m}
+            )
+        return res
     finally:
         if table is not None:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -422,7 +435,7 @@ def run_map_stage(spark, n_events: int) -> dict:
         shutil.rmtree(log_dir, ignore_errors=True)
 
 
-def main_cdc_only(cpus: int, n_events: int, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False, dedup_mode: str = "strict") -> None:
+def main_cdc_only(cpus: int, n_events: int, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False, dedup_mode: str = "strict", salt: bool = False, key_skew: float = 0.0, map_stage: bool = True) -> None:
     global CPUS
     CPUS = cpus
     spark = _tuned_session(cpus)
@@ -430,14 +443,15 @@ def main_cdc_only(cpus: int, n_events: int, bucketed: bool = False, demux: bool 
     # the timed window measures SUSTAINED throughput (the metric), not
     # JVM/codegen/Python-worker cold start — a long-running tail pays
     # those once per process lifetime, not per epoch.
-    run_cdc(spark, n_events=max(50_000, n_events // 40), n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted, dedup_mode=dedup_mode)
-    res = run_cdc(spark, n_events=n_events, n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted, dedup_mode=dedup_mode)
+    run_cdc(spark, n_events=max(50_000, n_events // 40), n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted, dedup_mode=dedup_mode, salt=salt, key_skew=key_skew)
+    res = run_cdc(spark, n_events=n_events, n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted, dedup_mode=dedup_mode, salt=salt, key_skew=key_skew)
     res["cpus"] = cpus
-    res["map_stage"] = run_map_stage(spark, n_events)
+    if map_stage:
+        res["map_stage"] = run_map_stage(spark, n_events)
     print("CDC_RESULT " + json.dumps(res))
 
 
-def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False, dedup_mode: str = "strict") -> dict:
+def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False, dedup_mode: str = "strict", salt: bool = False, key_skew: float = 0.0, env_extra: dict | None = None) -> dict:
     """Run the cdc-only worker; with repeats>1 keep the best run per
     level (this shared VM shows up to 2x run-to-run variance — best-of
     measures the machine's capability rather than its noise)."""
@@ -452,9 +466,13 @@ def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: 
             cmd.append("--demux-targeted")
         if dedup_mode != "strict":
             cmd.extend(["--dedup-mode", dedup_mode])
+        if salt:
+            cmd.append("--salt")
+        if key_skew:
+            cmd.extend(["--key-skew", str(key_skew), "--no-map-stage"])
         if pin and shutil_which("taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), **(env_extra or {}))
         out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
         line = [l for l in out.stdout.splitlines() if l.startswith("CDC_RESULT ")]
         if not line:
@@ -462,15 +480,43 @@ def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: 
             raise RuntimeError(f"cdc-only run at {cpus} cpus produced no result")
         res = json.loads(line[-1][len("CDC_RESULT "):])
         if best is None or res["events_per_sec"] > best["events_per_sec"]:
-            if best is not None:
+            if best is not None and "map_stage" in res and "map_stage" in best:
                 res["map_stage"] = max(
                     (res["map_stage"], best["map_stage"]),
                     key=lambda m: m["events_per_sec"],
                 )
             best = res
-        elif res["map_stage"]["events_per_sec"] > best["map_stage"]["events_per_sec"]:
+        elif "map_stage" in res and "map_stage" in best and res["map_stage"]["events_per_sec"] > best["map_stage"]["events_per_sec"]:
             best["map_stage"] = res["map_stage"]
     return best
+
+
+def main_skew_ab(n_events: int) -> None:
+    """Hot-key salting decision rule (round-4 ask #8): window vs
+    salted dedup A/B, pinned at 8 cores, at two measured skew levels
+    that bracket the decision threshold.  key_skew=3.0 puts ~3% of
+    all events on the hottest key (r4: noise-bound — salting's extra
+    phase buys nothing); key_skew=6.0 puts ~15-35% on it (one window
+    task sorts that whole stream).  The ``skew_salt_threshold``
+    default in plans.pipeline is set between the two measured
+    top-key shares; BENCH/skew_ab.json records the evidence."""
+    report = {"n_events": n_events, "levels": []}
+    for skew in (3.0, 6.0):
+        w = _run_level(8, n_events, pin=True, repeats=2, key_skew=skew)
+        st = _run_level(8, n_events, pin=True, repeats=2, key_skew=skew, salt=True)
+        report["levels"].append({
+            "key_skew": skew,
+            "top_key_share": w.get("top_key_share"),
+            "window_seconds": w["seconds"],
+            "salted_seconds": st["seconds"],
+            "window_events_per_sec": w["events_per_sec"],
+            "salted_events_per_sec": st["events_per_sec"],
+            "salted_speedup": round(w["seconds"] / st["seconds"], 3),
+        })
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/skew_ab.json", "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
 
 
 def shutil_which(name):
@@ -499,6 +545,15 @@ def main_scaling(n_events: int) -> None:
     # (key, max-lsn) winner set moves, then broadcasts).
     c2 = _run_level(2, n_events, pin=True, repeats=3, dedup_mode="broadcast")
     c8p = _run_level(8, n_events, pin=True, repeats=3, dedup_mode="broadcast")
+    # pair 1e: same pinned pair, dedup_mode="auto" with the cluster
+    # shape emulated as many-executors/few-cores (ETL_CMS_CLUSTER_SHAPE
+    # — local[k] cannot express the executor count, so the topology
+    # signal is pinned to the production shape; the skew signal still
+    # measures the real batch).  Auto must resolve to the join form
+    # here and its pair should reproduce the join row's efficiency.
+    shape = {"ETL_CMS_CLUSTER_SHAPE": "250x4"}
+    a2 = _run_level(2, n_events, pin=True, repeats=2, dedup_mode="auto", env_extra=shape)
+    a8p = _run_level(8, n_events, pin=True, repeats=2, dedup_mode="auto", env_extra=shape)
     # pair 2 (driver-suggested proxy: local[8] vs local[32], unpinned):
     r8 = _run_level(8, n_events, pin=False, repeats=3)
     r32 = _run_level(32, n_events, pin=False, repeats=3)
@@ -529,6 +584,13 @@ def main_scaling(n_events: int) -> None:
             "throughput_4n": c8p["events_per_sec"],
             "efficiency": eff(c2["events_per_sec"], c8p["events_per_sec"]),
         },
+        "pair_2_to_8_pinned_auto_cluster_shape": {
+            "throughput_n": a2["events_per_sec"],
+            "throughput_4n": a8p["events_per_sec"],
+            "efficiency": eff(a2["events_per_sec"], a8p["events_per_sec"]),
+            "auto_resolved_n": a2.get("auto_resolved"),
+            "auto_resolved_4n": a8p.get("auto_resolved"),
+        },
         "pair_8_to_32": {
             "throughput_n": r8["events_per_sec"],
             "throughput_4n": r32["events_per_sec"],
@@ -552,6 +614,8 @@ def main_scaling(n_events: int) -> None:
             je28=report["pair_2_to_8_pinned_join_dedup"]["efficiency"],
             ct2=c2["events_per_sec"], ct8p=c8p["events_per_sec"],
             ce28=report["pair_2_to_8_pinned_broadcast_dedup"]["efficiency"],
+            at2=a2["events_per_sec"], at8p=a8p["events_per_sec"],
+            ae28=report["pair_2_to_8_pinned_auto_cluster_shape"]["efficiency"],
             t8=r8["events_per_sec"], t32=r32["events_per_sec"],
             e832=report["pair_8_to_32"]["efficiency"],
             m8=r8["map_stage"]["events_per_sec"], m32=r32["map_stage"]["events_per_sec"],
@@ -576,6 +640,7 @@ shuffle dirs on tmpfs, AQE off for the epoch loop.
 | end-to-end, producer-BUCKETED tail (Exchange-free dedup) | {bt2} | {bt8p} | {be28} |
 | end-to-end, JOIN-form dedup (narrow (key,lsn) agg + semi-join) | {jt2} | {jt8p} | {je28} |
 | end-to-end, BROADCAST-semi dedup (payload never shuffles in dedup) | {ct2} | {ct8p} | {ce28} |
+| end-to-end, dedup_mode=AUTO under emulated 250×4 cluster shape | {at2} | {at8p} | {ae28} |
 | map stage only, shuffle-free (events/s) | {m2} | {m8p} | {me28} |
 
 ## Pair B — local[8] vs local[32] (driver-suggested proxy, unpinned)
@@ -690,9 +755,19 @@ if __name__ == "__main__":
                 if "--dedup-mode" in sys.argv
                 else ("join" if "--dedup-join" in sys.argv else "strict")
             ),
+            salt="--salt" in sys.argv,
+            key_skew=(
+                float(sys.argv[sys.argv.index("--key-skew") + 1])
+                if "--key-skew" in sys.argv
+                else 0.0
+            ),
+            map_stage="--no-map-stage" not in sys.argv,
         )
     elif "--scaling" in sys.argv:
         n = int(os.environ.get("BENCH_CDC_EVENTS", "8000000"))
         main_scaling(n)
+    elif "--skew-ab" in sys.argv:
+        n = int(os.environ.get("BENCH_SKEW_EVENTS", "4000000"))
+        main_skew_ab(n)
     else:
         main_bench()

@@ -41,3 +41,63 @@ def salted_latest_by_lsn(
         F.max_by(F.col("_w"), F.col("_max_lsn")).alias("_w")
     )
     return phase2.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
+
+
+def estimate_key_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    sample_frac: float = 0.02,
+    seed: int = 7,
+    min_sampled: int = 5000,
+) -> tuple[float, int]:
+    """(top_key_share, estimated_rows) of a batch, measured on a
+    ``sample_frac`` Bernoulli sample of the KEY COLUMNS ONLY (narrow
+    rows; the payload is never read).
+
+    One cheap extra job per decision — the sample shrinks the shuffle
+    to ~``sample_frac`` of the batch's (key) pairs, and hot keys are
+    by definition the ones a small sample estimates well (a key with
+    p% of 10^7+ events appears ~p% of any 2% sample; keys too rare to
+    sample reliably are also too cold to matter for the decision).
+    Deterministic ``seed`` so a replayed epoch resolves identically.
+
+    A sample below ``min_sampled`` rows is too noisy to trust (a
+    40-row sample calls a uniform batch "hot"); such a batch is small
+    enough (≲ min_sampled/sample_frac rows) that an EXACT narrow pass
+    over it is itself cheap, so we take one instead — in that case
+    the row estimate is exact.
+
+    Returns (0.0, 0) for an empty batch.
+    """
+    keys = df.select(*key_cols)
+    s = keys.sample(fraction=sample_frac, seed=seed)
+    row = (
+        s.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("_mx"), F.sum("_n").alias("_tot"))
+        .first()
+    )
+    scale = 1.0 / sample_frac
+    if row is None or not row["_tot"] or row["_tot"] < min_sampled:
+        row = (
+            keys.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("_mx"), F.sum("_n").alias("_tot"))
+            .first()
+        )
+        scale = 1.0
+    if row is None or not row["_tot"]:
+        return 0.0, 0
+    share = float(row["_mx"]) / float(row["_tot"])
+    return share, int(row["_tot"] * scale)
+
+
+def estimate_top_key_share(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    sample_frac: float = 0.02,
+    seed: int = 7,
+    min_sampled: int = 5000,
+) -> float:
+    """The share component of ``estimate_key_stats`` (see there)."""
+    return estimate_key_stats(df, key_cols, sample_frac, seed, min_sampled)[0]

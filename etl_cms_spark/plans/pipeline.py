@@ -39,8 +39,9 @@ from etl_cms_spark.operators.dedup import (
     latest_by_lsn_join,
     latest_by_lsn_window,
 )
-from etl_cms_spark.operators.skew import salted_latest_by_lsn
+from etl_cms_spark.operators.skew import estimate_top_key_share, salted_latest_by_lsn
 from etl_cms_spark.plans.mapping import map_concepts_join, map_concepts_udf
+from etl_cms_spark.session import cluster_shape
 from etl_cms_spark.sink.lake import LakeTable
 
 KEY_COLS = ["repo", "path"]
@@ -87,6 +88,7 @@ class CDCPipeline:
         extra_mappings: dict[str, tuple[int, str]] | None = None,
         sidecars: list | None = None,
         dedup_filter_index: "object | None" = None,
+        skew_salt_threshold: float = 0.08,
     ):
         """dedup_mode:
         * "strict" (default) — max-LSN dedup before mapping.  Measured
@@ -115,6 +117,17 @@ class CDCPipeline:
           ratio is near 1 version/key).  Quarantine then logs every
           unmapped event occurrence, like the reference's append log.
         * "salted" — two-phase salted dedup for pathological hot keys.
+        * "auto" — resolve per EPOCH from two measured signals
+          (_resolve_dedup_mode): a sampled top-key-share estimate of
+          the staged batch picks "salted" above ``skew_salt_threshold``
+          (the hot-megarepo regime; threshold from the pinned two-
+          skew-level A/B in BENCH/BASELINE.md), else the session's
+          cluster shape (session.cluster_shape) picks "join" in the
+          many-executors/few-cores regime where the join form's 2→8
+          pinned efficiency (0.773) beats the window form's (0.535),
+          and "strict" at high single-box parallelism where the
+          window form is measured fastest in absolute terms.  The
+          resolved mode + estimate land in the epoch's lineage.
 
         ``demux_domains=True`` routes each mapped row into a
         PER-DOMAIN destination LakeTable (the reference's multi-output
@@ -227,10 +240,12 @@ class CDCPipeline:
 
         self.mapping = {**CONCEPT_MAP, **(extra_mappings or {})}
         self.dedup_mode = "salted" if salt_hot_keys else dedup_mode
-        if self.dedup_mode not in ("strict", "salted", "join", "broadcast", "merge"):
+        if self.dedup_mode not in ("strict", "salted", "join", "broadcast", "merge", "auto"):
             raise ValueError(
-                f"dedup_mode must be strict|salted|join|broadcast|merge, got {self.dedup_mode}"
+                "dedup_mode must be strict|salted|join|broadcast|merge|auto, "
+                f"got {self.dedup_mode}"
             )
+        self.skew_salt_threshold = skew_salt_threshold
         if demux_domains and demux_tombstones == "targeted" and self.dedup_mode == "merge":
             # targeted routing reasons about ONE row per key per
             # batch (its stale-claim analysis is per-row vs the
@@ -341,11 +356,15 @@ class CDCPipeline:
             data = batch
 
         # 2. per-key max-LSN dedup (see dedup_mode in __init__).
-        if self.dedup_mode == "strict":
+        mode = self.dedup_mode
+        auto_rec = None
+        if mode == "auto":
+            mode, auto_rec = self._resolve_dedup_mode(data)
+        if mode == "strict":
             latest = latest_by_lsn_window(data, KEY_COLS, "lsn")
-        elif self.dedup_mode == "salted":
+        elif mode == "salted":
             latest = salted_latest_by_lsn(data, KEY_COLS, "lsn")
-        elif self.dedup_mode == "join":
+        elif mode == "join":
             # max(lsn) hash-agg + semi-join back: shuffles only
             # (key, lsn) pairs through the agg instead of sorting
             # payload-bearing rows in the window — the round-3 advice
@@ -353,7 +372,7 @@ class CDCPipeline:
             # Exact duplicate (key, lsn) rows both survive (byte-
             # identical; the merge resolves them deterministically).
             latest = latest_by_lsn_join(data, KEY_COLS, "lsn")
-        elif self.dedup_mode == "broadcast":
+        elif mode == "broadcast":
             # broadcast-semi: the payload side never shuffles in the
             # dedup stage — only the narrow (key, max-lsn) winner set
             # moves (then broadcasts).  For epochs whose distinct-key
@@ -406,6 +425,8 @@ class CDCPipeline:
                 ).parquet(os.path.join(self.quarantine_dir, f"epoch={epoch}"))
 
             extra = {"rows_quarantined": qn}
+            if auto_rec is not None:
+                extra["dedup_auto"] = auto_rec
             if self.dedup_filter_index is not None:
                 extra["rows_suppressed_duplicates"] = n_suppressed
             if self.detailed_lineage:
@@ -487,6 +508,56 @@ class CDCPipeline:
             self._save_checkpoint(epoch, rec.get("lsn_max"))
         self.metrics.append(rec)
         return rec
+
+    def _resolve_dedup_mode(self, data: DataFrame) -> tuple[str, dict]:
+        """Per-epoch resolution of ``dedup_mode="auto"``.
+
+        Two measured signals, checked in order:
+
+        1. HOT-KEY SKEW — ``estimate_top_key_share`` (2% Bernoulli
+           sample of the key columns; one narrow extra job).  Above
+           ``skew_salt_threshold`` the window form funnels the hot
+           key's whole event stream into one reducer task, so the
+           two-phase salted form wins; the threshold is set from the
+           pinned two-skew-level A/B (BENCH/skew_ab.json, narrative
+           in BENCH/BASELINE.md).  The sample seed is fixed, so a
+           replayed epoch resolves identically.
+        2. CLUSTER SHAPE — ``session.cluster_shape``.  Many
+           executors × few cores each (the 1000-executor production
+           shape, proxied by the pinned 2→8-core rig) → the JOIN
+           form (narrow (key,lsn) agg + semi-join; pinned 2→8
+           efficiency 0.773 vs the window's 0.535).  One fat local
+           box (local[k], or few executors with many cores) → the
+           WINDOW form ("strict"), measured fastest in absolute
+           terms at high single-box parallelism.
+
+        Every resolved mode produces identical output rows (modulo
+        the join form's byte-identical duplicate (key,lsn) survivors,
+        which the merge resolves), so the decision never affects
+        correctness — only the shuffle shape.
+        """
+        share = estimate_top_key_share(data, KEY_COLS)
+        n_exec, cores = cluster_shape(self.spark)
+        if share >= self.skew_salt_threshold:
+            mode = "salted"
+        elif (
+            n_exec >= 4
+            and cores <= 8
+            # targeted demux reasons about one row per key per batch;
+            # the join form's duplicate-(key,lsn) survivors are byte-
+            # identical (harmless to the merges) but keep the strict
+            # one-row contract under targeted routing anyway.
+            and not (self.demux_domains and self.demux_tombstones == "targeted")
+        ):
+            mode = "join"
+        else:
+            mode = "strict"
+        return mode, {
+            "resolved": mode,
+            "top_key_share_est": round(share, 4),
+            "n_executors": n_exec,
+            "cores_per_executor": cores,
+        }
 
     def _filter_duplicates(self, latest: DataFrame, epoch: int) -> tuple[DataFrame, int]:
         """Route near-duplicate NEW documents out of the batch (2b).

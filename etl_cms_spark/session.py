@@ -63,3 +63,37 @@ def build_session(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def cluster_shape(spark: SparkSession) -> tuple[int, int]:
+    """(n_executors, cores_per_executor) of the live session — the
+    topology signal for ``dedup_mode="auto"`` (plans.pipeline).
+
+    Local mode reports (1, defaultParallelism): one "executor" with
+    all the cores.  On a cluster the executor count comes from the
+    block-manager registry (minus the driver) and cores/executor from
+    ``spark.executor.cores`` (falling back to defaultParallelism /
+    executors when unset, e.g. under dynamic allocation defaults).
+
+    The ``ETL_CMS_CLUSTER_SHAPE`` env var ("NxC", e.g. "250x4")
+    overrides introspection — used by the sandbox bench to emulate the
+    many-executor/few-core shape that local[k] cannot express (the
+    pinned 2→8-core scaling rig), and usable operationally to pin the
+    decision when dynamic allocation makes the live count misleading.
+    """
+    override = os.environ.get("ETL_CMS_CLUSTER_SHAPE")
+    if override:
+        n, c = override.lower().split("x")
+        return (int(n), int(c))
+    sc = spark.sparkContext
+    if sc.master.startswith("local"):
+        return (1, sc.defaultParallelism)
+    try:
+        n_exec = sc._jsc.sc().getExecutorMemoryStatus().size() - 1
+    except Exception:  # py4j surface drift — fall back to conf
+        n_exec = int(sc.getConf().get("spark.executor.instances", "0") or 0)
+    n_exec = max(1, n_exec)
+    cores = int(sc.getConf().get("spark.executor.cores", "0") or 0)
+    if cores <= 0:
+        cores = max(1, sc.defaultParallelism // n_exec)
+    return (n_exec, cores)

@@ -47,11 +47,12 @@ def main() -> None:
     )
     ap.add_argument(
         "--dedup-mode",
-        choices=["strict", "salted", "join", "broadcast", "merge"],
+        choices=["strict", "salted", "join", "broadcast", "merge", "auto"],
         default="strict",
         help="per-epoch max-LSN dedup form (see CDCPipeline docstring; "
         "'broadcast' = payload never shuffles in the dedup stage — for "
-        "micro-batches whose distinct-key set is broadcastable)",
+        "micro-batches whose distinct-key set is broadcastable; 'auto' = "
+        "resolve per epoch from sampled hot-key share + cluster shape)",
     )
     ap.add_argument(
         "--dedup-filter-index",

@@ -605,3 +605,72 @@ def test_broadcast_dedup_mode_matches_strict(spark, changes, tmp_root):
 def test_unknown_dedup_mode_rejected(spark, tmp_root):
     with pytest.raises(ValueError, match="dedup_mode"):
         CDCPipeline(spark, tmp_root, dedup_mode="stricts")
+
+
+def test_auto_dedup_mode_local_resolves_strict(spark, changes, tmp_root):
+    """auto on a fat local box + uniform keys -> window form, same
+    final state; the decision lands in the epoch lineage."""
+    p = CDCPipeline(spark, os.path.join(tmp_root, "auto1"), dedup_mode="auto")
+    recs = p.run(changes, n_epochs=2)
+    assert all(r["dedup_auto"]["resolved"] == "strict" for r in recs)
+    assert all(r["dedup_auto"]["n_executors"] == 1 for r in recs)
+    assert_df_equal(
+        p.current_state().select("repo", "path", "commit"),
+        _expected_keys(changes),
+        "auto(local) == strict state",
+    )
+
+
+def test_auto_dedup_mode_cluster_shape_resolves_join(spark, changes, tmp_root, monkeypatch):
+    """Emulated many-executors/few-cores shape -> join form (the
+    regime where its pinned 2->8 efficiency beats the window's)."""
+    monkeypatch.setenv("ETL_CMS_CLUSTER_SHAPE", "250x4")
+    p = CDCPipeline(spark, os.path.join(tmp_root, "auto2"), dedup_mode="auto")
+    recs = p.run(with_injected_duplicates(changes), n_epochs=2)
+    assert all(r["dedup_auto"]["resolved"] == "join" for r in recs)
+    assert_df_equal(
+        p.current_state().select("repo", "path", "commit"),
+        _expected_keys(changes),
+        "auto(cluster) == strict state",
+    )
+
+
+def test_auto_dedup_mode_cluster_targeted_demux_keeps_strict(spark, tmp_root, monkeypatch):
+    """Under targeted demux, auto never hands the routing a batch with
+    duplicate (key, lsn) survivors -> strict even on the cluster shape."""
+    monkeypatch.setenv("ETL_CMS_CLUSTER_SHAPE", "250x4")
+    ch = gen_source_changes(spark, n_events=2000, n_keys=400)
+    p = CDCPipeline(
+        spark, os.path.join(tmp_root, "auto4"), dedup_mode="auto",
+        demux_domains=True, demux_tombstones="targeted",
+    )
+    recs = p.run(ch, n_epochs=1)
+    assert all(r["dedup_auto"]["resolved"] == "strict" for r in recs)
+
+
+def test_auto_dedup_mode_hot_keys_resolve_salted(spark, tmp_root):
+    """A hot-megarepo batch (top key owns a large share of events at
+    key_skew=6) trips the sampled-share threshold -> salted."""
+    hot = gen_source_changes(spark, n_events=4000, n_keys=800, key_skew=6.0)
+    p = CDCPipeline(spark, os.path.join(tmp_root, "auto3"), dedup_mode="auto")
+    recs = p.run(hot, n_epochs=1)
+    assert all(r["dedup_auto"]["resolved"] == "salted" for r in recs)
+    assert all(r["dedup_auto"]["top_key_share_est"] >= 0.08 for r in recs)
+    assert_df_equal(
+        p.current_state().select("repo", "path", "commit"),
+        _expected_keys(hot),
+        "auto(salted) == strict state",
+    )
+
+
+def test_estimate_top_key_share_orders_skew_levels(spark):
+    """The sampled estimator separates uniform from hot-key batches."""
+    from etl_cms_spark.operators.skew import estimate_top_key_share
+
+    uni = gen_source_changes(spark, n_events=5000, n_keys=1000)
+    hot = gen_source_changes(spark, n_events=5000, n_keys=1000, key_skew=6.0)
+    s_uni = estimate_top_key_share(uni, ["repo", "path"], sample_frac=0.5)
+    s_hot = estimate_top_key_share(hot, ["repo", "path"], sample_frac=0.5)
+    assert s_uni < 0.03
+    assert s_hot > 0.15
+    assert s_hot > 5 * s_uni
