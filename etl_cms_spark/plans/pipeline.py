@@ -39,7 +39,7 @@ from etl_cms_spark.operators.dedup import (
     latest_by_lsn_join,
     latest_by_lsn_window,
 )
-from etl_cms_spark.operators.skew import estimate_top_key_share, salted_latest_by_lsn
+from etl_cms_spark.operators.skew import estimate_key_stats, salted_latest_by_lsn
 from etl_cms_spark.plans.mapping import map_concepts_join, map_concepts_udf
 from etl_cms_spark.session import cluster_shape
 from etl_cms_spark.sink.lake import LakeTable
@@ -88,7 +88,7 @@ class CDCPipeline:
         extra_mappings: dict[str, tuple[int, str]] | None = None,
         sidecars: list | None = None,
         dedup_filter_index: "object | None" = None,
-        skew_salt_threshold: float = 0.08,
+        salt_task_row_budget: int = 32_000_000,
     ):
         """dedup_mode:
         * "strict" (default) — max-LSN dedup before mapping.  Measured
@@ -118,16 +118,21 @@ class CDCPipeline:
           unmapped event occurrence, like the reference's append log.
         * "salted" — two-phase salted dedup for pathological hot keys.
         * "auto" — resolve per EPOCH from two measured signals
-          (_resolve_dedup_mode): a sampled top-key-share estimate of
-          the staged batch picks "salted" above ``skew_salt_threshold``
-          (the hot-megarepo regime; threshold from the pinned two-
-          skew-level A/B in BENCH/BASELINE.md), else the session's
-          cluster shape (session.cluster_shape) picks "join" in the
-          many-executors/few-cores regime where the join form's 2→8
-          pinned efficiency (0.773) beats the window form's (0.535),
-          and "strict" at high single-box parallelism where the
-          window form is measured fastest in absolute terms.  The
-          resolved mode + estimate land in the epoch's lineage.
+          (_resolve_dedup_mode): a sampled estimate of the staged
+          batch picks "salted" only when the HOTTEST KEY's estimated
+          absolute row count reaches ``salt_task_row_budget`` (the
+          regime where one window task would sort/spill that whole
+          stream; the pinned A/B in BENCH/skew_ab.json measured the
+          window form FASTER than salted at every sandbox-reachable
+          skew, top-key share 0.03→0.35, so share alone must not
+          trigger salting — the driver of the decision is rows per
+          task).  Otherwise the session's cluster shape
+          (session.cluster_shape) picks "join" in the many-executors/
+          few-cores regime where the join form's 2→8 pinned
+          efficiency (0.773) beats the window form's (0.535), and
+          "strict" at high single-box parallelism where the window
+          form is measured fastest in absolute terms.  The resolved
+          mode + estimates land in the epoch's lineage.
 
         ``demux_domains=True`` routes each mapped row into a
         PER-DOMAIN destination LakeTable (the reference's multi-output
@@ -245,7 +250,7 @@ class CDCPipeline:
                 "dedup_mode must be strict|salted|join|broadcast|merge|auto, "
                 f"got {self.dedup_mode}"
             )
-        self.skew_salt_threshold = skew_salt_threshold
+        self.salt_task_row_budget = salt_task_row_budget
         if demux_domains and demux_tombstones == "targeted" and self.dedup_mode == "merge":
             # targeted routing reasons about ONE row per key per
             # batch (its stale-claim analysis is per-row vs the
@@ -514,14 +519,25 @@ class CDCPipeline:
 
         Two measured signals, checked in order:
 
-        1. HOT-KEY SKEW — ``estimate_top_key_share`` (2% Bernoulli
-           sample of the key columns; one narrow extra job).  Above
-           ``skew_salt_threshold`` the window form funnels the hot
-           key's whole event stream into one reducer task, so the
-           two-phase salted form wins; the threshold is set from the
-           pinned two-skew-level A/B (BENCH/skew_ab.json, narrative
-           in BENCH/BASELINE.md).  The sample seed is fixed, so a
-           replayed epoch resolves identically.
+        1. HOT-KEY ROWS — ``estimate_key_stats`` (2% Bernoulli
+           sample of the key columns; one narrow extra job) gives
+           (top_key_share, est_rows); their product estimates the
+           hottest key's absolute event count.  Salting triggers
+           only when that reaches ``salt_task_row_budget`` — the
+           regime where the window form's single hot task would
+           sort/spill the key's whole stream.  The pinned A/B
+           (BENCH/skew_ab.json) measured the window form FASTER
+           than salted at every sandbox-reachable skew (share
+           0.034/0.146/0.352 of 4M events → salted "speedup"
+           0.78/0.40/0.56): salting's two payload-carrying
+           aggregation phases cost more than the imbalance they
+           cure until a single task's row count becomes the
+           bottleneck, so SHARE ALONE MUST NOT TRIGGER IT.  The
+           budget default (32M rows) is the scale-out extrapolation
+           — beyond it a task's sort exceeds comfortable
+           memory/stage budgets and salting's bound (rows/n_salts
+           per task) wins.  The sample seed is fixed, so a replayed
+           epoch resolves identically.
         2. CLUSTER SHAPE — ``session.cluster_shape``.  Many
            executors × few cores each (the 1000-executor production
            shape, proxied by the pinned 2→8-core rig) → the JOIN
@@ -536,9 +552,10 @@ class CDCPipeline:
         which the merge resolves), so the decision never affects
         correctness — only the shuffle shape.
         """
-        share = estimate_top_key_share(data, KEY_COLS)
+        share, est_rows = estimate_key_stats(data, KEY_COLS)
+        hot_rows = int(share * est_rows)
         n_exec, cores = cluster_shape(self.spark)
-        if share >= self.skew_salt_threshold:
+        if hot_rows >= self.salt_task_row_budget:
             mode = "salted"
         elif (
             n_exec >= 4
@@ -555,6 +572,7 @@ class CDCPipeline:
         return mode, {
             "resolved": mode,
             "top_key_share_est": round(share, 4),
+            "hot_key_rows_est": hot_rows,
             "n_executors": n_exec,
             "cores_per_executor": cores,
         }

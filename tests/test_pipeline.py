@@ -649,18 +649,36 @@ def test_auto_dedup_mode_cluster_targeted_demux_keeps_strict(spark, tmp_root, mo
 
 
 def test_auto_dedup_mode_hot_keys_resolve_salted(spark, tmp_root):
-    """A hot-megarepo batch (top key owns a large share of events at
-    key_skew=6) trips the sampled-share threshold -> salted."""
+    """A hot-megarepo batch whose hottest key's estimated row count
+    reaches the task-row budget -> salted.  (Share alone never
+    triggers salting — BENCH/skew_ab.json measured the window form
+    faster at every sandbox-reachable share, 0.03-0.35; the budget is
+    lowered here to exercise the path at fixture scale.)"""
     hot = gen_source_changes(spark, n_events=4000, n_keys=800, key_skew=6.0)
-    p = CDCPipeline(spark, os.path.join(tmp_root, "auto3"), dedup_mode="auto")
+    p = CDCPipeline(
+        spark, os.path.join(tmp_root, "auto3"), dedup_mode="auto",
+        salt_task_row_budget=500,
+    )
     recs = p.run(hot, n_epochs=1)
     assert all(r["dedup_auto"]["resolved"] == "salted" for r in recs)
+    assert all(r["dedup_auto"]["hot_key_rows_est"] >= 500 for r in recs)
     assert all(r["dedup_auto"]["top_key_share_est"] >= 0.08 for r in recs)
     assert_df_equal(
         p.current_state().select("repo", "path", "commit"),
         _expected_keys(hot),
         "auto(salted) == strict state",
     )
+
+
+def test_auto_dedup_mode_share_alone_does_not_salt(spark, tmp_root):
+    """Measured rule: high top-key SHARE with small absolute rows
+    stays on the window form (salting lost the A/B at every
+    sandbox-reachable skew)."""
+    hot = gen_source_changes(spark, n_events=4000, n_keys=800, key_skew=6.0)
+    p = CDCPipeline(spark, os.path.join(tmp_root, "auto5"), dedup_mode="auto")
+    recs = p.run(hot, n_epochs=1)
+    assert all(r["dedup_auto"]["resolved"] == "strict" for r in recs)
+    assert all(r["dedup_auto"]["top_key_share_est"] >= 0.08 for r in recs)
 
 
 def test_estimate_top_key_share_orders_skew_levels(spark):
