@@ -164,6 +164,7 @@ def run_small_batch(
     spark, n_base: int, n_batch: int, mode: str,
     demux: bool = False, demux_targeted: bool = False,
     lang_filter: list | None = None,
+    dedup_mode: str = "strict",
 ) -> dict:
     """Steady-state CDC ingest: ONE small epoch applied to a large
     EXISTING table (batch ~= n_batch/n_base of the key space) — the
@@ -202,6 +203,7 @@ def run_small_batch(
         p = CDCPipeline(
             spark, root, n_buckets=64, merge_mode=mode, demux_domains=demux,
             demux_tombstones="targeted" if demux_targeted else "blanket",
+            dedup_mode=dedup_mode,
         )
         p.run(base, n_epochs=1)  # untimed: build the existing table
         stored = spark.read.parquet(stage)

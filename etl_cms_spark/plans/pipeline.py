@@ -89,6 +89,7 @@ class CDCPipeline:
         sidecars: list | None = None,
         dedup_filter_index: "object | None" = None,
         salt_task_row_budget: int = 32_000_000,
+        broadcast_dedup_max_rows: int = 500_000,
     ):
         """dedup_mode:
         * "strict" (default) — max-LSN dedup before mapping.  Measured
@@ -117,7 +118,7 @@ class CDCPipeline:
           ratio is near 1 version/key).  Quarantine then logs every
           unmapped event occurrence, like the reference's append log.
         * "salted" — two-phase salted dedup for pathological hot keys.
-        * "auto" — resolve per EPOCH from two measured signals
+        * "auto" — resolve per EPOCH from three measured signals
           (_resolve_dedup_mode): a sampled estimate of the staged
           batch picks "salted" only when the HOTTEST KEY's estimated
           absolute row count reaches ``salt_task_row_budget`` (the
@@ -126,7 +127,11 @@ class CDCPipeline:
           window form FASTER than salted at every sandbox-reachable
           skew, top-key share 0.03→0.35, so share alone must not
           trigger salting — the driver of the decision is rows per
-          task).  Otherwise the session's cluster shape
+          task); a small batch (est rows ≤ ``broadcast_dedup_max_
+          rows``) takes the BROADCAST-semi form, measured 1.8× the
+          window form for steady-state micro-batches
+          (BENCH/smallbatch_dedup_ab.json).  Otherwise the
+          session's cluster shape
           (session.cluster_shape) picks "join" in the many-executors/
           few-cores regime where the join form's 2→8 pinned
           efficiency (0.773) beats the window form's (0.535), and
@@ -251,6 +256,7 @@ class CDCPipeline:
                 f"got {self.dedup_mode}"
             )
         self.salt_task_row_budget = salt_task_row_budget
+        self.broadcast_dedup_max_rows = broadcast_dedup_max_rows
         if demux_domains and demux_tombstones == "targeted" and self.dedup_mode == "merge":
             # targeted routing reasons about ONE row per key per
             # batch (its stale-claim analysis is per-row vs the
@@ -517,7 +523,7 @@ class CDCPipeline:
     def _resolve_dedup_mode(self, data: DataFrame) -> tuple[str, dict]:
         """Per-epoch resolution of ``dedup_mode="auto"``.
 
-        Two measured signals, checked in order:
+        Three measured signals, checked in order:
 
         1. HOT-KEY ROWS — ``estimate_key_stats`` (2% Bernoulli
            sample of the key columns; one narrow extra job) gives
@@ -538,7 +544,20 @@ class CDCPipeline:
            memory/stage budgets and salting's bound (rows/n_salts
            per task) wins.  The sample seed is fixed, so a replayed
            epoch resolves identically.
-        2. CLUSTER SHAPE — ``session.cluster_shape``.  Many
+        2. SMALL BATCH — est_rows at or under
+           ``broadcast_dedup_max_rows`` (default 500k ≈ a 25 MB
+           (key, max-lsn) broadcast) → the BROADCAST-semi form: the
+           payload side never shuffles in the dedup stage.  Measured
+           (BENCH/smallbatch_dedup_ab.json, 100k-event epoch against
+           a 2M-event table, pinned 8 cores): broadcast 3.25 s vs
+           window 5.92 s vs join 5.59 s — 1.8× — because the window/
+           join forms pay the full per-epoch shuffle machinery for a
+           batch whose winner set fits in one broadcast.  Skipped
+           when targeted demux or the ingest dedup filter needs the
+           strict one-row-per-key contract (broadcast's duplicate-
+           (key,lsn) survivors are byte-identical but would reach
+           those row-level analyses twice).
+        3. CLUSTER SHAPE — ``session.cluster_shape``.  Many
            executors × few cores each (the 1000-executor production
            shape, proxied by the pinned 2→8-core rig) → the JOIN
            form (narrow (key,lsn) agg + semi-join; pinned 2→8
@@ -555,17 +574,18 @@ class CDCPipeline:
         share, est_rows = estimate_key_stats(data, KEY_COLS)
         hot_rows = int(share * est_rows)
         n_exec, cores = cluster_shape(self.spark)
+        # targeted demux and the ingest dedup filter reason about one
+        # row per key per batch; the join/broadcast forms' duplicate-
+        # (key,lsn) survivors are byte-identical (harmless to the
+        # merges) but keep the strict one-row contract there anyway.
+        needs_one_row = (
+            self.demux_domains and self.demux_tombstones == "targeted"
+        ) or self.dedup_filter_index is not None
         if hot_rows >= self.salt_task_row_budget:
             mode = "salted"
-        elif (
-            n_exec >= 4
-            and cores <= 8
-            # targeted demux reasons about one row per key per batch;
-            # the join form's duplicate-(key,lsn) survivors are byte-
-            # identical (harmless to the merges) but keep the strict
-            # one-row contract under targeted routing anyway.
-            and not (self.demux_domains and self.demux_tombstones == "targeted")
-        ):
+        elif est_rows <= self.broadcast_dedup_max_rows and not needs_one_row:
+            mode = "broadcast"
+        elif n_exec >= 4 and cores <= 8 and not needs_one_row:
             mode = "join"
         else:
             mode = "strict"
@@ -573,6 +593,7 @@ class CDCPipeline:
             "resolved": mode,
             "top_key_share_est": round(share, 4),
             "hot_key_rows_est": hot_rows,
+            "batch_rows_est": est_rows,
             "n_executors": n_exec,
             "cores_per_executor": cores,
         }

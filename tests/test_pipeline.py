@@ -610,7 +610,10 @@ def test_unknown_dedup_mode_rejected(spark, tmp_root):
 def test_auto_dedup_mode_local_resolves_strict(spark, changes, tmp_root):
     """auto on a fat local box + uniform keys -> window form, same
     final state; the decision lands in the epoch lineage."""
-    p = CDCPipeline(spark, os.path.join(tmp_root, "auto1"), dedup_mode="auto")
+    p = CDCPipeline(
+        spark, os.path.join(tmp_root, "auto1"), dedup_mode="auto",
+        broadcast_dedup_max_rows=0,
+    )
     recs = p.run(changes, n_epochs=2)
     assert all(r["dedup_auto"]["resolved"] == "strict" for r in recs)
     assert all(r["dedup_auto"]["n_executors"] == 1 for r in recs)
@@ -625,7 +628,10 @@ def test_auto_dedup_mode_cluster_shape_resolves_join(spark, changes, tmp_root, m
     """Emulated many-executors/few-cores shape -> join form (the
     regime where its pinned 2->8 efficiency beats the window's)."""
     monkeypatch.setenv("ETL_CMS_CLUSTER_SHAPE", "250x4")
-    p = CDCPipeline(spark, os.path.join(tmp_root, "auto2"), dedup_mode="auto")
+    p = CDCPipeline(
+        spark, os.path.join(tmp_root, "auto2"), dedup_mode="auto",
+        broadcast_dedup_max_rows=0,
+    )
     recs = p.run(with_injected_duplicates(changes), n_epochs=2)
     assert all(r["dedup_auto"]["resolved"] == "join" for r in recs)
     assert_df_equal(
@@ -675,10 +681,29 @@ def test_auto_dedup_mode_share_alone_does_not_salt(spark, tmp_root):
     stays on the window form (salting lost the A/B at every
     sandbox-reachable skew)."""
     hot = gen_source_changes(spark, n_events=4000, n_keys=800, key_skew=6.0)
-    p = CDCPipeline(spark, os.path.join(tmp_root, "auto5"), dedup_mode="auto")
+    p = CDCPipeline(
+        spark, os.path.join(tmp_root, "auto5"), dedup_mode="auto",
+        broadcast_dedup_max_rows=0,
+    )
     recs = p.run(hot, n_epochs=1)
     assert all(r["dedup_auto"]["resolved"] == "strict" for r in recs)
     assert all(r["dedup_auto"]["top_key_share_est"] >= 0.08 for r in recs)
+
+
+def test_auto_dedup_mode_small_batch_resolves_broadcast(spark, changes, tmp_root):
+    """A batch whose estimated rows fit the broadcast budget takes the
+    broadcast-semi form (measured 1.8x the window form for
+    steady-state micro-batches, BENCH/smallbatch_dedup_ab.json);
+    duplicate (key,lsn) deliveries still converge."""
+    p = CDCPipeline(spark, os.path.join(tmp_root, "auto6"), dedup_mode="auto")
+    recs = p.run(with_injected_duplicates(changes), n_epochs=2)
+    assert all(r["dedup_auto"]["resolved"] == "broadcast" for r in recs)
+    assert all(r["dedup_auto"]["batch_rows_est"] > 0 for r in recs)
+    assert_df_equal(
+        p.current_state().select("repo", "path", "commit"),
+        _expected_keys(changes),
+        "auto(broadcast) == strict state",
+    )
 
 
 def test_estimate_top_key_share_orders_skew_levels(spark):
