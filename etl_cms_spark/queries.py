@@ -1594,6 +1594,45 @@ def cdc_pipeline_state(spark, sf_dir):
 
 
 @q(
+    "cdc_pipeline_auto",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT l.repo, l.path, l.commit, l.lang, l.content,
+           dim.concept_id, dim.domain, sha256(l.content) AS content_sha
+    FROM latest l JOIN {_concept_dim_sql()} ON l.lang = dim.lang
+    """,
+)
+def cdc_pipeline_auto(spark, sf_dir):
+    """The flagship pipeline under ``dedup_mode="auto"`` — the
+    per-epoch resolver picks the dedup form from measured signals
+    (plans/pipeline._resolve_dedup_mode: hot-key row budget →
+    salted, small batch → broadcast-semi, cluster shape → join,
+    else window).  At driver scale the batches fit the broadcast
+    budget, so this drives the broadcast-resolved path through the
+    full epoch/merge loop; the oracle is the SAME one-pass
+    latest-wins SQL as ``cdc_pipeline_state`` — resolution must be
+    invisible in the final state."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_auto_")
+    try:
+        p = CDCPipeline(spark, root, n_buckets=8, dedup_mode="auto")
+        recs = p.run(changes, n_epochs=2)
+        assert all("dedup_auto" in r for r in recs)
+        return p.current_state().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "lake_changelog_export",
     f"""
     WITH ch AS ({_oracle_changelog_sql()}),
