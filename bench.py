@@ -294,8 +294,14 @@ def main_bench() -> None:
     # existing table, CoW vs MoR — merge latency + snapshot-read cost.
     small_cow = run_small_batch(spark, n_base=n_cdc, n_batch=n_cdc // 20, mode="cow")
     small_mor = run_small_batch(spark, n_base=n_cdc, n_batch=n_cdc // 20, mode="mor")
+    # broadcast-semi dedup on the same small batch — the auto-resolved
+    # form for steady-state micro-batches (the payload never shuffles
+    # in the dedup stage; BENCH/smallbatch_dedup_ab.json).
+    small_bc = run_small_batch(spark, n_base=n_cdc, n_batch=n_cdc // 20, mode="cow",
+                               dedup_mode="broadcast")
     timings["cdc_small_batch_cow"] = small_cow["merge_seconds"]
     timings["cdc_small_batch_mor"] = small_mor["merge_seconds"]
+    timings["cdc_small_batch_bcast"] = small_bc["merge_seconds"]
     # demux tombstone strategy A/B in ITS regime (small batch over a
     # large table): blanket fans n_domains x batch tombstones; the
     # targeted previous-domain lookup applies only upserts + real
@@ -343,6 +349,7 @@ def main_bench() -> None:
         "cdc_demux": cdc_demux,
         "cdc_demux_targeted": cdc_demux_t,
         "cdc_small_batch": {"cow": small_cow, "mor": small_mor,
+                             "cow_broadcast_dedup": small_bc,
                              "demux_blanket": small_dx_b,
                              "demux_targeted": small_dx_t,
                              "demux_sparse_blanket": small_sx_b,
