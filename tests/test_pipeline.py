@@ -717,3 +717,12 @@ def test_estimate_top_key_share_orders_skew_levels(spark):
     assert s_uni < 0.03
     assert s_hot > 0.15
     assert s_hot > 5 * s_uni
+
+
+def test_cluster_shape_local_and_override(spark, monkeypatch):
+    from etl_cms_spark.session import cluster_shape
+
+    n_exec, cores = cluster_shape(spark)
+    assert n_exec == 1 and cores == spark.sparkContext.defaultParallelism
+    monkeypatch.setenv("ETL_CMS_CLUSTER_SHAPE", "1000x4")
+    assert cluster_shape(spark) == (1000, 4)
