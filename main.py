@@ -30,6 +30,16 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--stream", action="store_true", help="Structured Streaming tail")
     ap.add_argument("--salt", action="store_true", help="salted dedup for hot keys")
+    ap.add_argument(
+        "--salt-task-row-budget", type=int, default=32_000_000,
+        help="auto mode: salt when the hottest key's estimated rows "
+        "reach this (see BENCH/skew_ab.json for why share alone never salts)",
+    )
+    ap.add_argument(
+        "--broadcast-dedup-max-rows", type=int, default=500_000,
+        help="auto mode: broadcast-semi dedup for batches whose estimated "
+        "rows fit this budget (~25 MB of (key, max-lsn) pairs at 500k)",
+    )
     ap.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
     ap.add_argument("--compact-every", type=int, default=None)
     ap.add_argument(
@@ -120,6 +130,8 @@ def main() -> None:
             demux_tombstones=args.demux_tombstones,
             dedup_mode=args.dedup_mode,
             dedup_filter_index=filter_index,
+            salt_task_row_budget=args.salt_task_row_budget,
+            broadcast_dedup_max_rows=args.broadcast_dedup_max_rows,
         )
         if args.rebucket:
             pipeline.init_tables()
