@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +30,83 @@ def atomic_json(path: str, obj) -> None:
     with open(tmp, "w") as f:
         json.dump(obj, f)
     os.replace(tmp, path)
+
+
+def run_steps(root: str, steps: list[dict]) -> None:
+    """Idempotently execute (or resume) a persisted destructive-step
+    list.  Each step infers its own completion from the filesystem, so
+    replaying the whole list after a crash at ANY point converges:
+
+    * ``swap``   — replace directory ``dir`` wholesale with write
+      group ``final`` renamed from ``tmp`` (compaction).  If ``tmp``
+      is gone the swap already happened.
+    * ``rename`` — move ``tmp`` to ``final`` (non-destructive publish,
+      e.g. recluster's moved-rows group).  ``os.rename`` is atomic, so
+      exactly one of tmp/final exists.
+    * ``rmtree`` — delete a directory if present (mask retirement).
+
+    All paths are stored relative to ``root`` so the step list stays
+    valid if the index directory is relocated between crash and
+    recovery.
+    """
+    for s in steps:
+        kind = s["kind"]
+        if kind == "swap":
+            tmp = os.path.join(root, s["tmp"])
+            if os.path.isdir(tmp):
+                d = os.path.join(root, s["dir"])
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+                os.makedirs(d, exist_ok=True)
+                os.rename(tmp, os.path.join(root, s["final"]))
+        elif kind == "rename":
+            tmp = os.path.join(root, s["tmp"])
+            if os.path.isdir(tmp):
+                final = os.path.join(root, s["final"])
+                os.makedirs(os.path.dirname(final), exist_ok=True)
+                os.rename(tmp, final)
+        elif kind == "rmtree":
+            p = os.path.join(root, s["path"])
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        else:  # pragma: no cover - future-proofing
+            raise ValueError(f"unknown pending step kind {kind!r}")
+
+
+def commit_steps(root: str, meta: dict, steps: list[dict]) -> None:
+    """Two-phase destructive commit for an index maintenance op.
+
+    The caller has already (a) fully materialized every ``tmp``
+    directory the steps reference and (b) applied the op's meta
+    updates to ``meta`` IN MEMORY (``next_write`` bump, centroid
+    moves, ...).  This persists meta WITH the step list attached
+    (the atomic commit point — from here the op is guaranteed to
+    complete, and the bumped ``next_write`` means no later epoch can
+    clobber the published write group), runs the destructive steps,
+    then clears the list.  A crash before the first save leaves the
+    old state fully intact (orphan tmps are overwritten by the next
+    attempt); a crash after it is finished by ``recover_pending`` at
+    the next open.
+    """
+    meta_path = os.path.join(root, "_meta.json")
+    meta["pending_steps"] = steps
+    atomic_json(meta_path, meta)
+    run_steps(root, steps)
+    del meta["pending_steps"]
+    atomic_json(meta_path, meta)
+
+
+def recover_pending(root: str, meta: dict) -> bool:
+    """Finish a maintenance op that crashed mid-``commit_steps``.
+    Call at index open, before any read.  Returns True if recovery
+    ran."""
+    steps = meta.get("pending_steps")
+    if not steps:
+        return False
+    run_steps(root, steps)
+    del meta["pending_steps"]
+    atomic_json(os.path.join(root, "_meta.json"), meta)
+    return True
 
 
 def has_parquet(d: str) -> bool:

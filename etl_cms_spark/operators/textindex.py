@@ -49,7 +49,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -58,7 +57,9 @@ from pyspark.sql import functions as F
 from etl_cms_spark.operators.incstore import (
     V_COL as _V_COL,
     atomic_json as _atomic_json,
+    commit_steps as _commit_steps,
     mask_resolve,
+    recover_pending as _recover_pending,
     stamped_union,
 )
 from etl_cms_spark.operators.textdedup import minhash_signatures_portable
@@ -98,6 +99,9 @@ class IncrementalTextDedupIndex:
         self.path = path
         with open(os.path.join(path, "_meta.json")) as f:
             self.meta = json.load(f)
+        # finish any compaction that crashed mid-swap (incstore
+        # two-phase protocol) before the first read.
+        _recover_pending(path, self.meta)
 
     # ------------------------------------------------------------ build
 
@@ -533,20 +537,33 @@ class IncrementalTextDedupIndex:
         """Fold masks into fresh bases for sigs and bands: one bounded
         rewrite of the LIVE rows each (amortizes the read-side mask
         away).  Applied epochs are retained so replay idempotency
-        survives."""
+        survives.
+
+        Crash-safe via the incstore two-phase protocol: every folded
+        base is fully written to a ``*_compact_tmp`` dir while the old
+        groups stay readable, then the destructive swap (rmtree old
+        groups + rename + mask retirement) is persisted as pending
+        steps WITH the bumped ``next_write`` in one atomic meta write.
+        A crash before that write leaves the old state intact (orphan
+        tmps are overwritten next attempt); a crash after it is
+        finished at the next open — in particular the bumped
+        ``next_write`` means a post-crash ``apply_epoch`` can never
+        reuse the folded base's write-group id and overwrite the
+        corpus.
+        """
         k = self.meta["next_write"]
         folds = [("sigs", self.live_sigs()), ("bands", self.live_bands())]
         if os.path.isdir(os.path.join(self.path, "glabels")):
             folds.append(("glabels", self._group_labels()))
+        steps: list[dict] = []
         for sub, frame in folds:
-            tmp = os.path.join(self.path, f"{sub}_compact_tmp")
-            frame.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(os.path.join(self.path, sub))
-            os.makedirs(os.path.join(self.path, sub), exist_ok=True)
-            os.rename(tmp, os.path.join(self.path, sub, f"w{k}"))
-        for mask_dir in (os.path.join(self.path, "mask"), os.path.join(self.path, "gmask")):
-            if os.path.isdir(mask_dir):
-                shutil.rmtree(mask_dir)
+            tmp = f"{sub}_compact_tmp"
+            frame.write.mode("overwrite").parquet(os.path.join(self.path, tmp))
+            steps.append(
+                {"kind": "swap", "dir": sub, "tmp": tmp, "final": f"{sub}/w{k}"}
+            )
+        steps.append({"kind": "rmtree", "path": "mask"})
+        steps.append({"kind": "rmtree", "path": "gmask"})
         self.meta["next_write"] = k + 1
-        _atomic_json(os.path.join(self.path, "_meta.json"), self.meta)
+        _commit_steps(self.path, self.meta, steps)
         return {"compacted_write": k}

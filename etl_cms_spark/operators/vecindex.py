@@ -48,7 +48,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -59,7 +58,9 @@ from etl_cms_spark.operators.incstore import (
     V_COL as _V_COL,
     WV_COL as _WV_COL,
     atomic_json as _atomic_json,
+    commit_steps as _commit_steps,
     mask_resolve,
+    recover_pending as _recover_pending,
     stamped_union,
 )
 from etl_cms_spark.operators.similarity import (
@@ -95,6 +96,9 @@ class IncrementalVectorIndex:
     def _load(self) -> None:
         with open(os.path.join(self.path, "_meta.json")) as f:
             self.meta = json.load(f)
+        # finish any compact/recluster that crashed mid-publish
+        # (incstore two-phase protocol) before the first read.
+        _recover_pending(self.path, self.meta)
 
     # ------------------------------------------------------------ build
 
@@ -385,12 +389,17 @@ class IncrementalVectorIndex:
                 .select("vec_id", "vec", _V_COL, F.col("_new").alias("cell"))
                 .persist()
             )
+            # publish via the incstore two-phase protocol: both frames
+            # land in tmp dirs first, then the renames + the meta
+            # updates (new centroids, bumped next_write) commit in one
+            # atomic meta write — a crash never exposes moved rows
+            # without their mask, or new centroids without the moves.
             k = self.meta["next_write"]
             moved.write.mode("overwrite").partitionBy("cell").parquet(
-                os.path.join(self.path, "cells", f"w{k}")
+                os.path.join(self.path, "recluster_cells_tmp")
             )
             moved.select("vec_id", _V_COL).write.mode("overwrite").parquet(
-                os.path.join(self.path, "mask", f"w{k}")
+                os.path.join(self.path, "recluster_mask_tmp")
             )
             n_moved = moved.count()
             moved.unpersist()
@@ -399,23 +408,51 @@ class IncrementalVectorIndex:
         for c in cells:
             self.meta["cell_stats"].pop(str(c), None)
         self.meta["next_write"] = k + 1
-        _atomic_json(os.path.join(self.path, "_meta.json"), self.meta)
+        _commit_steps(
+            self.path,
+            self.meta,
+            [
+                {
+                    "kind": "rename",
+                    "tmp": "recluster_cells_tmp",
+                    "final": f"cells/w{k}",
+                },
+                {
+                    "kind": "rename",
+                    "tmp": "recluster_mask_tmp",
+                    "final": f"mask/w{k}",
+                },
+            ],
+        )
         return {"recentered": sorted(int(c) for c in cells), "n_moved": n_moved}
 
     def compact(self) -> dict:
         """Fold masks into a fresh base: one bounded rewrite of the
         LIVE rows (amortizes the read-side mask away).  Applied
-        epochs are retained so replay idempotency survives."""
-        out = self.live()
-        tmp = os.path.join(self.path, "cells_compact_tmp")
-        out.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-        shutil.rmtree(os.path.join(self.path, "cells"))
-        mask_dir = os.path.join(self.path, "mask")
-        if os.path.isdir(mask_dir):
-            shutil.rmtree(mask_dir)
+        epochs are retained so replay idempotency survives.
+
+        Crash-safe via the incstore two-phase protocol (see
+        textindex.compact): the folded base is fully written to a tmp
+        dir while the old groups stay readable, then the destructive
+        swap is persisted as pending steps WITH the bumped
+        ``next_write`` in one atomic meta write — so a crash anywhere
+        either leaves the old state intact or is finished at the next
+        open, and no post-crash ``apply_epoch`` can reuse the folded
+        base's write-group id.
+        """
         k = self.meta["next_write"]
-        os.makedirs(os.path.join(self.path, "cells"), exist_ok=True)
-        os.rename(tmp, os.path.join(self.path, "cells", f"w{k}"))
+        out = self.live()
+        tmp = "cells_compact_tmp"
+        out.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(self.path, tmp)
+        )
         self.meta["next_write"] = k + 1
-        _atomic_json(os.path.join(self.path, "_meta.json"), self.meta)
+        _commit_steps(
+            self.path,
+            self.meta,
+            [
+                {"kind": "swap", "dir": "cells", "tmp": tmp, "final": f"cells/w{k}"},
+                {"kind": "rmtree", "path": "mask"},
+            ],
+        )
         return {"compacted_write": k}

@@ -451,3 +451,96 @@ def test_ingest_dedup_filter_replay_is_deterministic(spark, tmp_root):
     assert {r["doc_id"] for r in ix2.live_sigs().collect()} == {
         r["doc_id"] for r in ix.live_sigs().collect()
     }
+
+
+# ------------------------------------------------ compaction crash safety
+#
+# compact() publishes through the incstore two-phase protocol: tmps are
+# fully written first, then ONE atomic meta write persists the pending
+# destructive steps together with the bumped next_write, then the steps
+# run.  These tests crash at each window and assert the index either
+# kept its old state (pre-commit) or is healed at the next open
+# (post-commit) — in particular that a post-crash apply_epoch can never
+# reuse the folded base's write-group id and silently overwrite the
+# corpus (the failure the protocol exists to prevent).
+
+
+def test_compact_crash_after_pending_commit_recovers(spark, tmp_root, monkeypatch):
+    import pytest
+
+    from etl_cms_spark.operators import incstore
+
+    frames = [_base(spark)] + _epochs(spark)
+    idx = _apply_all(spark, os.path.join(tmp_root, "ixc1"), frames)
+    before = _pairs(idx.live_pairs())
+    k = idx.meta["next_write"]
+
+    def boom(root, steps):
+        raise RuntimeError("crash before any destructive step")
+
+    monkeypatch.setattr(incstore, "run_steps", boom)
+    with pytest.raises(RuntimeError):
+        idx.compact()
+    monkeypatch.undo()
+
+    idx2 = IncrementalTextDedupIndex(spark, idx.path)  # recovery at open
+    assert "pending_steps" not in idx2.meta
+    assert idx2.meta["next_write"] == k + 1
+    assert _pairs(idx2.live_pairs()) == before
+    # the next epoch allocates w{k+1}; the folded base at w{k} survives
+    idx2.apply_epoch(_mk(spark, [(9, DOC_B, 40, "I")]), epoch=3)
+    got = {(a, b) for a, b, _ in _pairs(idx2.live_pairs())}
+    assert (2, 6) in got and (6, 9) in got
+
+
+def test_compact_crash_mid_swap_recovers(spark, tmp_root, monkeypatch):
+    import pytest
+
+    frames = [_base(spark)] + _epochs(spark)
+    idx = _apply_all(spark, os.path.join(tmp_root, "ixc2"), frames)
+    before = _pairs(idx.live_pairs())
+    real_rename = os.rename
+    tripped = []
+
+    def flaky(src, dst):
+        if "_compact_tmp" in str(src) and not tripped:
+            tripped.append(src)
+            raise OSError("crash between rmtree(old groups) and rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", flaky)
+    with pytest.raises(OSError):
+        idx.compact()
+    monkeypatch.undo()
+
+    # the sigs dir was destroyed mid-swap; reopen finishes the rename
+    idx2 = IncrementalTextDedupIndex(spark, idx.path)
+    assert "pending_steps" not in idx2.meta
+    assert _pairs(idx2.live_pairs()) == before
+
+
+def test_compact_crash_before_pending_commit_leaves_old_state(
+    spark, tmp_root, monkeypatch
+):
+    import pytest
+
+    from etl_cms_spark.operators import incstore
+
+    frames = [_base(spark)] + _epochs(spark)
+    idx = _apply_all(spark, os.path.join(tmp_root, "ixc3"), frames)
+    before = _pairs(idx.live_pairs())
+    k = idx.meta["next_write"]
+
+    def boom(path, obj):
+        raise OSError("crash before the pending-steps meta write")
+
+    monkeypatch.setattr(incstore, "atomic_json", boom)
+    with pytest.raises(OSError):
+        idx.compact()
+    monkeypatch.undo()
+
+    idx2 = IncrementalTextDedupIndex(spark, idx.path)
+    assert idx2.meta["next_write"] == k  # nothing committed
+    assert _pairs(idx2.live_pairs()) == before
+    idx2.compact()  # orphan tmps are overwritten by the next attempt
+    assert _pairs(idx2.live_pairs()) == before

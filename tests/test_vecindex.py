@@ -314,3 +314,110 @@ def test_update_from_lake_syncs_index_with_snapshot(spark, tmp_root):
     lake_state = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in t.read().collect()}
     live = {r["vec_id"]: [float(x) for x in r["vec"]] for r in idx.live().collect()}
     assert live == lake_state
+
+
+# ------------------------------------------------ maintenance crash safety
+#
+# compact() and recluster() publish through the incstore two-phase
+# protocol (tmps fully written -> ONE atomic meta write persisting the
+# pending destructive steps with the bumped next_write -> steps run).
+# Crash at each window: pre-commit leaves the old state intact;
+# post-commit is healed at the next open, and a post-crash apply_epoch
+# can never reuse the published write-group id and overwrite the base.
+
+
+def _live_set(idx):
+    return sorted((r["vec_id"], r["_v"], r["cell"]) for r in idx.live().collect())
+
+
+def test_compact_crash_after_pending_commit_recovers(spark, tmp_root, monkeypatch):
+    from etl_cms_spark.operators import incstore
+
+    base, epochs = _base_corpus(spark), _epochs(spark)
+    idx = _apply_all(spark, base, epochs, os.path.join(tmp_root, "ixc1"), "srp")
+    before = _live_set(idx)
+    k = idx.meta["next_write"]
+
+    def boom(root, steps):
+        raise RuntimeError("crash before any destructive step")
+
+    monkeypatch.setattr(incstore, "run_steps", boom)
+    with pytest.raises(RuntimeError):
+        idx.compact()
+    monkeypatch.undo()
+
+    idx2 = IncrementalVectorIndex(spark, idx.path)  # recovery at open
+    assert "pending_steps" not in idx2.meta
+    assert idx2.meta["next_write"] == k + 1
+    assert _live_set(idx2) == before
+    idx2.apply_epoch(_mk(spark, [(999, [1.0] * 8, "I", 9999)]), epoch=10)
+    ids = {r["vec_id"] for r in idx2.live().collect()}
+    assert 999 in ids and len(ids) == len(before) + 1
+
+
+def test_compact_crash_mid_swap_recovers(spark, tmp_root, monkeypatch):
+    base, epochs = _base_corpus(spark), _epochs(spark)
+    idx = _apply_all(spark, base, epochs, os.path.join(tmp_root, "ixc2"), "srp")
+    before = _live_set(idx)
+    real_rename = os.rename
+    tripped = []
+
+    def flaky(src, dst):
+        if "cells_compact_tmp" in str(src) and not tripped:
+            tripped.append(src)
+            raise OSError("crash between rmtree(old groups) and rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", flaky)
+    with pytest.raises(OSError):
+        idx.compact()
+    monkeypatch.undo()
+
+    idx2 = IncrementalVectorIndex(spark, idx.path)
+    assert "pending_steps" not in idx2.meta
+    assert _live_set(idx2) == before
+
+
+def test_recluster_crash_after_pending_commit_recovers(spark, tmp_root, monkeypatch):
+    """Same two clusters as the drift test; crash recluster() after the
+    pending commit.  Reopen must publish BOTH the moved rows and their
+    mask together — no duplicate copies, no moved rows without mask —
+    and the committed meta already carries the updated centroids."""
+    from etl_cms_spark.operators import incstore
+
+    dim = 8
+    a = [(i, [1.0 + 0.001 * i] + [0.0] * (dim - 1), "I", i) for i in range(40)]
+    b = [(100 + i, [0.0] * (dim - 1) + [1.0 + 0.001 * i], "I", 100 + i) for i in range(40)]
+    base = _mk(spark, a + b)
+    idx = IncrementalVectorIndex.build(
+        base, "embedding", "vec_id", os.path.join(tmp_root, "ixc3"),
+        kind="kmeans", n_cells=2, sample_per_cell=40,
+    )
+    drifty = _mk(
+        spark,
+        [(500 + i, [0.7] + [0.0] * (dim - 2) + [0.7 + 0.001 * (i + 1)], "I", 500 + i)
+         for i in range(20)],
+    )
+    idx.apply_epoch(drifty, epoch=1)
+    before_ids = {r["vec_id"] for r in idx.live().collect()}
+    drifted = idx.drifted_cells(threshold=0.05, min_n=5)
+
+    def boom(root, steps):
+        raise RuntimeError("crash before the rename steps")
+
+    monkeypatch.setattr(incstore, "run_steps", boom)
+    with pytest.raises(RuntimeError):
+        idx.recluster(drifted)
+    monkeypatch.undo()
+
+    idx2 = IncrementalVectorIndex(spark, idx.path)
+    assert "pending_steps" not in idx2.meta
+    live = idx2.live().collect()
+    assert {r["vec_id"] for r in live} == before_ids  # each id exactly once
+    assert len(live) == len(before_ids)
+    # stored cells == fresh assignment under the recovered centroids
+    final_df = _mk(spark, [(r["vec_id"], [float(x) for x in r["vec"]], "I", 0) for r in live])
+    re_assigned = {
+        r["vec_id"]: r["cell"] for r in idx2.assignment_frame(final_df, "lsn").collect()
+    }
+    assert {r["vec_id"]: r["cell"] for r in live} == re_assigned
