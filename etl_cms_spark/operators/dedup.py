@@ -176,12 +176,23 @@ def keyed_dedup_stable_id(
 # shuffle input — comfortably inside executor memory, large enough
 # that 10^10 keys get ~2,500 partitions instead of the stock 200.
 _DENSE_ID_KEYS_PER_PART = 4_000_000
+# Hard cap on the derived range-partition count: 65536 × 4M ≈ 2.6×10^11
+# keys — comfortably past the 10^10 target — while bounding the damage
+# of a wild over-estimate (task-scheduling overhead, not a dead driver).
+_DENSE_ID_MAX_PARTS = 65_536
+# Catalyst's stat-less sentinel: plans with no statistics report
+# sizeInBytes = defaultSizeInBytes (Long.MaxValue), and join estimates
+# MULTIPLY child sizes — either way the number is astronomically past
+# any real input, so treat anything >= 2^62 bytes as "unknown".
+_STATLESS_SIZE_SENTINEL = 1 << 62
 
 
 def _dense_id_partitions(est_keys: int, floor: int) -> int:
     """Range-partition count for ``dense_stable_id``: ~4M keys per
-    partition, floored at the session shuffle parallelism."""
-    return max(floor, -(-est_keys // _DENSE_ID_KEYS_PER_PART))
+    partition, floored at the session shuffle parallelism and capped
+    at ``_DENSE_ID_MAX_PARTS`` (an over-estimate must cost tasks, not
+    a repartitionByRange with billions of partitions)."""
+    return min(_DENSE_ID_MAX_PARTS, max(floor, -(-est_keys // _DENSE_ID_KEYS_PER_PART)))
 
 
 def _estimated_rows(df: DataFrame) -> int:
@@ -197,7 +208,13 @@ def _estimated_rows(df: DataFrame) -> int:
         rc = stats.rowCount()
         if rc.isDefined():
             return int(str(rc.get()))
-        return max(1, int(str(stats.sizeInBytes())) // 32)
+        sz = int(str(stats.sizeInBytes()))
+        if sz >= _STATLESS_SIZE_SENTINEL:
+            # no real statistics (defaultSizeInBytes leaf, or a join
+            # that multiplied them) — an exact count job beats sizing
+            # partitions off a garbage number.
+            return df.count()
+        return max(1, sz // 32)
     except Exception:  # py4j surface drift: fall back to one count job
         return df.count()
 

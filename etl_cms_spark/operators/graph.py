@@ -147,9 +147,16 @@ def connected_components_star(
     the star {(root, v)} per component, read out as the label
     assignment.
     """
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # nodes seen ONLY as self-loops still belong in the output (the
+    # shared contract labels every node appearing in `edges`); the
+    # contraction below drops a==b edges, so carry them separately
+    # and re-attach as singletons at readout.
+    loop_nodes = (
+        raw.where(F.col("a") == F.col("b")).select(F.col("a").alias(id_out)).distinct()
+    )
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
+        raw.where(F.col("a") != F.col("b"))
         .select(
             F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
         )
@@ -208,7 +215,11 @@ def connected_components_star(
             ).unionByName(
                 e.select(F.col("lo").alias(id_out), F.col("lo").alias(label_out))
             )
-            return labels.groupBy(id_out).agg(F.min(label_out).alias(label_out))
+            labeled = labels.groupBy(id_out).agg(F.min(label_out).alias(label_out))
+            singletons = loop_nodes.join(labeled, id_out, "left_anti").select(
+                F.col(id_out), F.col(id_out).alias(label_out)
+            )
+            return labeled.unionByName(singletons)
         fp = new_fp
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds"

@@ -257,16 +257,31 @@ class CDCPipeline:
             )
         self.salt_task_row_budget = salt_task_row_budget
         self.broadcast_dedup_max_rows = broadcast_dedup_max_rows
-        if demux_domains and demux_tombstones == "targeted" and self.dedup_mode == "merge":
+        # Modes that guarantee ONE row per key in the deduped batch.
+        # 'auto' qualifies: its resolver refuses the join/broadcast
+        # forms whenever a one-row consumer is attached (needs_one_row
+        # in _resolve_dedup_mode).  The join/broadcast forms keep
+        # byte-identical duplicate (key, lsn) survivors — harmless to
+        # the merges, but they double-count in any per-row consumer
+        # (targeted demux's stale-claim analysis, the dedup filter's
+        # suppression log), so those consumers reject them up front
+        # instead of silently miscounting.
+        one_row_modes = ("strict", "salted", "auto")
+        if (
+            demux_domains
+            and demux_tombstones == "targeted"
+            and self.dedup_mode not in one_row_modes
+        ):
             # targeted routing reasons about ONE row per key per
             # batch (its stale-claim analysis is per-row vs the
             # table); an un-pre-deduped batch can carry a delete and
             # an older upsert of the same key whose interaction only
             # blanket fan-out resolves.
             raise ValueError(
-                "demux_tombstones='targeted' requires a pre-deduped batch "
-                "(dedup_mode 'strict' or 'salted'); use demux_tombstones="
-                "'blanket' with dedup_mode='merge'"
+                "demux_tombstones='targeted' requires a one-row-per-key "
+                "batch (dedup_mode 'strict', 'salted', or 'auto'); use "
+                "demux_tombstones='blanket' with dedup_mode "
+                f"{self.dedup_mode!r}"
             )
         # per-PARTITION lineage (north rule): record per-bucket rows
         # applied/deleted + LSN range each epoch.  One extra hash agg
@@ -276,10 +291,12 @@ class CDCPipeline:
         self.sidecars = list(sidecars or [])
         self.dedup_filter_index = dedup_filter_index
         if dedup_filter_index is not None:
-            if self.dedup_mode == "merge":
+            if self.dedup_mode not in one_row_modes:
                 raise ValueError(
-                    "dedup_filter_index requires a pre-deduped batch "
-                    "(any dedup_mode except 'merge')"
+                    "dedup_filter_index requires a one-row-per-key batch "
+                    "(dedup_mode 'strict', 'salted', or 'auto'); the "
+                    f"{self.dedup_mode!r} form's duplicate (key,lsn) "
+                    "survivors would double-count in the suppression log"
                 )
             if dedup_filter_index not in self.sidecars:
                 self.sidecars.append(dedup_filter_index)
@@ -667,13 +684,20 @@ class CDCPipeline:
         logged.write.mode("overwrite").parquet(
             os.path.join(self.duplicates_dir, f"epoch={epoch}")
         )
-        n_sup = self.spark.read.parquet(
+        # the write above already materialized the whole probe
+        # pipeline (sigs → band joins → verify → groupBy); read the
+        # suppression set back from the log instead of re-executing
+        # that lineage a second time in the keep-side anti join.
+        written = self.spark.read.parquet(
             os.path.join(self.duplicates_dir, f"epoch={epoch}")
-        ).count()
+        )
+        n_sup = written.count()
         if not n_sup:
             return latest, 0
         keep = latest.withColumn("_doc_id", did).join(
-            F.broadcast(sup.select("_doc_id")), "_doc_id", "left_anti"
+            F.broadcast(written.select(F.col("doc_id").alias("_doc_id"))),
+            "_doc_id",
+            "left_anti",
         ).drop("_doc_id")
         return keep, n_sup
 
@@ -699,6 +723,68 @@ class CDCPipeline:
             if r:
                 out[epoch] = r
         return out
+
+    def catch_up_domains(self, repair_epoch: int) -> dict:
+        """Converge the per-domain destination tables to the MAIN
+        table's current routing — the domain analogue of
+        ``catch_up_sidecars``.
+
+        The duplicate-epoch skip consults only the main table's epoch
+        markers (the main commit is written LAST, so in-process crash
+        windows are covered), which means domain tables that are
+        behind for any OTHER reason — ``demux_domains`` enabled over
+        a lake populated without it, or a domain table restored from
+        an older backup — can never be backfilled by replaying the
+        changelog: every epoch short-circuits on the main marker.
+        This repairs them directly from the main table's CURRENT raw
+        state in ONE bounded pass (no per-epoch replay): the live
+        state plus main-table tombstones, each at its winning LSN, is
+        offered through the blanket demux fan-out as a single repair
+        epoch — every domain receives its own rows as upserts and a
+        tombstone for every other key, and max-LSN resolution makes
+        the offer a no-op for any domain already in sync.
+
+        ``repair_epoch`` must be NEGATIVE (the reserved repair
+        namespace shared with ``reprocess_quarantine``) so it can
+        never collide with source epoch ids or streaming batch ids;
+        re-running with the same id is a per-table duplicate-epoch
+        no-op.
+
+        Caveat (same horizon rule as ``catch_up_sidecars``): a key
+        whose main-table tombstone has been vacuumed past retention
+        can no longer be tombstoned here — rebuild domain tables
+        instead of repairing across a GC horizon.
+        """
+        if not self.demux_domains:
+            raise ValueError("catch_up_domains requires demux_domains=True")
+        if repair_epoch >= 0:
+            raise ValueError(
+                "repair_epoch must be negative (reserved repair namespace), "
+                f"got {repair_epoch}"
+            )
+        cur = self.table.read_raw()
+        payload = [c for c in cur.columns if c not in ("_lsn", "_deleted")]
+        batch = cur.select(
+            *payload,
+            F.col("_lsn").alias("lsn"),
+            F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        ).persist()
+        # targeted tombstones can't express this repair: its departure
+        # analysis diffs the batch against the main table's previous
+        # domains, and this batch IS the main table — a stale row in a
+        # DOMAIN table (the thing being repaired) is invisible to it.
+        # Blanket fan-out tombstones every key into every non-owning
+        # domain, which is exactly the repair semantics.
+        saved = self.demux_tombstones
+        self.demux_tombstones = "blanket"
+        try:
+            recs = self._demux_merge(
+                batch, {"n_total": None, "buckets": []}, repair_epoch
+            )
+        finally:
+            self.demux_tombstones = saved
+            batch.unpersist()
+        return recs
 
     def _sync_sidecars(self, epoch: int) -> dict | None:
         """Offer a committed epoch's CDC-out diff to every registered

@@ -43,6 +43,7 @@ def start_stream(
     merge_mode: str = "cow",
     demux_domains: bool = False,
     sidecars: list | None = None,
+    dedup_filter_index: "object | None" = None,
 ) -> tuple[StreamingQuery, CDCPipeline]:
     """Tail a changelog directory (file source — swap for Kafka/
     binlog reader by changing only this readStream) and upsert each
@@ -64,9 +65,14 @@ def start_stream(
         merge_mode=merge_mode,
         demux_domains=demux_domains,
         sidecars=sidecars,
+        # enforcement, not just upkeep: with a filter index, each
+        # micro-batch's near-duplicate NEW docs are routed to the
+        # duplicates/ log exactly as in batch mode (the pipeline adds
+        # the index to its sidecars itself).
+        dedup_filter_index=dedup_filter_index,
     )
     pipeline.init_tables()
-    if sidecars:
+    if sidecars or dedup_filter_index is not None:
         # the streaming checkpoint never re-delivers committed
         # micro-batches, so a sidecar that lags the table (attached
         # later, or crashed between a commit and its sync) back-fills

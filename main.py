@@ -113,7 +113,7 @@ def main() -> None:
         q, pipeline = start_stream(
             spark, args.changelog, args.lake, salt_hot_keys=args.salt,
             demux_domains=args.demux_domains,
-            sidecars=[filter_index] if filter_index else None,
+            dedup_filter_index=filter_index,
         )
         q.awaitTermination()
     else:

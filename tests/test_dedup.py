@@ -130,6 +130,48 @@ def test_dense_id_partition_autosizing():
     assert _dense_id_partitions(10_000_000_000, floor=200) == 2500
     # ceil, not floor: one extra partial partition
     assert _dense_id_partitions(_DENSE_ID_KEYS_PER_PART + 1, floor=1) == 2
+    # a wild over-estimate (stat-less plan sentinel) hits the hard cap
+    # instead of asking for billions of range partitions
+    from etl_cms_spark.operators.dedup import _DENSE_ID_MAX_PARTS
+
+    assert _dense_id_partitions(2**63 - 1, floor=32) == _DENSE_ID_MAX_PARTS
+
+
+def test_estimated_rows_statless_plan_falls_back_to_count():
+    """Catalyst reports sizeInBytes = Long.MaxValue for stat-less
+    plans (and multiplies it under joins); sizing partitions off that
+    garbage number must fall back to an exact count instead."""
+    from etl_cms_spark.operators.dedup import _estimated_rows
+
+    class _RC:
+        def isDefined(self):
+            return False
+
+    class _Stats:
+        def rowCount(self):
+            return _RC()
+
+        def sizeInBytes(self):
+            return 9223372036854775807  # Long.MaxValue
+
+    class _QE:
+        def optimizedPlan(self):
+            return self
+
+        def stats(self):
+            return _Stats()
+
+    class _JDF:
+        def queryExecution(self):
+            return _QE()
+
+    class _DF:
+        _jdf = _JDF()
+
+        def count(self):
+            return 1234
+
+    assert _estimated_rows(_DF()) == 1234
 
 
 def test_broadcast_form_matches_join_form(spark, changes):

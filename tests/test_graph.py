@@ -113,3 +113,28 @@ def test_star_contraction_star_and_two_node_fixpoints(spark):
         for r in connected_components_star(df).collect()
     }
     assert got == {5: 5, 9: 5, 40: 40, 41: 40, 73: 40, 100: 40}
+
+
+def test_star_contraction_keeps_self_loop_only_nodes(spark):
+    """Shared contract: every node appearing in `edges` is labeled.
+    A node seen ONLY as a self-loop must come out as its own
+    singleton component from BOTH algorithms (star used to drop it)."""
+    from etl_cms_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 2), (9, 9), (9, 9)], "id_a long, id_b long"
+    )
+    want = {(1, 1), (2, 1), (5, 5), (9, 9)}
+    for fn in (connected_components, connected_components_star):
+        got = {
+            (r["doc_id"], r["component_id"]) for r in fn(edges).collect()
+        }
+        assert got == want, fn.__name__
+
+
+def test_star_contraction_all_self_loops(spark):
+    from etl_cms_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame([(3, 3), (7, 7)], "id_a long, id_b long")
+    got = {(r["doc_id"], r["component_id"]) for r in connected_components_star(edges).collect()}
+    assert got == {(3, 3), (7, 7)}

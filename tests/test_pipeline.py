@@ -726,3 +726,73 @@ def test_cluster_shape_local_and_override(spark, monkeypatch):
     assert n_exec == 1 and cores == spark.sparkContext.defaultParallelism
     monkeypatch.setenv("ETL_CMS_CLUSTER_SHAPE", "1000x4")
     assert cluster_shape(spark) == (1000, 4)
+
+
+def test_one_row_consumers_reject_duplicate_surviving_modes(spark, tmp_root):
+    """Targeted demux and the ingest dedup filter reason per-row over a
+    one-row-per-key batch; the join/broadcast forms' byte-identical
+    duplicate (key,lsn) survivors would double-count there, so the
+    constructor rejects the combination (the auto resolver already
+    refuses those forms when such a consumer is attached)."""
+    from etl_cms_spark.operators.textindex import IncrementalTextDedupIndex
+
+    for mode in ("join", "broadcast", "merge"):
+        with pytest.raises(ValueError, match="one-row-per-key"):
+            CDCPipeline(
+                spark, os.path.join(tmp_root, f"d_{mode}"),
+                demux_domains=True, demux_tombstones="targeted", dedup_mode=mode,
+            )
+        ix = IncrementalTextDedupIndex.build(
+            spark, os.path.join(tmp_root, f"ix_{mode}"), "content", "doc_id"
+        )
+        with pytest.raises(ValueError, match="one-row-per-key"):
+            CDCPipeline(
+                spark, os.path.join(tmp_root, f"f_{mode}"),
+                dedup_mode=mode, dedup_filter_index=ix,
+            )
+    # 'auto' stays allowed for both: its resolver keeps the one-row contract
+    CDCPipeline(
+        spark, os.path.join(tmp_root, "ok1"),
+        demux_domains=True, demux_tombstones="targeted", dedup_mode="auto",
+    )
+
+
+def test_catch_up_domains_backfills_late_enabled_demux(spark, tmp_root):
+    """Domain tables can lag the main table for reasons the in-process
+    crash-window logic never sees (demux enabled over a lake populated
+    without it; a domain table restored from an older copy) — and the
+    duplicate-epoch skip consults only the main marker, so changelog
+    replay can never heal them.  catch_up_domains converges every
+    domain table from the main table's current state in one repair
+    epoch."""
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+
+    ch = gen_source_changes(spark, n_events=1200, n_keys=250, n_repos=10)
+    root = os.path.join(tmp_root, "cud")
+    p0 = CDCPipeline(spark, root, n_buckets=8)  # populated WITHOUT demux
+    p0.run(ch, n_epochs=2)
+
+    p = CDCPipeline(spark, root, n_buckets=8, demux_domains=True)
+    p.init_tables()
+    recs = p.run(ch, n_epochs=2)  # replay: every epoch short-circuits
+    assert all(r.get("skipped_duplicate_epoch") for r in recs)
+    assert all(p.domain_state(d).count() == 0 for d in p.domains)  # the gap
+
+    p.catch_up_domains(-7)
+    state = p.current_state()
+    total = 0
+    for d in p.domains:
+        assert_df_equal(
+            state.where(F.col("domain") == d), p.domain_state(d), f"domain {d}"
+        )
+        total += p.domain_state(d).count()
+    assert total == state.count()
+
+    # re-running the same repair id is a per-table duplicate-epoch no-op
+    recs2 = p.catch_up_domains(-7)
+    assert recs2 and all(r.get("skipped_duplicate_epoch") for r in recs2.values())
+    # and new epochs still apply on top of the repaired tables
+    with pytest.raises(ValueError, match="negative"):
+        p.catch_up_domains(3)
+    with pytest.raises(ValueError, match="demux_domains"):
+        p0.catch_up_domains(-8)

@@ -544,3 +544,31 @@ def test_compact_crash_before_pending_commit_leaves_old_state(
     assert _pairs(idx2.live_pairs()) == before
     idx2.compact()  # orphan tmps are overwritten by the next attempt
     assert _pairs(idx2.live_pairs()) == before
+
+
+def test_stream_dedup_filter_enforces_suppression(spark, tmp_root):
+    """--stream with a filter index must ENFORCE corpus dedup (route
+    near-duplicate new docs to the duplicates/ log), not just maintain
+    the index — streaming and batch take the same process_epoch path."""
+    from etl_cms_spark.streaming.stream import start_stream
+
+    body = "def main(): return compute(data) over the shared corpus " + "pad " * 10
+    other = "a completely different module with its own logic entirely " + "word " * 10
+    changes = _mkch(spark, _ev([
+        (1, "U", "r1", "a.py", body),
+        (2, "U", "r1", "b.py", other),
+        (3, "U", "r2", "copy.py", body),   # near-dup of a.py
+    ]))
+    log_dir = os.path.join(tmp_root, "slog")
+    changes.repartition(1).write.parquet(log_dir)
+    ix = IncrementalTextDedupIndex.build(
+        spark, os.path.join(tmp_root, "six"), "content", "doc_id"
+    )
+    q, p = start_stream(
+        spark, log_dir, os.path.join(tmp_root, "slake"),
+        n_buckets=8, dedup_filter_index=ix,
+    )
+    q.awaitTermination(300)
+    assert p.current_state().count() == 2       # one of the dup pair survives
+    assert p.duplicates().count() == 1          # the other was routed, not merged
+    assert len({r["doc_id"] for r in ix.live_sigs().collect()}) == 2  # index in sync
