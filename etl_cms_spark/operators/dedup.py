@@ -112,6 +112,92 @@ def latest_by_lsn_window(
     )
 
 
+def fold_partial_updates(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    lsn_col: str = "lsn",
+    op_col: str | None = None,
+    changed_cols_col: str | None = None,
+    value_cols: Sequence[str] | None = None,
+    reset_col: str | None = None,
+) -> DataFrame:
+    """Fold PARTIAL-IMAGE change events into one full(est)-image row
+    per key — the binlog ``row_image=MINIMAL`` / Debezium
+    partial-column regime, where an update carries only the columns
+    that changed.  The reference's row builders always see full
+    source rows (CMS_SynPuf_ETL_CDM_v5.py builders); real WAL tails
+    frequently do not, so the engine folds them Spark-side instead of
+    forcing the producer to re-hydrate.
+
+    Semantics, per key:
+
+    * each VALUE column independently resolves to its value on the
+      highest-LSN event where that column is PRESENT;
+    * presence is ``changed_cols_col`` (an ``array<string>`` of the
+      columns the event actually set — supports explicitly setting a
+      column to NULL) when given, else ``IS NOT NULL`` (the common
+      sparse-row encoding, matching DuckDB ``arg_max``'s skip-NULL);
+    * a DELETE (``op_col == 'D'``) RESETS state: only events with a
+      strictly greater LSN than the key's last delete contribute, so
+      a re-created key is built solely from its post-delete events;
+    * output ``lsn_col`` is the key's max LSN over ALL events and
+      ``op_col`` (when given) is ``'D'`` iff no update survives the
+      last delete — i.e. the folded batch is directly consumable by
+      ``LakeTable.merge_epoch`` / ``merge_epoch_partial``;
+    * ``reset_col`` (when given, requires ``op_col``) adds a boolean
+      marking keys that were DELETED WITHIN this batch and then
+      re-created — ``merge_epoch_partial`` must not hydrate such a
+      row against the key's pre-batch table state (the delete already
+      invalidated it), so pass the same column name there.
+
+    Plan shape: when ``op_col`` is given, one whole-partition window
+    (max delete-LSN per key) followed by the hash aggregation on the
+    SAME keys — Catalyst reuses the window's hashpartitioning, so the
+    whole fold is ONE shuffle of the narrow event stream; without
+    deletes it is a single hash aggregation (map-side combined).  No
+    UDFs, no sort: ``max_by`` with a NULL-gated ordering expression
+    skips absent events exactly like a FILTER clause.
+    """
+    sys_cols = {lsn_col} | ({op_col} if op_col else set()) | (
+        {changed_cols_col} if changed_cols_col else set()
+    )
+    if value_cols is None:
+        value_cols = [c for c in df.columns if c not in key_cols and c not in sys_cols]
+
+    def present(c: str):
+        if changed_cols_col:
+            return F.array_contains(F.col(changed_cols_col), F.lit(c))
+        return F.col(c).isNotNull()
+
+    if op_col:
+        w = Window.partitionBy(*[F.col(k) for k in key_cols])
+        df = df.withColumn(
+            "_del_lsn",
+            F.max(F.when(F.col(op_col) == "D", F.col(lsn_col))).over(w),
+        )
+        upd = (F.col(op_col) != "D") & (
+            F.col("_del_lsn").isNull() | (F.col(lsn_col) > F.col("_del_lsn"))
+        )
+    else:
+        upd = F.lit(True)
+
+    aggs = [
+        F.max_by(F.col(c), F.when(present(c) & upd, F.col(lsn_col))).alias(c)
+        for c in value_cols
+    ]
+    aggs.append(F.max(F.col(lsn_col)).alias(lsn_col))
+    if op_col:
+        aggs.append(F.max(F.when(upd, F.col(lsn_col))).alias("_last_upd"))
+        if reset_col:
+            aggs.append(F.max(F.col("_del_lsn")).isNotNull().alias(reset_col))
+    out = df.groupBy(*key_cols).agg(*aggs)
+    if op_col:
+        out = out.withColumn(
+            op_col, F.when(F.col("_last_upd").isNull(), F.lit("D")).otherwise(F.lit("U"))
+        ).drop("_last_upd")
+    return out
+
+
 def first_write_wins(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -291,6 +291,59 @@ def cdc_latest_by_key(spark, sf_dir):
 
 
 @q(
+    "cdc_partial_fold",
+    """
+    WITH src AS (
+      SELECT user_id, event_id AS lsn,
+             CASE WHEN event_id % 3 <> 0 THEN event_type END AS etype,
+             CASE WHEN event_id % 5 <> 0 THEN value END AS val,
+             CASE WHEN event_id % 17 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ), d AS (
+      SELECT *, MAX(CASE WHEN op = 'D' THEN lsn END)
+                  OVER (PARTITION BY user_id) AS del_lsn
+      FROM src
+    ), g AS (
+      SELECT user_id,
+        arg_max(etype, CASE WHEN op <> 'D' AND (del_lsn IS NULL OR lsn > del_lsn)
+                            THEN lsn END) AS etype,
+        arg_max(val,   CASE WHEN op <> 'D' AND (del_lsn IS NULL OR lsn > del_lsn)
+                            THEN lsn END) AS val,
+        MAX(lsn) AS lsn,
+        MAX(CASE WHEN op <> 'D' AND (del_lsn IS NULL OR lsn > del_lsn)
+                 THEN lsn END) AS last_upd
+      FROM d GROUP BY user_id
+    )
+    SELECT user_id, etype, val, lsn,
+           CASE WHEN last_upd IS NULL THEN 'D' ELSE 'U' END AS op
+    FROM g
+    """,
+)
+def cdc_partial_fold(spark, sf_dir):
+    """E5+ — fold PARTIAL-IMAGE change events (binlog
+    row_image=MINIMAL: an update carries only its changed columns)
+    into one fullest-image row per key, delete-resets-state.  Each
+    column independently resolves via ``max_by`` gated on presence —
+    the exact semantics DuckDB's NULL-skipping ``arg_max`` verifies.
+    The partial stream is synthesized deterministically from
+    ``events`` (column c present iff event_id % p_c != 0; every 17th
+    event is a delete)."""
+    from etl_cms_spark.operators.dedup import fold_partial_updates
+
+    e = _t(spark, sf_dir, "events")
+    src = e.select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_id") % 3 != 0, F.col("event_type")).alias("etype"),
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("val"),
+        F.when(F.col("event_id") % 17 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    return fold_partial_updates(src, ["user_id"], "lsn", op_col="op").select(
+        "user_id", "etype", "val", "lsn", "op"
+    )
+
+
+@q(
     "first_write_wins",
     """
     SELECT user_id, event_id AS first_event_id, event_type AS first_event_type

@@ -720,6 +720,116 @@ class LakeTable:
         self._commit_manifest(manifest)
         return rec
 
+    def merge_epoch_partial(
+        self,
+        updates: DataFrame,
+        epoch: int,
+        op_col: str = "op",
+        lsn_col: str = "lsn",
+        changed_cols_col: str | None = None,
+        reset_col: str | None = None,
+        extra_lineage: dict | None = None,
+    ) -> dict:
+        """MERGE a PARTIAL-IMAGE change batch (binlog
+        ``row_image=MINIMAL``: each update row carries only the
+        columns it sets — the rest are NULL, or enumerated in
+        ``changed_cols_col`` when explicit NULL-sets must be
+        distinguishable).  The Iceberg analogue is ``MERGE INTO ...
+        WHEN MATCHED THEN UPDATE SET <specific columns>``.
+
+        The batch must be one row per key (``operators.dedup.
+        fold_partial_updates`` output).  Each row is HYDRATED to a
+        full image against the key's current table state, then the
+        hydrated batch flows through the standard ``merge_epoch``
+        (same idempotent manifest commit, MoR/CoW strategies, stats,
+        lineage) — so replays, crash-resume and schema evolution all
+        behave identically to full-image merges.  Hydration is safe
+        to replay: the manifest is untouched until the inner commit,
+        so a crashed epoch re-hydrates against the identical
+        pre-epoch snapshot.
+
+        Plan shape: the previous images are read ONLY from the
+        batch's changed buckets (manifest pruning) and pre-filtered
+        with a BROADCAST semi-join on the batch keys — the table side
+        never shuffles; the surviving previous rows (≤ batch size)
+        broadcast into the hydration join, so the whole hydration
+        adds zero wide shuffles to the merge.
+
+        ORDERING CAVEAT: per-column folding assumes epochs apply in
+        LSN order per key (the pipeline's contract).  An
+        out-of-order replayed LOWER-LSN partial row loses whole-row
+        to the table's max-LSN rule — state never regresses, but that
+        row's columns are not re-folded (true per-column merging
+        across out-of-order epochs would need per-column LSNs).
+        """
+        manifest = self._load_manifest()
+        if str(epoch) in manifest["epochs"]:
+            rec = dict(manifest["epochs"][str(epoch)])
+            rec["skipped_duplicate_epoch"] = True
+            return rec
+        key_cols = manifest["key_cols"]
+        schema = manifest["schema"]
+
+        up = updates
+        for old, new in manifest["renames"].items():
+            if old in up.columns and new not in up.columns:
+                up = up.withColumnRenamed(old, new)
+        value_cols = [c for c in schema if c not in key_cols]
+
+        bks = (
+            up.select(self.bucket_expr(key_cols).alias("b"))
+            .distinct()
+            .collect()
+        )
+        changed = sorted(int(r["b"]) for r in bks)
+        if not changed:
+            # empty batch — the inner merge records the epoch as a
+            # zero-row commit (idempotency bookkeeping still happens).
+            return self.merge_epoch(
+                up, epoch, op_col=op_col, lsn_col=lsn_col,
+                extra_lineage={"partial_image": True, **(extra_lineage or {})},
+            )
+        prev = self.read(bucket_ids=changed)
+        keys_only = up.select(*key_cols).distinct()
+        prev_hit = prev.join(F.broadcast(keys_only), list(key_cols), "leftsemi")
+        prev_t = prev_hit.select(
+            *key_cols,
+            F.struct(*[F.col(c) for c in value_cols if c in prev_hit.columns]).alias("_prev"),
+        )
+        joined = up.join(F.broadcast(prev_t), list(key_cols), "left")
+        if reset_col and reset_col in up.columns:
+            # the key was deleted (and possibly re-created) WITHIN the
+            # batch — fold_partial_updates(reset_col=...) marked it;
+            # its pre-batch image is invalid, hydrate from scratch.
+            joined = joined.withColumn(
+                "_prev", F.when(~F.col(reset_col), F.col("_prev"))
+            )
+
+        def fold(c: str):
+            new_v = F.col(c) if c in up.columns else F.lit(None).cast(schema[c])
+            old_v = F.col(f"_prev.{c}")
+            if changed_cols_col and changed_cols_col in up.columns:
+                set_here = F.array_contains(F.col(changed_cols_col), F.lit(c))
+                v = F.when(F.col("_prev").isNull(), new_v).when(set_here, new_v).otherwise(old_v)
+            else:
+                v = F.when(F.col("_prev").isNull(), new_v).otherwise(
+                    F.coalesce(new_v, old_v)
+                )
+            # a delete row's payload is ignored by the tombstone —
+            # don't drag previous values through it.
+            return F.when(F.col(op_col) == "D", new_v).otherwise(v).alias(c)
+
+        hydrated = joined.select(
+            *key_cols,
+            *[fold(c) for c in value_cols],
+            F.col(lsn_col),
+            F.col(op_col),
+        )
+        extra = {"partial_image": True, **(extra_lineage or {})}
+        return self.merge_epoch(
+            hydrated, epoch, op_col=op_col, lsn_col=lsn_col, extra_lineage=extra
+        )
+
     # lossless type promotions (Iceberg's schema-evolution rules):
     # anything else would silently truncate old data on read.
     _WIDENINGS = {

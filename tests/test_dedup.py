@@ -186,3 +186,87 @@ def test_broadcast_form_matches_join_form(spark, changes):
     assert_df_equal(a.select(cols), b.select(cols), "broadcast==join")
     mx = changes.groupBy("repo", "path").agg(F.max("lsn").alias("lsn"))
     assert_df_equal(a.select("repo", "path", "lsn").distinct(), mx, "broadcast pruner")
+
+
+# ---------------------------------------------------------------- #
+# fold_partial_updates — binlog row_image=MINIMAL / partial columns #
+# ---------------------------------------------------------------- #
+
+
+def _partial_events(spark):
+    # (key, lsn, op, a, b, changed)
+    rows = [
+        # k1: a set, then b set, then a overwritten — fold merges all
+        ("k1", 1, "I", "a1", None, ["a"]),
+        ("k1", 2, "U", None, "b1", ["b"]),
+        ("k1", 3, "U", "a2", None, ["a"]),
+        # k2: built, deleted, rebuilt partially — pre-delete b must die
+        ("k2", 1, "I", "ax", "bx", ["a", "b"]),
+        ("k2", 2, "D", None, None, []),
+        ("k2", 3, "U", "ay", None, ["a"]),
+        # k3: ends deleted
+        ("k3", 1, "I", "az", "bz", ["a", "b"]),
+        ("k3", 2, "D", None, None, []),
+        # k4: explicit NULL-set of a via the mask (a in changed, value NULL)
+        ("k4", 1, "I", "a4", "b4", ["a", "b"]),
+        ("k4", 2, "U", None, None, ["a"]),
+    ]
+    return spark.createDataFrame(
+        rows, "key string, lsn long, op string, a string, b string, changed array<string>"
+    )
+
+
+def test_fold_partial_null_means_absent(spark):
+    from etl_cms_spark.operators.dedup import fold_partial_updates
+
+    df = _partial_events(spark).drop("changed")
+    out = fold_partial_updates(df, ["key"], "lsn", op_col="op")
+    got = {r["key"]: (r["a"], r["b"], r["lsn"], r["op"]) for r in out.collect()}
+    assert got["k1"] == ("a2", "b1", 3, "U")
+    # delete resets: bx (lsn 1) must NOT survive k2's delete at lsn 2
+    assert got["k2"] == ("ay", None, 3, "U")
+    assert got["k3"] == (None, None, 2, "D")
+    # without the mask, k4's NULL update is just "absent" — a4 survives
+    assert got["k4"] == ("a4", "b4", 2, "U")
+
+
+def test_fold_partial_mask_explicit_null_set(spark):
+    from etl_cms_spark.operators.dedup import fold_partial_updates
+
+    out = fold_partial_updates(
+        _partial_events(spark), ["key"], "lsn", op_col="op", changed_cols_col="changed"
+    )
+    got = {r["key"]: (r["a"], r["b"], r["lsn"], r["op"]) for r in out.collect()}
+    # with the mask, k4's lsn-2 event EXPLICITLY sets a to NULL
+    assert got["k4"] == (None, "b4", 2, "U")
+    assert got["k1"] == ("a2", "b1", 3, "U")
+    assert got["k2"] == ("ay", None, 3, "U")
+    assert got["k3"] == (None, None, 2, "D")
+
+
+def test_fold_partial_full_image_equals_latest_by_lsn(changes):
+    """When every event carries the full image (the fixture's regime),
+    the fold degenerates to plain max-LSN dedup."""
+    from etl_cms_spark.operators.dedup import fold_partial_updates
+
+    df = (
+        changes.select("repo", "path", "lsn", "commit", "content")
+        # the fixture's delete events carry NULL content — those are
+        # partial images by the fold's definition, so restrict the
+        # degeneracy claim to rows that really are full images
+        .where(F.col("content").isNotNull() & F.col("commit").isNotNull())
+    )
+    cols = ["repo", "path", "lsn", "commit", "content"]
+    a = fold_partial_updates(df, ["repo", "path"], "lsn").select(cols)
+    b = latest_by_lsn(df, ["repo", "path"], "lsn").select(cols)
+    assert_df_equal(a, b, "full-image fold == latest_by_lsn")
+
+
+def test_fold_partial_is_one_shuffle(spark):
+    """Window (max delete-LSN per key) + groupBy on the same keys must
+    reuse the window's hashpartitioning — ONE Exchange total."""
+    from etl_cms_spark.operators.dedup import fold_partial_updates
+
+    df = _partial_events(spark).drop("changed")
+    plan = fold_partial_updates(df, ["key"], "lsn", op_col="op")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

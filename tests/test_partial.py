@@ -1,0 +1,121 @@
+"""Partial-image change batches (binlog row_image=MINIMAL):
+fold_partial_updates + LakeTable.merge_epoch_partial.
+
+The invariant under test: applying PARTIAL images epoch-by-epoch
+(fold per batch, hydrate against the table, merge) converges to the
+same table state as folding the ENTIRE event stream in one pass —
+i.e. hydration exactly reconstructs the full images a
+row_image=FULL producer would have sent.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cms_spark.fixtures.generator import gen_source_changes
+from etl_cms_spark.operators.dedup import fold_partial_updates
+from etl_cms_spark.sink.lake import LakeTable
+from tests.conftest import assert_df_equal
+
+KEYS = ["repo", "path"]
+VALS = ["commit", "lang", "content"]
+SCHEMA = {"repo": "string", "path": "string", "commit": "string",
+          "lang": "string", "content": "string"}
+
+
+def _partialize(ch):
+    """Deterministically strip columns from full-image events: each
+    value column is present only on a coprime-modulus subset of LSNs
+    (deletes already carry no payload)."""
+    keep = {"commit": 3, "lang": 5, "content": 7}
+    return ch.select(
+        "repo", "path", "lsn", "op",
+        *[
+            F.when((F.col("lsn") % m != 0) & (F.col("op") != "D"), F.col(c)).alias(c)
+            for c, m in keep.items()
+        ],
+    )
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_partial_epochs_equal_global_fold(spark, tmp_root, mode):
+    ch = gen_source_changes(spark, n_events=2000, n_keys=300, n_repos=10)
+    pe = _partialize(ch).cache()
+    lo, hi = pe.agg(F.min("lsn"), F.max("lsn")).first()
+    cuts = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    batches = [
+        pe.where(F.col("lsn") <= cuts[0]),
+        pe.where((F.col("lsn") > cuts[0]) & (F.col("lsn") <= cuts[1])),
+        pe.where(F.col("lsn") > cuts[1]),
+    ]
+    t = LakeTable(spark, os.path.join(tmp_root, f"pi_{mode}"), n_buckets=8,
+                  merge_mode=mode)
+    t.create(KEYS, SCHEMA)
+    for i, b in enumerate(batches):
+        folded = fold_partial_updates(b, KEYS, "lsn", op_col="op", reset_col="_reset")
+        t.merge_epoch_partial(folded, i, reset_col="_reset")
+
+    expected = (
+        fold_partial_updates(pe, KEYS, "lsn", op_col="op")
+        .where(F.col("op") != "D")
+        .select(*KEYS, *VALS)
+    )
+    assert_df_equal(t.read().select(*KEYS, *VALS), expected,
+                    f"{mode}: epoch-wise partial == global fold")
+
+
+def test_partial_merge_replay_is_noop(spark, tmp_root):
+    ch = gen_source_changes(spark, n_events=600, n_keys=100, n_repos=5)
+    pe = _partialize(ch)
+    t = LakeTable(spark, os.path.join(tmp_root, "pi_replay"), n_buckets=4)
+    t.create(KEYS, SCHEMA)
+    folded = fold_partial_updates(pe, KEYS, "lsn", op_col="op", reset_col="_reset")
+    t.merge_epoch_partial(folded, 0, reset_col="_reset")
+    before = t.read().select(*KEYS, *VALS)
+    rec = t.merge_epoch_partial(folded, 0, reset_col="_reset")
+    assert rec.get("skipped_duplicate_epoch")
+    assert_df_equal(t.read().select(*KEYS, *VALS), before, "replay")
+
+
+def test_partial_merge_mask_explicit_null_set(spark, tmp_root):
+    t = LakeTable(spark, os.path.join(tmp_root, "pi_mask"), n_buckets=2)
+    t.create(["k"], {"k": "string", "a": "string", "b": "string"})
+    sch = "k string, lsn long, op string, a string, b string, changed array<string>"
+    e1 = spark.createDataFrame([("k1", 1, "U", "a1", "b1", ["a", "b"])], sch)
+    t.merge_epoch_partial(e1, 0, changed_cols_col="changed")
+    # epoch 1 EXPLICITLY sets a to NULL (a in the mask, value NULL);
+    # b is absent from the mask and must survive
+    e2 = spark.createDataFrame([("k1", 2, "U", None, None, ["a"])], sch)
+    t.merge_epoch_partial(e2, 1, changed_cols_col="changed")
+    row = t.read().first()
+    assert row["a"] is None and row["b"] == "b1"
+
+
+def test_partial_merge_midbatch_delete_resets(spark, tmp_root):
+    """A key deleted and re-created INSIDE one batch must not drag its
+    pre-batch column values through hydration."""
+    t = LakeTable(spark, os.path.join(tmp_root, "pi_reset"), n_buckets=2)
+    t.create(["k"], {"k": "string", "a": "string", "b": "string"})
+    sch = "k string, lsn long, op string, a string, b string"
+    t.merge_epoch_partial(
+        spark.createDataFrame([("k1", 1, "U", "a1", "b1")], sch), 0)
+    batch = spark.createDataFrame(
+        [("k1", 2, "D", None, None), ("k1", 3, "U", "a2", None)], sch)
+    folded = fold_partial_updates(batch, ["k"], "lsn", op_col="op",
+                                  reset_col="_reset")
+    t.merge_epoch_partial(folded, 1, reset_col="_reset")
+    row = t.read().first()
+    assert row["a"] == "a2" and row["b"] is None, dict(row.asDict())
+    # without the reset marker the same flow WOULD resurrect b1 —
+    # assert the marker actually carried
+    assert folded.first()["_reset"] is True
+
+
+def test_partial_merge_plain_delete(spark, tmp_root):
+    t = LakeTable(spark, os.path.join(tmp_root, "pi_del"), n_buckets=2)
+    t.create(["k"], {"k": "string", "a": "string"})
+    sch = "k string, lsn long, op string, a string"
+    t.merge_epoch_partial(spark.createDataFrame([("k1", 1, "U", "a1")], sch), 0)
+    t.merge_epoch_partial(spark.createDataFrame([("k1", 2, "D", None)], sch), 1)
+    assert t.read().count() == 0
