@@ -344,6 +344,46 @@ def cdc_partial_fold(spark, sf_dir):
 
 
 @q(
+    "debezium_adapter",
+    """
+    SELECT user_id,
+           CASE WHEN event_id % 17 <> 0 THEN event_type END AS event_type,
+           CASE WHEN event_id % 17 <> 0 THEN value END AS value,
+           event_id AS lsn,
+           CASE WHEN event_id % 17 = 0 THEN 'D'
+                WHEN event_id % 11 = 0 THEN 'I'
+                WHEN event_id % 13 = 0 THEN 'I'
+                ELSE 'U' END AS op
+    FROM events
+    """,
+)
+def debezium_adapter(spark, sf_dir):
+    """S-adapter — flatten Debezium-style envelopes (op c/r/u/d,
+    before/after images, source.lsn) into the engine's flat changelog.
+    Envelopes are synthesized deterministically from ``events``
+    (every 17th a delete carrying only the before-image; 11th/13th
+    snapshot-read/insert ops) and the adapter's output is checked
+    ROW-FOR-ROW — keys resolve from after-with-before-fallback,
+    delete payloads are NULL, c/r both map to I."""
+    from etl_cms_spark.sources.envelopes import from_debezium
+
+    e = _t(spark, sf_dir, "events")
+    is_d = F.col("event_id") % 17 == 0
+    payload = F.struct("user_id", "event_type", "value")
+    env = e.select(
+        F.when(is_d, F.lit("d"))
+        .when(F.col("event_id") % 11 == 0, F.lit("c"))
+        .when(F.col("event_id") % 13 == 0, F.lit("r"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.when(~is_d, payload).alias("after"),
+        F.when(is_d, payload).alias("before"),
+        F.struct(F.col("event_id").alias("lsn")).alias("source"),
+    )
+    return from_debezium(env, ["user_id"])
+
+
+@q(
     "first_write_wins",
     """
     SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
