@@ -90,6 +90,7 @@ class CDCPipeline:
         dedup_filter_index: "object | None" = None,
         salt_task_row_budget: int = 32_000_000,
         broadcast_dedup_max_rows: int = 500_000,
+        row_image: str = "full",
     ):
         """dedup_mode:
         * "strict" (default) — max-LSN dedup before mapping.  Measured
@@ -190,9 +191,26 @@ class CDCPipeline:
         * "blanket" — every non-owning domain receives a (narrow)
           tombstone for every batch key; converges under ANY epoch
           application order.  Merge surface: n_domains x batch.  Opt
-          in when epochs may be first-applied out of order."""
+          in when epochs may be first-applied out of order.
+
+        ``row_image`` — "full" (default): every changelog event
+        carries the complete row (the reference's CSV regime).
+        "minimal": events carry only CHANGED columns (binlog
+        row_image=MINIMAL); the epoch then folds per-column latest
+        values (operators.dedup.fold_partial_updates — replaces the
+        dedup_mode forms, which are whole-row) and HYDRATES full
+        images against the main table (LakeTable.hydrate_partial —
+        bucket-pruned, broadcast-semi, table side never shuffles)
+        BEFORE concept mapping, so mapping/quarantine/demux/merge see
+        complete rows and the rest of the epoch is unchanged.  Cost:
+        one extra bucket-pruned table read per epoch — inherent to
+        partial feeds.  Requires in-order epoch application (run()/
+        streaming always apply in order)."""
         self.spark = spark
         self.root = root
+        if row_image not in ("full", "minimal"):
+            raise ValueError(f"row_image must be full|minimal, got {row_image}")
+        self.row_image = row_image
         self.demux_domains = demux_domains
         if demux_tombstones not in ("blanket", "targeted"):
             raise ValueError(f"demux_tombstones must be blanket|targeted, got {demux_tombstones}")
@@ -386,9 +404,23 @@ class CDCPipeline:
         # 2. per-key max-LSN dedup (see dedup_mode in __init__).
         mode = self.dedup_mode
         auto_rec = None
-        if mode == "auto":
+        if self.row_image == "minimal":
+            # partial images: whole-row dedup forms don't apply —
+            # fold per-column latest values, then hydrate full images
+            # against the pre-epoch main table so mapping/quarantine/
+            # demux downstream see complete rows (see __init__).
+            from etl_cms_spark.operators.dedup import fold_partial_updates
+
+            folded = fold_partial_updates(
+                data, KEY_COLS, "lsn", op_col="op", reset_col="_reset"
+            )
+            latest = self.table.hydrate_partial(folded, reset_col="_reset")
+            mode = "fold+hydrate"
+        elif mode == "auto":
             mode, auto_rec = self._resolve_dedup_mode(data)
-        if mode == "strict":
+        if self.row_image == "minimal":
+            pass
+        elif mode == "strict":
             latest = latest_by_lsn_window(data, KEY_COLS, "lsn")
         elif mode == "salted":
             latest = salted_latest_by_lsn(data, KEY_COLS, "lsn")

@@ -1725,6 +1725,111 @@ def cdc_pipeline_auto(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _partial_changelog_from_documents(spark, sf_dir):
+    """The flagship changelog, PARTIAL-IMAGE edition: commit present
+    only when lsn % 3 != 0, content only when lsn % 7 != 0 (binlog
+    row_image=MINIMAL).  lang is keyed off key_id (CONSTANT per key)
+    so the quarantine decision can't flip across a key's versions —
+    the regime where epoch-wise hydration provably equals a single
+    global fold (see tests/test_partial.py for the general case)."""
+    from etl_cms_spark.fixtures.generator import LANG_VOCAB
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id").cast("long")
+    key_id = F.pmod(i, F.lit(150))
+    lsn = (i * 2 + 1).cast("long")
+    is_del = F.pmod(i, F.lit(20)) == 19
+    lang_arr = F.array(*[F.lit(x) for x in LANG_VOCAB])
+    return d.select(
+        lsn.alias("lsn"),
+        F.when(is_del, "D").otherwise("U").alias("op"),
+        F.concat(
+            F.lit("repo-"), F.lpad(F.pmod(key_id, F.lit(12)).cast("string"), 3, "0")
+        ).alias("repo"),
+        F.concat(F.lit("src/f"), key_id.cast("string"), F.lit(".txt")).alias("path"),
+        F.when(
+            ~is_del & (lsn % 3 != 0),
+            F.substring(
+                F.sha2(F.concat(key_id.cast("string"), F.lit(":"), lsn.cast("string")), 256),
+                1,
+                40,
+            ),
+        ).alias("commit"),
+        F.when(
+            ~is_del, F.element_at(lang_arr, (F.pmod(key_id, F.lit(30)) + 1).cast("int"))
+        ).alias("lang"),
+        F.when(~is_del & (lsn % 7 != 0), F.col("text")).alias("content"),
+    )
+
+
+def _oracle_partial_fold_sql() -> str:
+    """DuckDB dual of the partial changelog + global per-column fold."""
+    from etl_cms_spark.fixtures.generator import LANG_VOCAB
+
+    langs = ", ".join(f"'{x}'" for x in LANG_VOCAB)
+    gate = "CASE WHEN op <> 'D' AND (del_lsn IS NULL OR lsn > del_lsn) THEN lsn END"
+    return f"""
+    ch AS (
+      SELECT (doc_id * 2 + 1) AS lsn,
+             CASE WHEN doc_id % 20 = 19 THEN 'D' ELSE 'U' END AS op,
+             'repo-' || lpad(((doc_id % 150) % 12)::VARCHAR, 3, '0') AS repo,
+             'src/f' || (doc_id % 150)::VARCHAR || '.txt' AS path,
+             CASE WHEN doc_id % 20 <> 19 AND (doc_id * 2 + 1) % 3 <> 0
+                  THEN substring(sha256((doc_id % 150)::VARCHAR || ':' || (doc_id * 2 + 1)::VARCHAR), 1, 40)
+             END AS commit,
+             CASE WHEN doc_id % 20 <> 19
+                  THEN ([{langs}])[((doc_id % 150) % 30)::INT + 1] END AS lang,
+             CASE WHEN doc_id % 20 <> 19 AND (doc_id * 2 + 1) % 7 <> 0
+                  THEN text END AS content
+      FROM documents),
+    dd AS (
+      SELECT *, MAX(CASE WHEN op = 'D' THEN lsn END)
+                  OVER (PARTITION BY repo, path) AS del_lsn
+      FROM ch),
+    g AS (
+      SELECT repo, path,
+             arg_max(commit,  {gate}) AS commit,
+             arg_max(lang,    {gate}) AS lang,
+             arg_max(content, {gate}) AS content,
+             MAX({gate}) AS last_upd
+      FROM dd GROUP BY repo, path)
+    """
+
+
+@q(
+    "cdc_pipeline_minimal",
+    f"""
+    WITH {_oracle_partial_fold_sql()}
+    SELECT g.repo, g.path, g.commit, g.lang, g.content,
+           dim.concept_id, dim.domain, sha256(g.content) AS content_sha
+    FROM g JOIN {_concept_dim_sql()} ON g.lang = dim.lang
+    WHERE g.last_upd IS NOT NULL
+    """,
+)
+def cdc_pipeline_minimal(spark, sf_dir):
+    """The flagship pipeline under ``row_image="minimal"`` — events
+    carry only changed columns; each epoch folds per-column latest
+    values and HYDRATES full images against the pre-epoch table
+    before mapping/merge (operators.dedup.fold_partial_updates +
+    LakeTable.hydrate_partial).  The oracle folds the whole partial
+    changelog in one SQL pass (delete-reset-gated arg_max per
+    column), so the multi-epoch hydration chain is verified against
+    an independent engine."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = _partial_changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_min_")
+    try:
+        p = CDCPipeline(spark, root, n_buckets=8, row_image="minimal")
+        p.run(changes, n_epochs=2)
+        return p.current_state().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @q(
     "lake_changelog_export",
     f"""

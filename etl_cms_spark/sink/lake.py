@@ -767,6 +767,35 @@ class LakeTable:
             rec = dict(manifest["epochs"][str(epoch)])
             rec["skipped_duplicate_epoch"] = True
             return rec
+        hydrated = self.hydrate_partial(
+            updates, op_col=op_col, lsn_col=lsn_col,
+            changed_cols_col=changed_cols_col, reset_col=reset_col,
+        )
+        extra = {"partial_image": True, **(extra_lineage or {})}
+        return self.merge_epoch(
+            hydrated, epoch, op_col=op_col, lsn_col=lsn_col, extra_lineage=extra
+        )
+
+    def hydrate_partial(
+        self,
+        updates: DataFrame,
+        op_col: str = "op",
+        lsn_col: str = "lsn",
+        changed_cols_col: str | None = None,
+        reset_col: str | None = None,
+    ) -> DataFrame:
+        """Reconstruct FULL row images from a partial-image batch by
+        per-column coalescing against each key's current table state
+        (see ``merge_epoch_partial`` — this is its hydration stage,
+        exposed so callers can hydrate BEFORE enrichment stages that
+        need complete rows, e.g. the pipeline's concept mapping).
+
+        Returns ``[*key_cols, *schema value cols, lsn, op]``.  Reads
+        only the batch's changed buckets; the table side never
+        shuffles (broadcast-semi key prefilter + broadcast hydration
+        join).  Pure transformation — no commit, safe to re-run.
+        """
+        manifest = self._load_manifest()
         key_cols = manifest["key_cols"]
         schema = manifest["schema"]
 
@@ -783,11 +812,16 @@ class LakeTable:
         )
         changed = sorted(int(r["b"]) for r in bks)
         if not changed:
-            # empty batch — the inner merge records the epoch as a
-            # zero-row commit (idempotency bookkeeping still happens).
-            return self.merge_epoch(
-                up, epoch, op_col=op_col, lsn_col=lsn_col,
-                extra_lineage={"partial_image": True, **(extra_lineage or {})},
+            # empty batch — project to the output shape and pass
+            # through (the caller's merge records a zero-row commit).
+            return up.select(
+                *key_cols,
+                *[
+                    (F.col(c) if c in up.columns else F.lit(None)).cast(schema[c]).alias(c)
+                    for c in value_cols
+                ],
+                F.col(lsn_col),
+                F.col(op_col),
             )
         prev = self.read(bucket_ids=changed)
         keys_only = up.select(*key_cols).distinct()
@@ -819,15 +853,11 @@ class LakeTable:
             # don't drag previous values through it.
             return F.when(F.col(op_col) == "D", new_v).otherwise(v).alias(c)
 
-        hydrated = joined.select(
+        return joined.select(
             *key_cols,
             *[fold(c) for c in value_cols],
             F.col(lsn_col),
             F.col(op_col),
-        )
-        extra = {"partial_image": True, **(extra_lineage or {})}
-        return self.merge_epoch(
-            hydrated, epoch, op_col=op_col, lsn_col=lsn_col, extra_lineage=extra
         )
 
     # lossless type promotions (Iceberg's schema-evolution rules):

@@ -119,3 +119,63 @@ def test_partial_merge_plain_delete(spark, tmp_root):
     t.merge_epoch_partial(spark.createDataFrame([("k1", 1, "U", "a1")], sch), 0)
     t.merge_epoch_partial(spark.createDataFrame([("k1", 2, "D", None)], sch), 1)
     assert t.read().count() == 0
+
+
+def _partialize_keep_lang(ch):
+    """Mask commit/content only — lang stays present on I/U events so
+    the quarantine decision (lang-driven) is identical to full mode
+    and the global-fold oracle below is exact."""
+    return ch.select(
+        "repo", "path", "lsn", "op", "ts", "lang", "schema_change",
+        F.when((F.col("lsn") % 3 != 0) & (F.col("op") != "D"), F.col("commit")).alias("commit"),
+        F.when((F.col("lsn") % 7 != 0) & (F.col("op") != "D"), F.col("content")).alias("content"),
+    )
+
+
+def test_pipeline_row_image_minimal(spark, tmp_root):
+    """CDCPipeline(row_image='minimal') over a masked changelog: the
+    final main-table state must equal a single global fold of the
+    partial stream (mapped langs only — unmapped keys quarantine
+    exactly as in full mode)."""
+    from etl_cms_spark.plans.mapping import UNMAPPED_LANGS
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    ch = gen_source_changes(spark, n_events=3000, n_keys=400, n_repos=15)
+    pe = _partialize_keep_lang(ch).cache()
+    p = CDCPipeline(spark, os.path.join(tmp_root, "pimin"), n_buckets=8,
+                    row_image="minimal")
+    p.run(pe, n_epochs=3)
+
+    folded = fold_partial_updates(
+        pe.drop("ts", "schema_change"), KEYS, "lsn", op_col="op"
+    )
+    expected = (
+        folded.where(
+            (F.col("op") != "D") & ~F.col("lang").isin(list(UNMAPPED_LANGS))
+        ).select(*KEYS, *VALS)
+    )
+    assert_df_equal(p.current_state().select(*KEYS, *VALS), expected,
+                    "minimal-row-image pipeline == global fold")
+    # replay is a no-op
+    recs = p.run(pe, n_epochs=3)
+    assert all(r.get("skipped_duplicate_epoch") for r in recs)
+    assert_df_equal(p.current_state().select(*KEYS, *VALS), expected, "replay")
+
+
+def test_pipeline_row_image_minimal_demux(spark, tmp_root):
+    """Partial feed through the per-domain demux: hydration happens
+    before mapping, so domain routing sees complete rows and the
+    domain tables partition the main state exactly as in full mode."""
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    ch = gen_source_changes(spark, n_events=2000, n_keys=250, n_repos=10)
+    pe = _partialize_keep_lang(ch)
+    p = CDCPipeline(spark, os.path.join(tmp_root, "pimind"), n_buckets=8,
+                    row_image="minimal", demux_domains=True)
+    p.run(pe, n_epochs=2)
+    main = p.current_state().select(*KEYS, *VALS)
+    union = None
+    for d in p.domains:
+        s = p.domain_state(d).select(*KEYS, *VALS)
+        union = s if union is None else union.unionByName(s)
+    assert_df_equal(main, union, "domains partition the main state")
