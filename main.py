@@ -72,6 +72,14 @@ def main() -> None:
         "instead of the main table, canonical-first-wins",
     )
     ap.add_argument(
+        "--row-image",
+        choices=["full", "minimal"],
+        default="full",
+        help="minimal = updates carry only changed columns (binlog "
+        "row_image=MINIMAL): per-column fold + hydration against the "
+        "pre-epoch table replace the whole-row dedup forms",
+    )
+    ap.add_argument(
         "--rebucket",
         type=int,
         default=None,
@@ -132,6 +140,7 @@ def main() -> None:
             dedup_filter_index=filter_index,
             salt_task_row_budget=args.salt_task_row_budget,
             broadcast_dedup_max_rows=args.broadcast_dedup_max_rows,
+            row_image=args.row_image,
         )
         if args.rebucket:
             pipeline.init_tables()
