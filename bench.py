@@ -75,15 +75,29 @@ def run_cdc(
     demux_targeted: bool = False,
     dedup_mode: str = "strict",
     key_skew: float = 0.0,
+    row_image: str = "full",
 ) -> dict:
     import shutil
     import tempfile
+
+    from pyspark.sql import functions as F
 
     from etl_cms_spark.fixtures.generator import gen_source_changes
     from etl_cms_spark.plans.pipeline import CDCPipeline, stage_changelog_bucketed
 
     n_keys = max(200, n_events // 5)
     changes = gen_source_changes(spark, n_events=n_events, n_keys=n_keys, n_repos=100, key_skew=key_skew)
+    if row_image == "minimal":
+        # partial-image feed: updates carry only their changed columns
+        # (commit on lsn%3!=0, content on lsn%7!=0; lang always — the
+        # same masking as tests/test_partial.py).  The epoch then runs
+        # fold_partial_updates + hydrate_partial instead of whole-row
+        # dedup, so this row measures the hydration read's cost.
+        changes = changes.select(
+            "repo", "path", "lsn", "op", "ts", "lang", "schema_change",
+            F.when((F.col("lsn") % 3 != 0) & (F.col("op") != "D"), F.col("commit")).alias("commit"),
+            F.when((F.col("lsn") % 7 != 0) & (F.col("op") != "D"), F.col("content")).alias("content"),
+        )
     log_dir = tempfile.mkdtemp(prefix="cdc_bench_log_")
     root = tempfile.mkdtemp(prefix="cdc_bench_lake_")
     table = None
@@ -102,7 +116,7 @@ def run_cdc(
             p = CDCPipeline(
                 spark, root, n_buckets=64, salt_hot_keys=salt, demux_domains=demux,
                 demux_tombstones="targeted" if demux_targeted else "blanket",
-                dedup_mode=dedup_mode,
+                dedup_mode=dedup_mode, row_image=row_image,
             )
             t0 = time.time()
             p.run_from_table(table)
@@ -115,7 +129,7 @@ def run_cdc(
             p = CDCPipeline(
                 spark, root, n_buckets=64, salt_hot_keys=salt, demux_domains=demux,
                 demux_tombstones="targeted" if demux_targeted else "blanket",
-                dedup_mode=dedup_mode,
+                dedup_mode=dedup_mode, row_image=row_image,
             )
             staging = tempfile.mkdtemp(prefix="cdc_bench_stage_")
             # epoch-partitioned staging is PRODUCER work (mirrors the
@@ -135,6 +149,7 @@ def run_cdc(
             "demux": demux,
             "demux_targeted": demux_targeted,
             "dedup_mode": "salted" if salt else dedup_mode,
+            "row_image": row_image,
             "key_skew": key_skew,
             "seconds": round(dt, 2),
             "staging_seconds": round(staging_dt, 2),
@@ -281,6 +296,11 @@ def main_bench() -> None:
     # secondary: producer-bucketed tail (Exchange-free dedup path).
     cdc_bucketed = _run_level(CPUS, n_cdc, pin=False, bucketed=True, repeats=2)
     timings["cdc_pipeline_bucketed_tail"] = cdc_bucketed["seconds"]
+    # partial-image feed (row_image=minimal): per-column fold +
+    # hydration against the pre-epoch table replace whole-row dedup —
+    # this row prices the per-epoch hydration read vs the plain tail.
+    cdc_partial = _run_level(CPUS, n_cdc, pin=False, row_image="minimal", repeats=2)
+    timings["cdc_pipeline_partial"] = cdc_partial["seconds"]
     # tertiary: demux fan-out — per-domain destination MoR sinks.
     # Headline row = targeted tombstones (the engine default: narrow
     # previous-domain lookup, tombstones only for keys that left a
@@ -456,7 +476,7 @@ def run_map_stage(spark, n_events: int) -> dict:
         shutil.rmtree(log_dir, ignore_errors=True)
 
 
-def main_cdc_only(cpus: int, n_events: int, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False, dedup_mode: str = "strict", salt: bool = False, key_skew: float = 0.0, map_stage: bool = True) -> None:
+def main_cdc_only(cpus: int, n_events: int, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False, dedup_mode: str = "strict", salt: bool = False, key_skew: float = 0.0, map_stage: bool = True, row_image: str = "full") -> None:
     global CPUS
     CPUS = cpus
     spark = _tuned_session(cpus)
@@ -464,15 +484,15 @@ def main_cdc_only(cpus: int, n_events: int, bucketed: bool = False, demux: bool 
     # the timed window measures SUSTAINED throughput (the metric), not
     # JVM/codegen/Python-worker cold start — a long-running tail pays
     # those once per process lifetime, not per epoch.
-    run_cdc(spark, n_events=max(50_000, n_events // 40), n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted, dedup_mode=dedup_mode, salt=salt, key_skew=key_skew)
-    res = run_cdc(spark, n_events=n_events, n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted, dedup_mode=dedup_mode, salt=salt, key_skew=key_skew)
+    run_cdc(spark, n_events=max(50_000, n_events // 40), n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted, dedup_mode=dedup_mode, salt=salt, key_skew=key_skew, row_image=row_image)
+    res = run_cdc(spark, n_events=n_events, n_epochs=2, bucketed=bucketed, demux=demux, demux_targeted=demux_targeted, dedup_mode=dedup_mode, salt=salt, key_skew=key_skew, row_image=row_image)
     res["cpus"] = cpus
     if map_stage:
         res["map_stage"] = run_map_stage(spark, n_events)
     print("CDC_RESULT " + json.dumps(res))
 
 
-def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False, dedup_mode: str = "strict", salt: bool = False, key_skew: float = 0.0, env_extra: dict | None = None) -> dict:
+def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: bool = False, demux: bool = False, demux_targeted: bool = False, dedup_mode: str = "strict", salt: bool = False, key_skew: float = 0.0, row_image: str = "full", env_extra: dict | None = None) -> dict:
     """Run the cdc-only worker; with repeats>1 keep the best run per
     level (this shared VM shows up to 2x run-to-run variance — best-of
     measures the machine's capability rather than its noise)."""
@@ -489,6 +509,8 @@ def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: 
             cmd.extend(["--dedup-mode", dedup_mode])
         if salt:
             cmd.append("--salt")
+        if row_image != "full":
+            cmd.extend(["--row-image", row_image])
         if key_skew:
             cmd.extend(["--key-skew", str(key_skew), "--no-map-stage"])
         if pin and shutil_which("taskset"):
@@ -846,6 +868,11 @@ if __name__ == "__main__":
                 else 0.0
             ),
             map_stage="--no-map-stage" not in sys.argv,
+            row_image=(
+                sys.argv[sys.argv.index("--row-image") + 1]
+                if "--row-image" in sys.argv
+                else "full"
+            ),
         )
     elif "--scaling" in sys.argv:
         n = int(os.environ.get("BENCH_CDC_EVENTS", "8000000"))

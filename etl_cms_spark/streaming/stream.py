@@ -44,6 +44,7 @@ def start_stream(
     demux_domains: bool = False,
     sidecars: list | None = None,
     dedup_filter_index: "object | None" = None,
+    row_image: str = "full",
 ) -> tuple[StreamingQuery, CDCPipeline]:
     """Tail a changelog directory (file source — swap for Kafka/
     binlog reader by changing only this readStream) and upsert each
@@ -70,6 +71,11 @@ def start_stream(
         # duplicates/ log exactly as in batch mode (the pipeline adds
         # the index to its sidecars itself).
         dedup_filter_index=dedup_filter_index,
+        # partial-column feeds (binlog row_image=MINIMAL): each
+        # micro-batch folds per-column latest values and hydrates
+        # against the table — streaming applies batches in id order,
+        # satisfying the mode's in-order contract.
+        row_image=row_image,
     )
     pipeline.init_tables()
     if sidecars or dedup_filter_index is not None:

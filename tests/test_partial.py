@@ -179,3 +179,49 @@ def test_pipeline_row_image_minimal_demux(spark, tmp_root):
         s = p.domain_state(d).select(*KEYS, *VALS)
         union = s if union is None else union.unionByName(s)
     assert_df_equal(main, union, "domains partition the main state")
+
+
+def test_stream_row_image_minimal_matches_global_fold(spark, tmp_root):
+    """Partial-column feed through the Structured Streaming front-end:
+    micro-batches (in LSN order — the mode's contract; mtime-ordered
+    file source, one file per trigger) fold + hydrate per batch and
+    converge to the one-pass global fold."""
+    import glob
+    import time
+
+    from etl_cms_spark.plans.mapping import UNMAPPED_LANGS
+    from etl_cms_spark.streaming.stream import start_stream
+
+    ch = gen_source_changes(spark, n_events=1500, n_keys=200, n_repos=8)
+    pe = _partialize_keep_lang(ch).cache()
+    lo, hi = pe.agg(F.min("lsn"), F.max("lsn")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    slices = [
+        pe.where(F.col("lsn") <= cut1),
+        pe.where((F.col("lsn") > cut1) & (F.col("lsn") <= cut2)),
+        pe.where(F.col("lsn") > cut2),
+    ]
+    log_dir = os.path.join(tmp_root, "pstream_log")
+    os.makedirs(log_dir)
+    now = time.time()
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.mode("append").parquet(log_dir)
+        # the file source orders micro-batches by mtime — stamp each
+        # slice's files strictly ascending so LSN order == batch order
+        for f in glob.glob(os.path.join(log_dir, "*.parquet")):
+            if os.path.getmtime(f) > now - 5000 + i:  # newly written
+                os.utime(f, (now - 5000 + i, now - 5000 + i))
+    q, p = start_stream(
+        spark, log_dir, os.path.join(tmp_root, "pstream_lake"),
+        max_files_per_trigger=1, row_image="minimal", n_buckets=8,
+    )
+    q.awaitTermination(300)
+    assert len(p.table.lineage()) >= 3  # really incremental
+
+    expected = (
+        fold_partial_updates(pe.drop("ts", "schema_change"), KEYS, "lsn", op_col="op")
+        .where((F.col("op") != "D") & ~F.col("lang").isin(list(UNMAPPED_LANGS)))
+        .select(*KEYS, *VALS)
+    )
+    assert_df_equal(p.current_state().select(*KEYS, *VALS), expected,
+                    "streamed partial == global fold")
