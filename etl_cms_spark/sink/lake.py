@@ -776,6 +776,15 @@ class LakeTable:
             hydrated, epoch, op_col=op_col, lsn_col=lsn_col, extra_lineage=extra
         )
 
+    # hydration join strategy gate: batches at or below this many rows
+    # broadcast (keys for the semi prefilter, then the surviving
+    # previous rows — ≤ batch size) so the table side never shuffles;
+    # above it (backfill/batch≈keyspace: broadcasting the table's
+    # worth of previous images would OOM the driver at 10^10 keys) the
+    # hydration falls back to one shuffled hash join, no prefilter
+    # (it would remove ~nothing and shuffle prev twice).
+    _HYDRATE_BROADCAST_MAX_ROWS = 500_000
+
     def hydrate_partial(
         self,
         updates: DataFrame,
@@ -783,6 +792,7 @@ class LakeTable:
         lsn_col: str = "lsn",
         changed_cols_col: str | None = None,
         reset_col: str | None = None,
+        batch_rows: int | None = None,
     ) -> DataFrame:
         """Reconstruct FULL row images from a partial-image batch by
         per-column coalescing against each key's current table state
@@ -791,9 +801,14 @@ class LakeTable:
         need complete rows, e.g. the pipeline's concept mapping).
 
         Returns ``[*key_cols, *schema value cols, lsn, op]``.  Reads
-        only the batch's changed buckets; the table side never
-        shuffles (broadcast-semi key prefilter + broadcast hydration
-        join).  Pure transformation — no commit, safe to re-run.
+        only the batch's changed buckets.  Join strategy is gated on
+        the batch size (``batch_rows`` if the caller knows it, else a
+        Catalyst plan-statistics estimate): steady-state micro-batches
+        broadcast (table side stays scan-local, zero wide shuffles);
+        corpus-sized batches take one shuffled hash join instead —
+        broadcasting ~keyspace worth of previous images is a
+        driver-killer at 10^10 keys.  Pure transformation — no
+        commit, safe to re-run.
         """
         manifest = self._load_manifest()
         key_cols = manifest["key_cols"]
@@ -824,13 +839,24 @@ class LakeTable:
                 F.col(op_col),
             )
         prev = self.read(bucket_ids=changed)
-        keys_only = up.select(*key_cols).distinct()
-        prev_hit = prev.join(F.broadcast(keys_only), list(key_cols), "leftsemi")
-        prev_t = prev_hit.select(
-            *key_cols,
-            F.struct(*[F.col(c) for c in value_cols if c in prev_hit.columns]).alias("_prev"),
-        )
-        joined = up.join(F.broadcast(prev_t), list(key_cols), "left")
+        if batch_rows is None:
+            from etl_cms_spark.operators.dedup import _estimated_rows
+
+            batch_rows = _estimated_rows(up)
+        if batch_rows <= self._HYDRATE_BROADCAST_MAX_ROWS:
+            keys_only = up.select(*key_cols).distinct()
+            prev_hit = prev.join(F.broadcast(keys_only), list(key_cols), "leftsemi")
+            prev_t = prev_hit.select(
+                *key_cols,
+                F.struct(*[F.col(c) for c in value_cols if c in prev_hit.columns]).alias("_prev"),
+            )
+            joined = up.join(F.broadcast(prev_t), list(key_cols), "left")
+        else:
+            prev_t = prev.select(
+                *key_cols,
+                F.struct(*[F.col(c) for c in value_cols if c in prev.columns]).alias("_prev"),
+            )
+            joined = up.join(prev_t.hint("SHUFFLE_HASH"), list(key_cols), "left")
         if reset_col and reset_col in up.columns:
             # the key was deleted (and possibly re-created) WITHIN the
             # batch — fold_partial_updates(reset_col=...) marked it;
