@@ -32,6 +32,7 @@ _PRIORITIZED = [
     "cdc_partial_fold",           # binlog row_image=MINIMAL partial-column fold
     "debezium_adapter",           # before/after envelope -> flat changelog
     "cdc_pipeline_minimal",       # flagship loop under row_image=minimal
+    "cdc_columnar_mor",           # order-independent partial epochs (per-column LWW)
     "cdc_pipeline_auto",          # measured per-epoch dedup-form resolution
     "ann_ivf_incremental",        # epoch-incremental ANN upkeep (r4 top ask)
     "neardup_components_star",    # large-star/small-star CC (r4 ask #5)

@@ -120,6 +120,7 @@ def fold_partial_updates(
     changed_cols_col: str | None = None,
     value_cols: Sequence[str] | None = None,
     reset_col: str | None = None,
+    del_lsn_col: str | None = None,
 ) -> DataFrame:
     """Fold PARTIAL-IMAGE change events into one full(est)-image row
     per key — the binlog ``row_image=MINIMAL`` / Debezium
@@ -148,7 +149,12 @@ def fold_partial_updates(
       marking keys that were DELETED WITHIN this batch and then
       re-created — ``merge_epoch_partial`` must not hydrate such a
       row against the key's pre-batch table state (the delete already
-      invalidated it), so pass the same column name there.
+      invalidated it), so pass the same column name there;
+    * ``del_lsn_col`` (when given, requires ``op_col``) adds the
+      key's max delete LSN (NULL if the batch holds no delete) — the
+      columnar-MoR append (``LakeTable.append_partial_epoch``) turns
+      it into an explicit tombstone delta row so read-time fold
+      resolution reproduces the reset under ANY epoch order.
 
     Plan shape: when ``op_col`` is given, one whole-partition window
     (max delete-LSN per key) followed by the hash aggregation on the
@@ -190,6 +196,8 @@ def fold_partial_updates(
         aggs.append(F.max(F.when(upd, F.col(lsn_col))).alias("_last_upd"))
         if reset_col:
             aggs.append(F.max(F.col("_del_lsn")).isNotNull().alias(reset_col))
+        if del_lsn_col:
+            aggs.append(F.max(F.col("_del_lsn")).alias(del_lsn_col))
     out = df.groupBy(*key_cols).agg(*aggs)
     if op_col:
         out = out.withColumn(

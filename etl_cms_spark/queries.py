@@ -1797,6 +1797,48 @@ def _oracle_partial_fold_sql() -> str:
 
 
 @q(
+    "cdc_columnar_mor",
+    f"""
+    WITH {_oracle_partial_fold_sql()}
+    SELECT repo, path, commit, lang, content
+    FROM g WHERE last_upd IS NOT NULL
+    """,
+)
+def cdc_columnar_mor(spark, sf_dir):
+    """Columnar merge-on-read: partial-image epochs applied OUT OF
+    ORDER (reversed) into a ``partial_columnar`` LakeTable — merge is
+    a pure delta append (no table read), read resolution folds each
+    column to its latest present value by (lsn, write-version),
+    tombstone-gated.  The oracle is the order-free one-pass fold, so
+    the driver verifies the order-independence claim itself."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.sink.lake import LakeTable
+
+    pe = _partial_changelog_from_documents(spark, sf_dir)
+    lo, hi = pe.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    root = tempfile.mkdtemp(prefix="cdc_col_")
+    try:
+        t = LakeTable(spark, root, n_buckets=8, merge_mode="mor")
+        t.create(
+            ["repo", "path"],
+            {"repo": "string", "path": "string", "commit": "string",
+             "lang": "string", "content": "string"},
+            partial_columnar=True,
+        )
+        # LATER half first — order must not matter
+        t.append_partial_epoch(pe.where(F.col("lsn") > mid), 1)
+        t.append_partial_epoch(pe.where(F.col("lsn") <= mid), 0)
+        return t.read().select(
+            "repo", "path", "commit", "lang", "content"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "cdc_pipeline_minimal",
     f"""
     WITH {_oracle_partial_fold_sql()}

@@ -45,7 +45,7 @@ import time
 import uuid
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -148,9 +148,24 @@ class LakeTable:
         os.replace(tmp, cur)
         return v
 
-    def create(self, key_cols: list[str], schema: dict[str, str]) -> None:
+    def create(
+        self,
+        key_cols: list[str],
+        schema: dict[str, str],
+        partial_columnar: bool = False,
+    ) -> None:
         """schema: logical column name -> Spark SQL type string.
-        Key columns must be part of the schema."""
+        Key columns must be part of the schema.
+
+        ``partial_columnar=True`` declares a COLUMNAR merge-on-read
+        table: deltas hold PARTIAL row images (NULL = column not set)
+        and read resolution folds each column independently to its
+        latest present value (tombstone-gated) instead of picking one
+        whole winning row — see ``append_partial_epoch``.  The
+        property this buys: partial epochs may be applied in ANY
+        order and reads converge to the same state (LWW per column by
+        (lsn, write-version)).  Explicit set-to-NULL is NOT
+        representable in this mode (NULL means absent)."""
         os.makedirs(self._manifest_dir, exist_ok=True)
         if self.exists():
             raise ValueError(f"table already exists at {self.root}")
@@ -163,6 +178,8 @@ class LakeTable:
             "epochs": {},  # epoch(str) -> lineage record
             "n_buckets": self.n_buckets,
         }
+        if partial_columnar:
+            manifest["partial_columnar"] = True
         self._commit_manifest(manifest)
 
     # ---------------- read path ----------------
@@ -270,7 +287,55 @@ class LakeTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        if resolve and has_deltas:
+        if resolve and manifest.get("partial_columnar"):
+            # COLUMNAR merge-on-read: each value column independently
+            # resolves to its latest PRESENT value by (lsn, write-
+            # version), gated past the key's latest tombstone — the
+            # read-time form of operators.dedup.fold_partial_updates.
+            # Runs even with a single dir (one epoch's delta may hold
+            # a tombstone + re-create pair for the same key).  Order-
+            # independent by construction: the fold depends only on
+            # the multiset of delta rows and their (lsn, wv).
+            key_cols = manifest["key_cols"]
+            value_cols = [c for c in manifest["schema"] if c not in key_cols]
+            ord_ = F.struct(F.col(_LSN_COL), F.col(_WV_COL))
+            w = Window.partitionBy(*[F.col(k) for k in key_cols])
+            df = df.withColumn(
+                "_del_ord", F.max(F.when(F.col(_DELETED_COL), ord_)).over(w)
+            )
+            upd = ~F.col(_DELETED_COL) & (
+                F.col("_del_ord").isNull() | (ord_ > F.col("_del_ord"))
+            )
+            folded = df.groupBy(*key_cols).agg(
+                *[
+                    F.max_by(F.col(c), F.when(F.col(c).isNotNull() & upd, ord_)).alias(c)
+                    for c in value_cols
+                ],
+                F.max(F.col(_LSN_COL)).alias(_LSN_COL),
+                F.first(F.col(_BUCKET_COL)).alias(_BUCKET_COL),
+                F.max(F.when(upd, ord_)).isNull().alias(_DELETED_COL),
+                F.first(F.col("_del_ord")).alias("_del_ord"),
+            )
+            # A re-created key's LATEST TOMBSTONE must survive as its
+            # own row: folding it away (as the whole-row path may)
+            # would let a LATER-applied but OLDER-LSN epoch resurrect
+            # pre-delete column values after compaction.  So keys that
+            # were deleted AND re-created resolve to TWO rows — the
+            # live row plus a value-less tombstone at the delete ord.
+            live_or_final = folded.select(*cols)
+            recreated_tombs = (
+                folded.where(F.col("_del_ord").isNotNull() & ~F.col(_DELETED_COL))
+                .select(
+                    *key_cols,
+                    *[F.lit(None).cast(manifest["schema"][c]).alias(c) for c in value_cols],
+                    F.col("_del_ord")[_LSN_COL].alias(_LSN_COL),
+                    F.col(_BUCKET_COL),
+                    F.lit(True).alias(_DELETED_COL),
+                )
+                .select(*cols)
+            )
+            df = live_or_final.unionByName(recreated_tombs)
+        elif resolve and has_deltas:
             # merge-on-read: resolve the winner per key across base +
             # delta files by (max LSN, then max write version) — the
             # write-version ordinal breaks equal-LSN ties toward the
@@ -886,6 +951,88 @@ class LakeTable:
             F.col(op_col),
         )
 
+    def append_partial_epoch(
+        self,
+        updates: DataFrame,
+        epoch: int,
+        op_col: str = "op",
+        lsn_col: str = "lsn",
+        extra_lineage: dict | None = None,
+    ) -> dict:
+        """MERGE a partial-image batch into a COLUMNAR merge-on-read
+        table (``create(partial_columnar=True)``) — the ORDER-
+        INDEPENDENT alternative to ``merge_epoch_partial``.
+
+        No table read at merge time at all: the batch is folded to
+        one row per key (plus an explicit tombstone row at each key's
+        max delete LSN, so a mid-batch delete-reset survives as data)
+        and APPENDED as a delta through the standard idempotent
+        ``merge_epoch`` append path.  Read/compaction resolve each
+        column independently to its latest present value by
+        (lsn, write-version), tombstone-gated — so ANY application
+        order of the epochs converges to the same state (per-column
+        LWW; the fold depends only on the delta-row multiset).  This
+        removes ``merge_epoch_partial``'s in-order contract at the
+        price of read amplification until compaction — the same
+        CoW/MoR trade the whole-row modes make, one level deeper.
+
+        The order freedom is bounded by COMPACTION: collapsing the
+        delta stack discards each column's setting-LSN, so epochs
+        reaching below the compaction LSN watermark are rejected —
+        drain the out-of-order window before compacting (see
+        ``compact``).
+        """
+        if self.merge_mode != "mor":
+            raise ValueError("append_partial_epoch requires merge_mode='mor'")
+        manifest = self._load_manifest()
+        if not manifest.get("partial_columnar"):
+            raise ValueError(
+                "table was not created with partial_columnar=True — "
+                "whole-row read resolution would return partial images"
+            )
+        if str(epoch) in manifest["epochs"]:
+            rec = dict(manifest["epochs"][str(epoch)])
+            rec["skipped_duplicate_epoch"] = True
+            return rec
+        wm = manifest.get("columnar_compact_lsn_watermark")
+        if wm is not None:
+            lo = updates.agg(F.min(F.col(lsn_col))).first()[0]
+            if lo is not None and int(lo) <= int(wm):
+                raise ValueError(
+                    f"epoch {epoch} reaches lsn {lo} at or below the "
+                    f"compaction watermark {wm}: per-column ordering "
+                    "against compacted values is no longer possible — "
+                    "apply out-of-order epochs before compacting (see "
+                    "compact() docstring)"
+                )
+        key_cols = manifest["key_cols"]
+
+        from etl_cms_spark.operators.dedup import fold_partial_updates
+
+        folded = fold_partial_updates(
+            updates, key_cols, lsn_col, op_col=op_col, del_lsn_col="_del_lsn"
+        )
+        value_cols = [c for c in folded.columns
+                      if c not in key_cols and c not in (lsn_col, op_col, "_del_lsn")]
+        upserts = folded.where(F.col(op_col) == "U").drop("_del_lsn")
+        tombs = (
+            folded.where(F.col("_del_lsn").isNotNull())
+            .select(
+                *key_cols,
+                *[F.lit(None).cast(folded.schema[c].dataType).alias(c) for c in value_cols],
+                F.col("_del_lsn").alias(lsn_col),
+                F.lit("D").alias(op_col),
+            )
+        )
+        delta = upserts.unionByName(tombs)
+        extra = {"partial_columnar": True, **(extra_lineage or {})}
+        # skip_batch_dedup: the delta legitimately holds up to two rows
+        # per key (tombstone + re-create) — read-time fold resolves.
+        return self.merge_epoch(
+            delta, epoch, op_col=op_col, lsn_col=lsn_col,
+            extra_lineage=extra, skip_batch_dedup=True,
+        )
+
     # lossless type promotions (Iceberg's schema-evolution rules):
     # anything else would silently truncate old data on read.
     _WIDENINGS = {
@@ -958,9 +1105,31 @@ class LakeTable:
 
         Tombstones are kept by default (they guard replays of older
         epochs); pass ``expire_tombstones=True`` once the replay
-        horizon has passed them."""
+        horizon has passed them.
+
+        COLUMNAR tables additionally record a compaction LSN
+        WATERMARK (the max lsn_hi of the epochs committed so far):
+        the per-column fold is order-independent only while every
+        column's setting-LSN is still materialized in the delta
+        stack — compaction collapses each key to its folded values,
+        so a not-yet-applied epoch with LSNs below the watermark
+        could no longer be ordered against them per column.
+        ``append_partial_epoch`` rejects such epochs; compact a
+        columnar table only once the out-of-order window has
+        drained past it (the streaming/batch drivers apply in order,
+        where this is automatic)."""
         t0 = time.time()
         manifest = self._load_manifest()
+        if manifest.get("partial_columnar"):
+            his = [
+                rec.get("lsn_max")
+                for rec in manifest["epochs"].values()
+                if rec.get("lsn_max") is not None
+            ]
+            if his:
+                manifest["columnar_compact_lsn_watermark"] = max(
+                    int(h) for h in his
+                )
         delta_buckets = [
             b for b in manifest["buckets"] if len(self._bucket_dirs(manifest, b)) > 1
         ]

@@ -225,3 +225,125 @@ def test_stream_row_image_minimal_matches_global_fold(spark, tmp_root):
     )
     assert_df_equal(p.current_state().select(*KEYS, *VALS), expected,
                     "streamed partial == global fold")
+
+
+# ---------------------------------------------------------------- #
+# Columnar merge-on-read: ORDER-INDEPENDENT partial epochs          #
+# ---------------------------------------------------------------- #
+
+
+def _columnar_table(spark, root):
+    t = LakeTable(spark, root, n_buckets=8, merge_mode="mor")
+    t.create(KEYS, SCHEMA, partial_columnar=True)
+    return t
+
+
+def _epoch_slices(pe, n=3):
+    lo, hi = pe.agg(F.min("lsn"), F.max("lsn")).first()
+    cuts = [lo + (hi - lo) * (i + 1) // n for i in range(n - 1)]
+    bounds = [lo - 1, *cuts, hi]
+    return [
+        pe.where((F.col("lsn") > bounds[i]) & (F.col("lsn") <= bounds[i + 1]))
+        for i in range(n)
+    ]
+
+
+def test_columnar_partial_any_epoch_order_converges(spark, tmp_root):
+    """The headline property: applying the SAME partial epochs in
+    different orders yields byte-identical table state — per-column
+    LWW read resolution makes order irrelevant."""
+    import itertools
+
+    ch = gen_source_changes(spark, n_events=1500, n_keys=250, n_repos=10)
+    pe = _partialize(ch).cache()
+    slices = _epoch_slices(pe, 3)
+    states = []
+    for perm in [(0, 1, 2), (2, 0, 1), (1, 2, 0)]:
+        t = _columnar_table(spark, os.path.join(tmp_root, f"col_{''.join(map(str, perm))}"))
+        for e in perm:
+            t.append_partial_epoch(slices[e], e)
+        states.append(t.read().select(*KEYS, *VALS))
+    expected = (
+        fold_partial_updates(pe, KEYS, "lsn", op_col="op")
+        .where(F.col("op") != "D")
+        .select(*KEYS, *VALS)
+    )
+    for i, s in enumerate(states):
+        assert_df_equal(s, expected, f"perm {i} == global fold")
+
+
+def test_columnar_partial_compaction_preserves_state(spark, tmp_root):
+    """Compaction after the out-of-order window drained: state is
+    unchanged, and a NEW higher-LSN epoch on the compacted base still
+    folds correctly.  An epoch reaching below the compaction LSN
+    watermark is REJECTED — collapsing the delta stack discards the
+    per-column setting-LSNs such an epoch would need to order
+    against (the columnar mode's documented compaction contract)."""
+    ch = gen_source_changes(spark, n_events=1200, n_keys=200, n_repos=8)
+    pe = _partialize(ch).cache()
+    slices = _epoch_slices(pe, 4)
+    t = _columnar_table(spark, os.path.join(tmp_root, "col_cmp"))
+    # epochs 0-2 land OUT OF ORDER, then the window drains -> compact
+    t.append_partial_epoch(slices[2], 2)
+    t.append_partial_epoch(slices[0], 0)
+    t.append_partial_epoch(slices[1], 1)
+    before = t.read().select(*KEYS, *VALS)
+    rec = t.compact()
+    assert rec["compacted_buckets"] > 0
+    assert_df_equal(t.read().select(*KEYS, *VALS), before, "compaction no-op")
+    # a NEW epoch (all LSNs above the watermark) folds onto the base
+    t.append_partial_epoch(slices[3], 3)
+    expected = (
+        fold_partial_updates(pe, KEYS, "lsn", op_col="op")
+        .where(F.col("op") != "D")
+        .select(*KEYS, *VALS)
+    )
+    assert_df_equal(t.read().select(*KEYS, *VALS), expected,
+                    "post-compaction epoch == global fold")
+    # an epoch reaching BELOW the watermark is rejected, not silently wrong
+    with pytest.raises(ValueError, match="compaction watermark"):
+        t.append_partial_epoch(slices[0], 99)
+
+
+def test_columnar_partial_replay_is_noop(spark, tmp_root):
+    ch = gen_source_changes(spark, n_events=600, n_keys=100, n_repos=5)
+    pe = _partialize(ch).cache()
+    t = _columnar_table(spark, os.path.join(tmp_root, "col_rp"))
+    t.append_partial_epoch(pe, 0)
+    before = t.read().select(*KEYS, *VALS)
+    rec = t.append_partial_epoch(pe, 0)
+    assert rec.get("skipped_duplicate_epoch")
+    assert_df_equal(t.read().select(*KEYS, *VALS), before, "replay")
+
+
+def test_columnar_partial_midbatch_delete_out_of_order(spark, tmp_root):
+    """delete+re-create inside one epoch, applied BEFORE an older
+    epoch: the tombstone delta row must still reset the older epoch's
+    column values."""
+    t = LakeTable(spark, os.path.join(tmp_root, "col_dr"), n_buckets=2,
+                  merge_mode="mor")
+    t.create(["k"], {"k": "string", "a": "string", "b": "string"},
+             partial_columnar=True)
+    sch = "k string, lsn long, op string, a string, b string"
+    # epoch 1 (applied FIRST): delete at 5, re-create a at 6
+    t.append_partial_epoch(
+        spark.createDataFrame([("k1", 5, "D", None, None),
+                               ("k1", 6, "U", "a2", None)], sch), 1)
+    # epoch 0 (applied SECOND, lower LSNs): sets a and b
+    t.append_partial_epoch(
+        spark.createDataFrame([("k1", 1, "U", "a1", "b1")], sch), 0)
+    row = t.read().first()
+    assert row["a"] == "a2" and row["b"] is None, dict(row.asDict())
+
+
+def test_columnar_requires_flag_and_mor(spark, tmp_root):
+    t = LakeTable(spark, os.path.join(tmp_root, "col_g1"), n_buckets=2,
+                  merge_mode="mor")
+    t.create(["k"], {"k": "string", "a": "string"})
+    sch = "k string, lsn long, op string, a string"
+    with pytest.raises(ValueError, match="partial_columnar"):
+        t.append_partial_epoch(spark.createDataFrame([("k1", 1, "U", "a")], sch), 0)
+    t2 = LakeTable(spark, os.path.join(tmp_root, "col_g2"), n_buckets=2)
+    t2.create(["k"], {"k": "string", "a": "string"}, partial_columnar=True)
+    with pytest.raises(ValueError, match="mor"):
+        t2.append_partial_epoch(spark.createDataFrame([("k1", 1, "U", "a")], sch), 0)
