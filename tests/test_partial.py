@@ -347,3 +347,34 @@ def test_columnar_requires_flag_and_mor(spark, tmp_root):
     t2.create(["k"], {"k": "string", "a": "string"}, partial_columnar=True)
     with pytest.raises(ValueError, match="mor"):
         t2.append_partial_epoch(spark.createDataFrame([("k1", 1, "U", "a")], sch), 0)
+
+
+def test_columnar_partial_schema_evolution(spark, tmp_root):
+    """add + widen + rename mid-history on a columnar table: old
+    deltas normalize to the current schema per write-group and the
+    per-column fold treats a never-written new column as absent."""
+    t = LakeTable(spark, os.path.join(tmp_root, "col_se"), n_buckets=2,
+                  merge_mode="mor")
+    t.create(["k"], {"k": "string", "a": "string", "n": "int"},
+             partial_columnar=True)
+    sch1 = "k string, lsn long, op string, a string, n int"
+    t.append_partial_epoch(
+        spark.createDataFrame([("k1", 1, "U", "a1", 7),
+                               ("k2", 2, "U", "a2", None)], sch1), 0)
+    t.apply_schema_change({"add": "b:string"})
+    t.apply_schema_change({"widen": "n:long"})
+    t.apply_schema_change({"rename": "a:alpha"})
+    # post-evolution epoch: new column set for k2 only; OLD name still
+    # emitted by a lagging producer (rename maps it forward)
+    sch2 = "k string, lsn long, op string, a string, n long, b string"
+    t.append_partial_epoch(
+        spark.createDataFrame([("k2", 3, "U", None, 4_000_000_000, "b2")], sch2), 1)
+    got = {r["k"]: (r["alpha"], r["n"], r["b"]) for r in t.read().collect()}
+    assert got["k1"] == ("a1", 7, None)
+    # k2: alpha folds from epoch 0 (absent in epoch 1), n widened past
+    # int range, b from epoch 1
+    assert got["k2"] == ("a2", 4_000_000_000, "b2")
+    # compaction across the widen boundary stays readable and equal
+    before = sorted(map(str, t.read().collect()))
+    t.compact()
+    assert sorted(map(str, t.read().collect())) == before
