@@ -466,3 +466,94 @@ def test_lake_soak_with_schema_and_gc(spark, tmp_path_factory, script, mor):
                           F.col("size").cast("long").alias("size"))
     assert got.exceptAll(model).count() == 0
     assert model.exceptAll(got).count() == 0
+
+
+# ------------------------------------------------------------------ #
+# Partial-image fold: model-based random streams                     #
+# ------------------------------------------------------------------ #
+
+partial_events = st.lists(
+    st.tuples(
+        st.integers(0, 4),                       # key
+        st.integers(0, 400),                     # lsn
+        st.sampled_from(["U", "U", "U", "D"]),   # op (~25% deletes)
+        st.one_of(st.none(), st.integers(0, 9)),  # col a (None = absent)
+        st.one_of(st.none(), st.integers(0, 9)),  # col b
+    ),
+    min_size=1,
+    max_size=24,
+    unique_by=lambda t: t[1],  # distinct lsns (the changelog contract)
+)
+
+
+def _model_fold(evts):
+    """Reference model: apply events in LSN order to per-key dicts —
+    delete clears, update sets only present columns."""
+    state = {}
+    last = {}
+    for k, lsn, op, a, b in sorted(evts, key=lambda t: t[1]):
+        last[k] = lsn
+        if op == "D":
+            state.pop(k, None)
+            continue
+        row = state.setdefault(k, {})
+        if a is not None:
+            row["a"] = a
+        if b is not None:
+            row["b"] = b
+    return {
+        k: (st_.get("a"), st_.get("b"), last[k]) for k, st_ in state.items()
+    }, {k for k in last if k not in state}
+
+
+@settings(**_SETTINGS)
+@given(evts=partial_events)
+def test_fold_partial_matches_sequential_model(spark, evts):
+    from etl_cms_spark.operators.dedup import fold_partial_updates
+
+    rows = [
+        (k, lsn, op, None if op == "D" else a, None if op == "D" else b)
+        for k, lsn, op, a, b in evts
+    ]
+    df = spark.createDataFrame(rows, "k int, lsn long, op string, a int, b int")
+    out = fold_partial_updates(df, ["k"], "lsn", op_col="op")
+    got_live = {
+        r["k"]: (r["a"], r["b"], r["lsn"]) for r in out.collect() if r["op"] == "U"
+    }
+    got_deleted = {r["k"] for r in out.collect() if r["op"] == "D"}
+    want_live, want_deleted = _model_fold(rows)
+    assert got_live == want_live
+    assert got_deleted == want_deleted
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evts=partial_events, order=st.permutations([0, 1, 2]))
+def test_columnar_epochs_match_model_under_any_order(
+    spark, tmp_path_factory, evts, order
+):
+    """Random partial streams, split into 3 LSN-range epochs, applied
+    to a columnar table in a RANDOM order — final state must equal the
+    sequential per-key dict model."""
+    from etl_cms_spark.sink.lake import LakeTable
+
+    rows = [
+        (k, lsn, op, None if op == "D" else a, None if op == "D" else b)
+        for k, lsn, op, a, b in evts
+    ]
+    df = spark.createDataFrame(rows, "k int, lsn long, op string, a int, b int")
+    root = str(tmp_path_factory.mktemp("colprop"))
+    t = LakeTable(spark, root, n_buckets=2, merge_mode="mor")
+    t.create(["k"], {"k": "int", "a": "int", "b": "int"},
+             partial_columnar=True)
+    from pyspark.sql import functions as F
+
+    bounds = [(0, 134), (134, 267), (267, 401)]
+    for e in order:
+        lo, hi = bounds[e]
+        t.append_partial_epoch(
+            df.where((F.col("lsn") >= lo) & (F.col("lsn") < hi)), e
+        )
+    got = {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
+    want_live, _ = _model_fold(rows)
+    assert got == {k: (a, b) for k, (a, b, _) in want_live.items()}
