@@ -378,3 +378,17 @@ def test_columnar_partial_schema_evolution(spark, tmp_root):
     before = sorted(map(str, t.read().collect()))
     t.compact()
     assert sorted(map(str, t.read().collect())) == before
+
+
+def test_columnar_read_resolution_is_one_shuffle(spark, tmp_root):
+    """The per-column fold (window for the tombstone gate + groupBy on
+    the same keys) must reuse one hashpartitioning — a single Exchange
+    in the resolved-read plan, same budget as whole-row MoR."""
+    t = LakeTable(spark, os.path.join(tmp_root, "col_plan"), n_buckets=2,
+                  merge_mode="mor")
+    t.create(["k"], {"k": "string", "a": "string"}, partial_columnar=True)
+    sch = "k string, lsn long, op string, a string"
+    t.append_partial_epoch(spark.createDataFrame([("k1", 1, "U", "a1")], sch), 0)
+    t.append_partial_epoch(spark.createDataFrame([("k1", 2, "U", None)], sch), 1)
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
