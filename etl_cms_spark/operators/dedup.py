@@ -164,6 +164,12 @@ def fold_partial_updates(
     UDFs, no sort: ``max_by`` with a NULL-gated ordering expression
     skips absent events exactly like a FILTER clause.
     """
+    if (reset_col or del_lsn_col) and not op_col:
+        raise ValueError(
+            "reset_col/del_lsn_col require op_col — without delete "
+            "events there is nothing to mark, and silently omitting "
+            "the column would skip the caller's hydration reset guard"
+        )
     sys_cols = {lsn_col} | ({op_col} if op_col else set()) | (
         {changed_cols_col} if changed_cols_col else set()
     )

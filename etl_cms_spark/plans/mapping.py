@@ -101,8 +101,14 @@ def map_concepts_join(
     lang_col: str = "lang",
     mapping: dict[str, tuple[int, str]] | None = None,
 ) -> DataFrame:
-    """Equivalent broadcast-hash-join form (Catalyst-visible)."""
+    """Equivalent broadcast-hash-join form (Catalyst-visible).
+
+    Idempotent like the UDF form: pre-existing concept_id/domain/
+    content_sha columns (a re-mapped frame — e.g. hydrated partial
+    rows carry the table's previous mapping) are dropped and
+    recomputed instead of colliding with the dim's column names."""
     m = mapping if mapping is not None else CONCEPT_MAP
+    df = df.drop("concept_id", "domain", "content_sha")
     dim = spark.createDataFrame(
         [(k, v[0], v[1]) for k, v in m.items()],
         f"{lang_col} string, concept_id int, domain string",

@@ -409,17 +409,20 @@ class CDCPipeline:
             # fold per-column latest values, then hydrate full images
             # against the pre-epoch main table so mapping/quarantine/
             # demux downstream see complete rows (see __init__).
+            # persist the folded batch: the hydration's bucket
+            # discovery would otherwise execute the whole fold once
+            # just to list buckets, and again when the batch
+            # materializes (code-review finding).
             from etl_cms_spark.operators.dedup import fold_partial_updates
 
             folded = fold_partial_updates(
                 data, KEY_COLS, "lsn", op_col="op", reset_col="_reset"
-            )
+            ).persist()
             latest = self.table.hydrate_partial(folded, reset_col="_reset")
-            mode = "fold+hydrate"
         elif mode == "auto":
             mode, auto_rec = self._resolve_dedup_mode(data)
         if self.row_image == "minimal":
-            pass
+            pass  # latest already folded+hydrated above
         elif mode == "strict":
             latest = latest_by_lsn_window(data, KEY_COLS, "lsn")
         elif mode == "salted":
@@ -485,6 +488,8 @@ class CDCPipeline:
                 ).parquet(os.path.join(self.quarantine_dir, f"epoch={epoch}"))
 
             extra = {"rows_quarantined": qn}
+            if self.row_image == "minimal":
+                extra["row_image"] = "minimal"
             if auto_rec is not None:
                 extra["dedup_auto"] = auto_rec
             if self.dedup_filter_index is not None:
@@ -537,6 +542,8 @@ class CDCPipeline:
                 rec["domains"] = dom_recs
         finally:
             mapped.unpersist()
+            if self.row_image == "minimal":
+                folded.unpersist()
         due = bool(self.compact_every and (epoch + 1) % self.compact_every == 0)
         if self.table.merge_mode == "mor" and (
             due

@@ -957,6 +957,7 @@ class LakeTable:
         epoch: int,
         op_col: str = "op",
         lsn_col: str = "lsn",
+        fold_batch: bool = True,
         extra_lineage: dict | None = None,
     ) -> dict:
         """MERGE a partial-image batch into a COLUMNAR merge-on-read
@@ -981,6 +982,20 @@ class LakeTable:
         reaching below the compaction LSN watermark are rejected —
         drain the out-of-order window before compacting (see
         ``compact``).
+
+        ``fold_batch`` picks the delta granularity:
+        * True (default) — one folded row per key (+ tombstones).
+          The fold promotes each column's setting-LSN to the key's
+          batch-max LSN, which is exact ONLY when epoch LSN ranges
+          are DISJOINT (the changelog-slicing contract) — a batch
+          whose raw LSN range overlaps an already-committed epoch's
+          is REJECTED rather than silently mis-ordered
+          (code-review finding).
+        * False — raw per-event delta rows: every column keeps its
+          true setting-LSN, so even INTERLEAVED epoch ranges (multi-
+          producer feeds) converge exactly, at the price of
+          event-count (not key-count) read amplification until
+          compaction.
         """
         if self.merge_mode != "mor":
             raise ValueError("append_partial_epoch requires merge_mode='mor'")
@@ -994,38 +1009,67 @@ class LakeTable:
             rec = dict(manifest["epochs"][str(epoch)])
             rec["skipped_duplicate_epoch"] = True
             return rec
+        lo, hi = updates.agg(
+            F.min(F.col(lsn_col)), F.max(F.col(lsn_col))
+        ).first()
         wm = manifest.get("columnar_compact_lsn_watermark")
-        if wm is not None:
-            lo = updates.agg(F.min(F.col(lsn_col))).first()[0]
-            if lo is not None and int(lo) <= int(wm):
-                raise ValueError(
-                    f"epoch {epoch} reaches lsn {lo} at or below the "
-                    f"compaction watermark {wm}: per-column ordering "
-                    "against compacted values is no longer possible — "
-                    "apply out-of-order epochs before compacting (see "
-                    "compact() docstring)"
-                )
+        if wm is not None and lo is not None and int(lo) <= int(wm):
+            raise ValueError(
+                f"epoch {epoch} reaches lsn {lo} at or below the "
+                f"compaction watermark {wm}: per-column ordering "
+                "against compacted values is no longer possible — "
+                "apply out-of-order epochs before compacting (see "
+                "compact() docstring)"
+            )
+        if fold_batch and lo is not None:
+            # the fold stamps every column with the key's batch-max
+            # LSN — exact only if this batch's raw LSN range is
+            # disjoint from every committed epoch's.
+            for eid, rec in manifest["epochs"].items():
+                rlo = rec.get("raw_lsn_lo", rec.get("lsn_min"))
+                rhi = rec.get("raw_lsn_hi", rec.get("lsn_max"))
+                if rlo is None or rhi is None:
+                    continue
+                if int(lo) <= int(rhi) and int(hi) >= int(rlo):
+                    raise ValueError(
+                        f"epoch {epoch} (lsn {lo}..{hi}) overlaps "
+                        f"committed epoch {eid} (lsn {rlo}..{rhi}): the "
+                        "folded delta would mis-order interleaved "
+                        "columns — use fold_batch=False for "
+                        "interleaved/multi-producer feeds"
+                    )
         key_cols = manifest["key_cols"]
 
-        from etl_cms_spark.operators.dedup import fold_partial_updates
+        if fold_batch:
+            from etl_cms_spark.operators.dedup import fold_partial_updates
 
-        folded = fold_partial_updates(
-            updates, key_cols, lsn_col, op_col=op_col, del_lsn_col="_del_lsn"
-        )
-        value_cols = [c for c in folded.columns
-                      if c not in key_cols and c not in (lsn_col, op_col, "_del_lsn")]
-        upserts = folded.where(F.col(op_col) == "U").drop("_del_lsn")
-        tombs = (
-            folded.where(F.col("_del_lsn").isNotNull())
-            .select(
-                *key_cols,
-                *[F.lit(None).cast(folded.schema[c].dataType).alias(c) for c in value_cols],
-                F.col("_del_lsn").alias(lsn_col),
-                F.lit("D").alias(op_col),
+            folded = fold_partial_updates(
+                updates, key_cols, lsn_col, op_col=op_col, del_lsn_col="_del_lsn"
             )
-        )
-        delta = upserts.unionByName(tombs)
-        extra = {"partial_columnar": True, **(extra_lineage or {})}
+            value_cols = [c for c in folded.columns
+                          if c not in key_cols and c not in (lsn_col, op_col, "_del_lsn")]
+            upserts = folded.where(F.col(op_col) == "U").drop("_del_lsn")
+            tombs = (
+                folded.where(F.col("_del_lsn").isNotNull())
+                .select(
+                    *key_cols,
+                    *[F.lit(None).cast(folded.schema[c].dataType).alias(c) for c in value_cols],
+                    F.col("_del_lsn").alias(lsn_col),
+                    F.lit("D").alias(op_col),
+                )
+            )
+            delta = upserts.unionByName(tombs)
+        else:
+            # raw per-event delta: every column keeps its true
+            # setting-LSN; delete events become tombstone rows through
+            # the merge's own op-column handling.
+            delta = updates
+        extra = {
+            "partial_columnar": True,
+            "raw_lsn_lo": lo,
+            "raw_lsn_hi": hi,
+            **(extra_lineage or {}),
+        }
         # skip_batch_dedup: the delta legitimately holds up to two rows
         # per key (tombstone + re-create) — read-time fold resolves.
         return self.merge_epoch(
@@ -1240,6 +1284,20 @@ class LakeTable:
             str(b): [f"{rel_dir}/{_BUCKET_COL}={b}"] for b in sorted(written)
         }
         manifest["n_buckets"] = int(new_n_buckets)
+        if manifest.get("partial_columnar"):
+            # the rewrite collapses the delta stack exactly like
+            # compact() — record the same LSN watermark, or a not-yet-
+            # applied older epoch could silently lose the per-column
+            # ordering compact() protects against.
+            his = [
+                rec.get("lsn_max")
+                for rec in manifest["epochs"].values()
+                if rec.get("lsn_max") is not None
+            ]
+            if his:
+                manifest["columnar_compact_lsn_watermark"] = max(
+                    int(h) for h in his
+                )
         manifest["version"] = new_version
         self._commit_manifest(manifest)
         self.n_buckets = int(new_n_buckets)

@@ -392,3 +392,56 @@ def test_columnar_read_resolution_is_one_shuffle(spark, tmp_root):
     t.append_partial_epoch(spark.createDataFrame([("k1", 2, "U", None)], sch), 1)
     plan = t.read()._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_columnar_folded_rejects_interleaved_epochs(spark, tmp_root):
+    """Folded deltas stamp columns with the key's batch-max LSN, so a
+    batch whose raw LSN range overlaps a committed epoch must be
+    rejected — silently accepting it mis-orders interleaved columns
+    (code-review finding)."""
+    t = LakeTable(spark, os.path.join(tmp_root, "col_il"), n_buckets=2,
+                  merge_mode="mor")
+    t.create(["k"], {"k": "string", "a": "string", "b": "string"},
+             partial_columnar=True)
+    sch = "k string, lsn long, op string, a string, b string"
+    # epoch A: lsn 1 and 3
+    t.append_partial_epoch(
+        spark.createDataFrame([("k1", 1, "U", "a1", None),
+                               ("k1", 3, "U", None, "b2")], sch), 0)
+    # epoch B interleaves at lsn 2
+    with pytest.raises(ValueError, match="overlaps committed epoch"):
+        t.append_partial_epoch(
+            spark.createDataFrame([("k1", 2, "U", "a9", None)], sch), 1)
+
+
+def test_columnar_raw_mode_exact_under_interleaving(spark, tmp_root):
+    """fold_batch=False keeps every column's true setting-LSN, so even
+    interleaved epoch ranges converge to the sequential model: the
+    lsn-2 a=a9 must LOSE to nothing (it is the latest a) while b keeps
+    its lsn-3 value."""
+    t = LakeTable(spark, os.path.join(tmp_root, "col_raw"), n_buckets=2,
+                  merge_mode="mor")
+    t.create(["k"], {"k": "string", "a": "string", "b": "string"},
+             partial_columnar=True)
+    sch = "k string, lsn long, op string, a string, b string"
+    t.append_partial_epoch(
+        spark.createDataFrame([("k1", 1, "U", "a1", None),
+                               ("k1", 3, "U", None, "b2")], sch), 0,
+        fold_batch=False)
+    t.append_partial_epoch(
+        spark.createDataFrame([("k1", 2, "U", "a9", None)], sch), 1,
+        fold_batch=False)
+    row = t.read().first()
+    assert (row["a"], row["b"]) == ("a9", "b2"), dict(row.asDict())
+    # and with the folded mode on DISJOINT ranges the same stream via a
+    # single epoch agrees
+    t2 = LakeTable(spark, os.path.join(tmp_root, "col_raw2"), n_buckets=2,
+                   merge_mode="mor")
+    t2.create(["k"], {"k": "string", "a": "string", "b": "string"},
+              partial_columnar=True)
+    t2.append_partial_epoch(
+        spark.createDataFrame([("k1", 1, "U", "a1", None),
+                               ("k1", 2, "U", "a9", None),
+                               ("k1", 3, "U", None, "b2")], sch), 0)
+    row2 = t2.read().first()
+    assert (row2["a"], row2["b"]) == ("a9", "b2")
