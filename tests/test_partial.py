@@ -445,3 +445,30 @@ def test_columnar_raw_mode_exact_under_interleaving(spark, tmp_root):
                                ("k1", 3, "U", None, "b2")], sch), 0)
     row2 = t2.read().first()
     assert (row2["a"], row2["b"]) == ("a9", "b2")
+
+
+def test_bucketed_tail_with_row_image_minimal(spark, tmp_root):
+    """The producer-bucketed staging path composed with the minimal
+    row-image mode (the bench exposes this combination): run_from_table
+    over a bucketed PARTIAL changelog equals the global fold."""
+    from etl_cms_spark.plans.mapping import UNMAPPED_LANGS
+    from etl_cms_spark.plans.pipeline import CDCPipeline, stage_changelog_bucketed
+
+    ch = gen_source_changes(spark, n_events=2000, n_keys=250, n_repos=10)
+    pe = _partialize_keep_lang(ch).cache()
+    table = "t_partial_bucketed"
+    try:
+        stage_changelog_bucketed(spark, pe, table, n_buckets=8, n_epochs=2)
+        p = CDCPipeline(spark, os.path.join(tmp_root, "pbt"), n_buckets=8,
+                        row_image="minimal")
+        p.run_from_table(table)
+        expected = (
+            fold_partial_updates(pe.drop("ts", "schema_change"), KEYS, "lsn",
+                                 op_col="op")
+            .where((F.col("op") != "D") & ~F.col("lang").isin(list(UNMAPPED_LANGS)))
+            .select(*KEYS, *VALS)
+        )
+        assert_df_equal(p.current_state().select(*KEYS, *VALS), expected,
+                        "bucketed partial tail == global fold")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
