@@ -122,6 +122,7 @@ def main() -> None:
             spark, args.changelog, args.lake, salt_hot_keys=args.salt,
             demux_domains=args.demux_domains,
             dedup_filter_index=filter_index,
+            row_image=args.row_image,
         )
         q.awaitTermination()
     else:
