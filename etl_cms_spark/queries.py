@@ -1725,6 +1725,70 @@ def cdc_pipeline_auto(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@q(
+    "lake_concurrent_commits",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT repo, path, commit, lang, content FROM latest
+    """,
+)
+def lake_concurrent_commits(spark, sf_dir):
+    """Optimistic-concurrency commit (the Iceberg-catalog CAS model,
+    sink/lake.py): two writers race ONE MoR table — writer B commits
+    its epoch BETWEEN writer A's delta write and manifest swap, so
+    A's parent snapshot is stale and A must take the reserve/rebase
+    path instead of a last-writer-wins CURRENT swap (which would
+    silently DROP one epoch).  The oracle replays the full changelog
+    serially in one latest-wins SQL pass: the race must be invisible
+    in the final state — no lost update, no duplicate."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.sink.lake import LakeTable
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    e1 = changes.where(F.col("lsn") <= mid)
+    e2 = changes.where(F.col("lsn") > mid)
+    root = tempfile.mkdtemp(prefix="cdc_occ_")
+    try:
+        tb = LakeTable(spark, root, n_buckets=8, merge_mode="mor")
+        tb.create(
+            ["repo", "path"],
+            {"repo": "string", "path": "string", "commit": "string",
+             "lang": "string", "content": "string"},
+        )
+
+        class _RacingTable(LakeTable):
+            """Writer A: deterministically loses the commit race —
+            writer B's merge runs at A's first commit attempt."""
+
+            _fired = False
+
+            def _commit_manifest(self, manifest):
+                if not _RacingTable._fired:
+                    _RacingTable._fired = True
+                    tb.merge_epoch(e2, 1)
+                return super()._commit_manifest(manifest)
+
+        ta = _RacingTable(spark, root, n_buckets=8, merge_mode="mor")
+        rec = ta.merge_epoch(e1, 0)
+        # the race really happened and really rebased: A's commit sits
+        # on top of B's interleaved snapshot, both epochs are in.
+        assert not rec.get("skipped_duplicate_epoch")
+        by_epoch = {r["epoch"]: r for r in ta.lineage()}
+        assert rec["parent_version"] == by_epoch[1]["snapshot_version"]
+        assert ta.committed_epochs() == {0, 1}
+        return ta.read().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _partial_changelog_from_documents(spark, sf_dir):
     """The flagship changelog, PARTIAL-IMAGE edition: commit present
     only when lsn % 3 != 0, content only when lsn % 7 != 0 (binlog

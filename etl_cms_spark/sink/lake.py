@@ -38,11 +38,13 @@ design is what makes the same semantics parallel and replayable.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import re
 import time
 import uuid
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -76,6 +78,23 @@ def _atomic_write_json(path: str, obj: Any) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A concurrent commit interleaved with this one in a way that
+    cannot be rebased automatically (overlapping CoW buckets, a schema
+    / bucket-count / compaction-watermark change, …).  The operation
+    made NO commit; re-run it against the new current snapshot."""
+
+
+class _StaleParent(Exception):
+    """Internal: the manifest's parent is no longer the latest
+    committed version — rebase (merge_epoch) or surface as
+    ConcurrentCommitError (maintenance commits)."""
+
+    def __init__(self, latest: int):
+        self.latest = latest
+        super().__init__(f"latest committed version is now {latest}")
 
 
 class LakeTable:
@@ -136,16 +155,92 @@ class LakeTable:
         with open(os.path.join(self._manifest_dir, f"v{v}.json")) as f:
             return json.load(f)
 
+    # -------- optimistic concurrency (the Iceberg-catalog CAS) -----
+    #
+    # Multiple writers may race one table (the repair flow against the
+    # streaming loop, demux threads, a concurrent compaction).  A
+    # last-writer-wins CURRENT swap would silently DROP the loser's
+    # commit, so commits are serialized through a compare-and-swap on
+    # the manifest lineage instead:
+    #
+    # * every writer RESERVES a globally unique version number before
+    #   writing data (O_CREAT|O_EXCL marker), so in-flight data dirs
+    #   never collide;
+    # * every manifest records its ``parent_version``; the commit
+    #   section (flock on _manifests/.commitlock — the local-FS stand-
+    #   in for an Iceberg catalog's atomic swap) admits a manifest
+    #   only while its parent is STILL the latest committed version,
+    #   else raises ``_StaleParent`` for the writer to rebase or
+    #   surface as ``ConcurrentCommitError``;
+    # * CURRENT only ever advances (monotonic swap under the lock).
+    #
+    # Version numbers may therefore have GAPS (abandoned reservations)
+    # and an epoch's previous snapshot is its recorded parent, not
+    # version-1 — changes_for_epoch reads ``parent_version``.
+
+    def _latest_committed_version(self) -> int:
+        latest = -1
+        for f in os.listdir(self._manifest_dir):
+            m = re.fullmatch(r"v(\d+)\.json", f)
+            if m:
+                latest = max(latest, int(m.group(1)))
+        return latest
+
+    def _reserve_version(self) -> int:
+        """Claim a globally unique, monotonically increasing version
+        number (its data dir name) ahead of the data write."""
+        n = self._latest_known_version() + 1
+        while True:
+            try:
+                fd = os.open(
+                    os.path.join(self._manifest_dir, f".reserve.v{n}"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.close(fd)
+                return n
+            except FileExistsError:
+                n += 1
+
+    def _latest_known_version(self) -> int:
+        latest = self._latest_committed_version()
+        for f in os.listdir(self._manifest_dir):
+            m = re.fullmatch(r"\.reserve\.v(\d+)", f)
+            if m:
+                latest = max(latest, int(m.group(1)))
+        return latest
+
+    @contextmanager
+    def _commit_lock(self):
+        fd = os.open(
+            os.path.join(self._manifest_dir, ".commitlock"),
+            os.O_CREAT | os.O_WRONLY,
+        )
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
     def _commit_manifest(self, manifest: dict) -> int:
         v = manifest["version"]
-        _atomic_write_json(os.path.join(self._manifest_dir, f"v{v}.json"), manifest)
-        cur = os.path.join(self._manifest_dir, "CURRENT")
-        tmp = f"{cur}.tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, cur)
+        parent = manifest.get("parent_version", v - 1)
+        manifest["parent_version"] = parent
+        path = os.path.join(self._manifest_dir, f"v{v}.json")
+        with self._commit_lock():
+            latest = self._latest_committed_version()
+            if latest != parent:
+                raise _StaleParent(latest)
+            if os.path.exists(path):  # unreserved racer took our number
+                raise _StaleParent(latest)
+            _atomic_write_json(path, manifest)
+            cur = os.path.join(self._manifest_dir, "CURRENT")
+            tmp = f"{cur}.tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, cur)
         return v
 
     def create(
@@ -180,7 +275,10 @@ class LakeTable:
         }
         if partial_columnar:
             manifest["partial_columnar"] = True
-        self._commit_manifest(manifest)
+        try:
+            self._commit_manifest(manifest)
+        except _StaleParent:
+            raise ValueError(f"table already exists at {self.root}") from None
 
     # ---------------- read path ----------------
 
@@ -390,10 +488,17 @@ class LakeTable:
         target = self._load_manifest(version)
         cur = self._load_manifest()
         new = dict(target)
-        new["version"] = cur["version"] + 1
+        new["version"] = self._reserve_version()
+        new["parent_version"] = cur["version"]
         new["rolled_back_from"] = cur["version"]
         new["rolled_back_to"] = version
-        v = self._commit_manifest(new)
+        try:
+            v = self._commit_manifest(new)
+        except _StaleParent as sp:
+            raise ConcurrentCommitError(
+                f"concurrent commit (now at snapshot {sp.latest}) raced "
+                "this rollback; re-run it against the current snapshot"
+            ) from None
         # the restored manifest may predate a rebucket() — keep the
         # instance's bucket count in step with what is now current.
         self.n_buckets = int(new.get("n_buckets", self.n_buckets))
@@ -439,10 +544,8 @@ class LakeTable:
                 # vacuum safe against the single in-order writer; a
                 # dir orphaned by a crash is reclaimed by the NEXT
                 # vacuum, once current has moved past it).
-                try:
-                    vnum = int(vdir[1:]) if vdir.startswith("v") else None
-                except ValueError:
-                    vnum = None
+                mnum = re.match(r"v(\d+)", vdir)
+                vnum = int(mnum.group(1)) if mnum else None
                 if vnum is not None and vnum > cur:
                     continue
                 for leaf in sorted(os.listdir(vpath)):
@@ -457,7 +560,7 @@ class LakeTable:
                     shutil.rmtree(vpath, ignore_errors=True)
         removed_manifests = []
         for f in sorted(os.listdir(self._manifest_dir)):
-            if f.startswith("v") and f.endswith(".json"):
+            if re.fullmatch(r"v\d+\.json", f):
                 v = int(f[1:-5])
                 # v > cur is an in-flight commit's manifest written
                 # just before its CURRENT swap — live, same guard as
@@ -465,6 +568,12 @@ class LakeTable:
                 if v not in keep and v <= cur:
                     os.remove(os.path.join(self._manifest_dir, f))
                     removed_manifests.append(v)
+            else:
+                m = re.fullmatch(r"\.reserve\.v(\d+)", f)
+                # reservation markers at or below current are spent
+                # (committed or abandoned) — reclaim them.
+                if m and int(m.group(1)) <= cur:
+                    os.remove(os.path.join(self._manifest_dir, f))
         return {
             "kept_versions": keep,
             "removed_bucket_dirs": len(removed_dirs),
@@ -564,7 +673,12 @@ class LakeTable:
                 ]
             )
             return self.spark.createDataFrame([], schema)
-        return self.changes_between(v - 1, v, bucket_ids=[int(b) for b in buckets])
+        # the previous snapshot is the epoch's recorded PARENT — with
+        # optimistic concurrency, version numbers may have gaps and a
+        # rebased commit's parent is whatever it committed on top of.
+        return self.changes_between(
+            rec.get("parent_version", v - 1), v, bucket_ids=[int(b) for b in buckets]
+        )
 
     def lookup(self, key_values: dict[str, Any]) -> DataFrame:
         """Point lookup by full key: hash the key to its bucket on the
@@ -658,11 +772,26 @@ class LakeTable:
                 "changed_buckets": sorted({b for r in stats_rows for b in r["bks"]}),
             }
         if not stats["n_total"]:
-            rec = self._lineage_record(epoch, 0, 0, None, None, manifest["version"] + 1, t0, extra_lineage)
-            manifest["version"] += 1
-            manifest["epochs"][str(epoch)] = rec
-            self._commit_manifest(manifest)
-            return rec
+            cur_m = manifest
+            v = self._reserve_version()
+            while True:
+                rec = self._lineage_record(epoch, 0, 0, None, None, v, t0, extra_lineage)
+                rec["parent_version"] = cur_m["version"]
+                new_m = dict(cur_m)
+                new_m["epochs"] = {**cur_m["epochs"], str(epoch): rec}
+                new_m["version"] = v
+                new_m["parent_version"] = cur_m["version"]
+                try:
+                    self._commit_manifest(new_m)
+                    return rec
+                except _StaleParent as sp:
+                    cur_m = self._load_manifest(sp.latest)
+                    if str(epoch) in cur_m["epochs"]:
+                        rec = dict(cur_m["epochs"][str(epoch)])
+                        rec["skipped_duplicate_epoch"] = True
+                        return rec
+                    if v <= sp.latest:
+                        v = self._reserve_version()
         changed_buckets = sorted(stats["changed_buckets"])
         lsn_lo = stats["lsn_lo"]
         lsn_hi = stats["lsn_hi"]
@@ -732,7 +861,7 @@ class LakeTable:
                 *key_cols, *[pick[c].alias(c) for c in payload]
             )
 
-        new_version = manifest["version"] + 1
+        new_version = self._reserve_version()
         rel_dir = f"data/v{new_version}"
         out_dir = os.path.join(self.root, rel_dir)
         # task count: enough for parallelism, not one per bucket — a
@@ -759,31 +888,113 @@ class LakeTable:
             for p in os.listdir(out_dir)
             if p.startswith(f"{_BUCKET_COL}=")
         }
-        for b in changed_buckets:
-            new_dir = f"{rel_dir}/{_BUCKET_COL}={b}"
-            if b in written:
-                if self.merge_mode == "mor":
-                    cur = (
-                        self._bucket_dirs(manifest, str(b))
-                        if str(b) in manifest["buckets"]
-                        else []
-                    )
-                    manifest["buckets"][str(b)] = [*cur, new_dir]
-                else:
-                    manifest["buckets"][str(b)] = [new_dir]
-            elif self.merge_mode != "mor":
-                # CoW bucket produced no rows (shouldn't happen with
-                # tombstones, but keep the manifest consistent).
-                manifest["buckets"].pop(str(b), None)
 
-        rec = self._lineage_record(
-            epoch, n_upserts, n_deletes, lsn_lo, lsn_hi, new_version, t0, extra_lineage
-        )
-        rec["changed_buckets"] = changed_buckets
-        manifest["version"] = new_version
-        manifest["epochs"][str(epoch)] = rec
-        self._commit_manifest(manifest)
-        return rec
+        def _bucket_edits(m: dict) -> dict:
+            b_map = dict(m["buckets"])
+            for b in changed_buckets:
+                new_dir = f"{rel_dir}/{_BUCKET_COL}={b}"
+                if b in written:
+                    if self.merge_mode == "mor":
+                        cur = (
+                            self._bucket_dirs(m, str(b))
+                            if str(b) in m["buckets"]
+                            else []
+                        )
+                        b_map[str(b)] = [*cur, new_dir]
+                    else:
+                        b_map[str(b)] = [new_dir]
+                elif self.merge_mode != "mor":
+                    # CoW bucket produced no rows (shouldn't happen with
+                    # tombstones, but keep the manifest consistent).
+                    b_map.pop(str(b), None)
+            return b_map
+
+        # Commit with optimistic rebase: the data write above ran once
+        # against the BASE snapshot; if another writer committed since,
+        # re-point the manifest at the new latest (validated compatible
+        # — see _validate_rebase) without touching the data files.
+        base = manifest
+        cur_m = manifest
+        while True:
+            rec = self._lineage_record(
+                epoch, n_upserts, n_deletes, lsn_lo, lsn_hi, new_version, t0, extra_lineage
+            )
+            rec["changed_buckets"] = changed_buckets
+            rec["parent_version"] = cur_m["version"]
+            new_m = dict(cur_m)
+            new_m["buckets"] = _bucket_edits(cur_m)
+            new_m["epochs"] = {**cur_m["epochs"], str(epoch): rec}
+            new_m["version"] = new_version
+            new_m["parent_version"] = cur_m["version"]
+            try:
+                self._commit_manifest(new_m)
+                return rec
+            except _StaleParent as sp:
+                latest_m = self._load_manifest(sp.latest)
+                if str(epoch) in latest_m["epochs"]:
+                    dup = dict(latest_m["epochs"][str(epoch)])
+                    dup["skipped_duplicate_epoch"] = True
+                    return dup
+                self._validate_rebase(base, latest_m, changed_buckets)
+                if new_version <= sp.latest:
+                    # a later-committed writer took a higher number:
+                    # renumber so the write ordinal (MoR equal-LSN
+                    # tie-break) stays ordered by COMMIT order.
+                    n2 = self._reserve_version()
+                    os.rename(
+                        os.path.join(self.root, f"data/v{new_version}"),
+                        os.path.join(self.root, f"data/v{n2}"),
+                    )
+                    new_version = n2
+                    rel_dir = f"data/v{new_version}"
+                cur_m = latest_m
+
+    def _validate_rebase(
+        self, base: dict, latest: dict, changed_buckets: list[int]
+    ) -> None:
+        """Decide whether a merge computed against ``base`` may commit
+        on top of ``latest`` (written by concurrent committers) without
+        re-running.  Raises ConcurrentCommitError when it may not."""
+        for fld in (
+            "schema",
+            "renames",
+            "key_cols",
+            "n_buckets",
+            "partial_columnar",
+            "columnar_compact_lsn_watermark",
+        ):
+            if base.get(fld) != latest.get(fld):
+                raise ConcurrentCommitError(
+                    f"concurrent commit changed {fld!r} between snapshot "
+                    f"{base['version']} and {latest['version']}; re-run "
+                    "the merge against the current snapshot"
+                )
+        for b in changed_buckets:
+            old_d = self._bucket_dirs(base, str(b)) if str(b) in base["buckets"] else []
+            new_d = (
+                self._bucket_dirs(latest, str(b)) if str(b) in latest["buckets"] else []
+            )
+            if self.merge_mode != "mor":
+                # CoW winners were computed FROM these buckets' contents
+                # — any concurrent change to them invalidates the merge.
+                if old_d != new_d:
+                    raise ConcurrentCommitError(
+                        f"concurrent commit rewrote bucket {b} read by "
+                        f"this CoW merge (snapshot {base['version']} -> "
+                        f"{latest['version']}); re-run the merge against "
+                        "the current snapshot"
+                    )
+            elif new_d[: len(old_d)] != old_d:
+                # MoR deltas commute with other APPENDS (read-time
+                # max-(lsn, write-version) resolution), but a concurrent
+                # compact/rebucket REPLACED the stack this delta's
+                # ordinal orders against.
+                raise ConcurrentCommitError(
+                    f"concurrent maintenance rewrote bucket {b}'s delta "
+                    f"stack (snapshot {base['version']} -> "
+                    f"{latest['version']}); re-run the merge against the "
+                    "current snapshot"
+                )
 
     def merge_epoch_partial(
         self,
@@ -1123,13 +1334,26 @@ class LakeTable:
                 manifest["renames"][old] = new
         else:
             raise ValueError(f"unsupported schema change: {change}")
-        manifest["version"] += 1
+        parent = manifest["version"]
+        manifest["version"] = self._reserve_version()
+        manifest["parent_version"] = parent
         if epoch is not None:
             manifest["epochs"].setdefault(
                 str(epoch),
-                {"epoch": epoch, "schema_change": change, "snapshot_version": manifest["version"]},
+                {
+                    "epoch": epoch,
+                    "schema_change": change,
+                    "snapshot_version": manifest["version"],
+                    "parent_version": parent,
+                },
             )
-        self._commit_manifest(manifest)
+        try:
+            self._commit_manifest(manifest)
+        except _StaleParent as sp:
+            raise ConcurrentCommitError(
+                f"concurrent commit (now at snapshot {sp.latest}) raced "
+                "this schema change; re-run it against the current snapshot"
+            ) from None
 
     def max_delta_depth(self) -> int:
         """Deepest base+delta stack over all buckets — the read-side
@@ -1188,7 +1412,7 @@ class LakeTable:
         resolved = self._read_buckets(manifest, [int(b) for b in target_buckets])
         if expire_tombstones:
             resolved = resolved.where(~F.col(_DELETED_COL))
-        new_version = manifest["version"] + 1
+        new_version = self._reserve_version()
         rel_dir = f"data/v{new_version}-compact"
         out_dir = os.path.join(self.root, rel_dir)
         default_par = self.spark.sparkContext.defaultParallelism
@@ -1213,8 +1437,16 @@ class LakeTable:
             else:
                 # bucket held only tombstones that just expired.
                 manifest["buckets"].pop(b, None)
+        parent = manifest["version"]
         manifest["version"] = new_version
-        self._commit_manifest(manifest)
+        manifest["parent_version"] = parent
+        try:
+            self._commit_manifest(manifest)
+        except _StaleParent as sp:
+            raise ConcurrentCommitError(
+                f"concurrent commit (now at snapshot {sp.latest}) raced "
+                "this compaction; re-run it against the current snapshot"
+            ) from None
         return {
             "compacted_buckets": len(target_buckets),
             "snapshot_version": new_version,
@@ -1263,7 +1495,7 @@ class LakeTable:
         resolved = resolved.withColumn(
             _BUCKET_COL, self.bucket_expr(key_cols, int(new_n_buckets))
         )
-        new_version = manifest["version"] + 1
+        new_version = self._reserve_version()
         rel_dir = f"data/v{new_version}-rebucket"
         out_dir = os.path.join(self.root, rel_dir)
         default_par = self.spark.sparkContext.defaultParallelism
@@ -1298,8 +1530,16 @@ class LakeTable:
                 manifest["columnar_compact_lsn_watermark"] = max(
                     int(h) for h in his
                 )
+        parent = manifest["version"]
         manifest["version"] = new_version
-        self._commit_manifest(manifest)
+        manifest["parent_version"] = parent
+        try:
+            self._commit_manifest(manifest)
+        except _StaleParent as sp:
+            raise ConcurrentCommitError(
+                f"concurrent commit (now at snapshot {sp.latest}) raced "
+                "this rebucket; re-run it against the current snapshot"
+            ) from None
         self.n_buckets = int(new_n_buckets)
         return {
             "snapshot_version": new_version,
