@@ -720,6 +720,7 @@ class LakeTable:
         extra_lineage: dict | None = None,
         stats: dict | None = None,
         skip_batch_dedup: bool = False,
+        computed_on_version: int | None = None,
     ) -> dict:
         """MERGE an epoch's deduped change batch into the table.
 
@@ -745,6 +746,19 @@ class LakeTable:
             rec = dict(manifest["epochs"][str(epoch)])
             rec["skipped_duplicate_epoch"] = True
             return rec
+        if (
+            computed_on_version is not None
+            and manifest["version"] != computed_on_version
+        ):
+            # the batch (e.g. merge_epoch_partial's hydration) was
+            # computed against an OLDER snapshot than the one this
+            # merge would base on — the CAS below couldn't see that
+            # staleness, so it must be rejected here.
+            raise ConcurrentCommitError(
+                f"batch was computed on snapshot {computed_on_version} "
+                f"but the table is now at {manifest['version']}; re-run "
+                "against the current snapshot"
+            )
 
         t0 = time.time()
         key_cols = manifest["key_cols"]
@@ -1048,8 +1062,12 @@ class LakeTable:
             changed_cols_col=changed_cols_col, reset_col=reset_col,
         )
         extra = {"partial_image": True, **(extra_lineage or {})}
+        # pin the snapshot the hydration read: a commit landing between
+        # here and the inner merge's own manifest load would otherwise
+        # slip past the CAS (the hydrated images would be stale).
         return self.merge_epoch(
-            hydrated, epoch, op_col=op_col, lsn_col=lsn_col, extra_lineage=extra
+            hydrated, epoch, op_col=op_col, lsn_col=lsn_col, extra_lineage=extra,
+            computed_on_version=manifest["version"],
         )
 
     # hydration join strategy gate: batches at or below this many rows

@@ -260,3 +260,50 @@ def test_merge_raced_by_schema_change_conflicts(spark, tmp_root, monkeypatch):
     ta.merge_epoch(e2, 2)  # re-run normalizes to the evolved schema
     assert ta.committed_epochs() == {1, 2}
     assert "stars" in ta.read().columns
+
+
+def test_partial_merge_detects_commit_in_hydrate_window(
+    spark, tmp_root, monkeypatch
+):
+    """merge_epoch_partial hydrates against a snapshot BEFORE the
+    inner merge reloads the manifest; a commit landing in that window
+    must be detected (the hydrated images are stale) — pinned via
+    ``computed_on_version``."""
+    from etl_cms_spark.operators.dedup import fold_partial_updates
+
+    ch = gen_source_changes(spark, n_events=1500, n_keys=250, n_repos=10)
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    e0 = ch.where(F.col("lsn") <= cut1)
+    e1 = ch.where((F.col("lsn") > cut1) & (F.col("lsn") <= cut2))
+    e2 = ch.where(F.col("lsn") > cut2)
+    keys = ["repo", "path"]
+    strip = lambda d: d.select(  # noqa: E731  partial images: lang absent on lsn%5==0
+        "repo", "path", "lsn", "op",
+        *[
+            F.when((F.col("lsn") % 5 != 0) & (F.col("op") != "D"), F.col(c)).alias(c)
+            for c in ("commit", "lang", "content")
+        ],
+    )
+    root = os.path.join(tmp_root, "occ_hydrate")
+    ta = _mk(spark, root, mode="cow")
+    ta.merge_epoch(e0, 0)
+    tb = LakeTable(spark, root, n_buckets=8, merge_mode="cow")
+    folded1 = fold_partial_updates(strip(e1), keys, "lsn", op_col="op")
+
+    orig = LakeTable.hydrate_partial
+    state = {"fired": False}
+
+    def hooked(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        if self is ta and not state["fired"]:
+            state["fired"] = True
+            tb.merge_epoch(e2, 2)  # lands between hydrate and merge
+        return out
+
+    monkeypatch.setattr(LakeTable, "hydrate_partial", hooked)
+    with pytest.raises(ConcurrentCommitError):
+        ta.merge_epoch_partial(folded1, 1)
+    assert ta.committed_epochs() == {0, 2}
+    ta.merge_epoch_partial(folded1, 1)  # retry re-hydrates on the new snapshot
+    assert ta.committed_epochs() == {0, 1, 2}
