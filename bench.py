@@ -357,6 +357,10 @@ def main_bench() -> None:
     timings["cdc_hotkey_window"] = skew_w["seconds"]
     timings["cdc_hotkey_salted"] = skew_s["seconds"]
     total = round(time.time() - total0, 2)
+    # Stop the session BEFORE printing the compact line: the driver
+    # parses only a ~2 kB output tail, and JVM shutdown-hook logging
+    # after the line could push it out of the capture window.
+    spark.stop()
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     full = {
         "metric": "sustained change-events/sec (tail→merge) + headline query seconds",
@@ -428,6 +432,12 @@ def main_bench() -> None:
                 line = json.dumps(compact, separators=(",", ":"))
                 if len(line) <= 1400:
                     break
+    if len(line) > 1400:  # still too long: drop ANY trailing rows
+        for k in list(compact["queries"])[::-1]:
+            compact["queries"].pop(k)
+            line = json.dumps(compact, separators=(",", ":"))
+            if len(line) <= 1400:
+                break
     print(line)
 
 
