@@ -41,6 +41,7 @@ _PRIORITIZED = [
     "textdedup_incr_groups",      # incremental dedup-group (CC) maintenance
     "lake_rebucket_state",        # bucket-count evolution mid-history
     "lake_concurrent_commits",    # optimistic-concurrency commit rebase (new r5)
+    "lake_wap_publish",           # write-audit-publish staged epoch (new r5)
     # round-4 deprioritized tail (never driver-checked)
     "cdc_latest_by_key_salted",   # property-twin of cdc_latest_by_key
     "minhash_lsh_portable",       # twin; minhash_lsh_neardup is primary

@@ -1789,6 +1789,53 @@ def lake_concurrent_commits(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@q(
+    "lake_wap_publish",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT repo, path, commit, lang, content FROM latest
+    """,
+)
+def lake_wap_publish(spark, sf_dir):
+    """WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern,
+    ``LakeTable.stage_epoch``): epoch 2 is STAGED — full merge compute
+    + data write, nothing reader-visible — audited against its exact
+    would-be post-publish state, then published as a pure metadata
+    CAS commit.  The oracle is the serial latest-wins replay of the
+    whole changelog: the stage/audit/publish detour must be invisible
+    in the final state."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.sink.lake import LakeTable
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    root = tempfile.mkdtemp(prefix="cdc_wap_")
+    try:
+        t = LakeTable(spark, root, n_buckets=8, merge_mode="mor")
+        t.create(
+            ["repo", "path"],
+            {"repo": "string", "path": "string", "commit": "string",
+             "lang": "string", "content": "string"},
+        )
+        t.merge_epoch(changes.where(F.col("lsn") <= mid), 0)
+        staged = t.stage_epoch(changes.where(F.col("lsn") > mid), 1)
+        # audit gate: counts sane, epoch not yet visible
+        s = staged.summary()
+        assert s["rows_upserted"] > 0 and t.committed_epochs() == {0}
+        staged.publish()
+        assert t.committed_epochs() == {0, 1}
+        return t.read().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _partial_changelog_from_documents(spark, sf_dir):
     """The flagship changelog, PARTIAL-IMAGE edition: commit present
     only when lsn % 3 != 0, content only when lsn % 7 != 0 (binlog

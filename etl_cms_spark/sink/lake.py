@@ -209,6 +209,19 @@ class LakeTable:
                 latest = max(latest, int(m.group(1)))
         return latest
 
+    def _abandon_version(self, version: int, rel_dir: str | None) -> None:
+        """A conflicted commit's compute is unusable — reclaim its
+        data dir and release its reservation before surfacing the
+        ConcurrentCommitError."""
+        import shutil
+
+        if rel_dir is not None:
+            shutil.rmtree(os.path.join(self.root, rel_dir), ignore_errors=True)
+        try:
+            os.remove(os.path.join(self._manifest_dir, f".reserve.v{version}"))
+        except FileNotFoundError:
+            pass
+
     @contextmanager
     def _commit_lock(self):
         fd = os.open(
@@ -241,6 +254,14 @@ class LakeTable:
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, cur)
+        # the reservation is spent: the manifest file now carries the
+        # number (monotonicity) and the data dir is referenced (vacuum
+        # safety).  A LIVE reservation marker is what tells vacuum a
+        # dir belongs to an in-flight or WAP-staged write.
+        try:
+            os.remove(os.path.join(self._manifest_dir, f".reserve.v{v}"))
+        except FileNotFoundError:
+            pass
         return v
 
     def create(
@@ -495,6 +516,7 @@ class LakeTable:
         try:
             v = self._commit_manifest(new)
         except _StaleParent as sp:
+            self._abandon_version(new["version"], None)
             raise ConcurrentCommitError(
                 f"concurrent commit (now at snapshot {sp.latest}) raced "
                 "this rollback; re-run it against the current snapshot"
@@ -504,7 +526,7 @@ class LakeTable:
         self.n_buckets = int(new.get("n_buckets", self.n_buckets))
         return v
 
-    def vacuum(self, keep_last: int = 2) -> dict:
+    def vacuum(self, keep_last: int = 2, expire_reservations: bool = False) -> dict:
         """Snapshot expiry + orphan GC.  Keeps the last ``keep_last``
         versions (time travel horizon); deletes every bucket data dir
         not referenced by a kept manifest — including orphans from
@@ -516,10 +538,24 @@ class LakeTable:
         version's dir may still back the current snapshot — it is
         kept).  Rollback beyond the vacuum horizon is impossible by
         construction; choose ``keep_last`` >= the replay/audit window.
+
+        Data dirs whose version holds a LIVE reservation marker are
+        never touched: they belong to an in-flight merge or a
+        WAP-staged epoch (``stage_epoch``), even when concurrent
+        commits have advanced CURRENT past their number.  Markers are
+        dropped on commit/discard, so a lingering marker is either a
+        live writer or crash debris; pass ``expire_reservations=True``
+        (only when no writers are in flight) to reclaim debris markers
+        at or below CURRENT together with their unreferenced dirs.
         """
         import shutil
 
         cur = self._current_version()
+        reserved = {
+            int(m.group(1))
+            for f in os.listdir(self._manifest_dir)
+            if (m := re.fullmatch(r"\.reserve\.v(\d+)", f))
+        }
         keep = [
             v
             for v in range(max(0, cur - keep_last + 1), cur + 1)
@@ -548,6 +584,10 @@ class LakeTable:
                 vnum = int(mnum.group(1)) if mnum else None
                 if vnum is not None and vnum > cur:
                     continue
+                if vnum in reserved and not expire_reservations:
+                    # live reservation: an in-flight or WAP-staged
+                    # write whose number commits have moved past.
+                    continue
                 for leaf in sorted(os.listdir(vpath)):
                     rel = f"data/{vdir}/{leaf}"
                     if leaf.startswith(f"{_BUCKET_COL}=") and rel not in referenced:
@@ -568,10 +608,11 @@ class LakeTable:
                 if v not in keep and v <= cur:
                     os.remove(os.path.join(self._manifest_dir, f))
                     removed_manifests.append(v)
-            else:
+            elif expire_reservations:
                 m = re.fullmatch(r"\.reserve\.v(\d+)", f)
-                # reservation markers at or below current are spent
-                # (committed or abandoned) — reclaim them.
+                # debris markers (crashed writers) at or below current
+                # — reclaim only on explicit request, since a live
+                # in-flight writer's marker looks identical.
                 if m and int(m.group(1)) <= cur:
                     os.remove(os.path.join(self._manifest_dir, f))
         return {
@@ -721,6 +762,7 @@ class LakeTable:
         stats: dict | None = None,
         skip_batch_dedup: bool = False,
         computed_on_version: int | None = None,
+        _stage: bool = False,
     ) -> dict:
         """MERGE an epoch's deduped change batch into the table.
 
@@ -745,6 +787,9 @@ class LakeTable:
         if str(epoch) in manifest["epochs"]:
             rec = dict(manifest["epochs"][str(epoch)])
             rec["skipped_duplicate_epoch"] = True
+            if _stage:
+                return StagedEpoch(self, manifest, None, None, set(), [],
+                                   dict(epoch=epoch), dup_rec=rec)
             return rec
         if (
             computed_on_version is not None
@@ -786,26 +831,18 @@ class LakeTable:
                 "changed_buckets": sorted({b for r in stats_rows for b in r["bks"]}),
             }
         if not stats["n_total"]:
-            cur_m = manifest
             v = self._reserve_version()
-            while True:
-                rec = self._lineage_record(epoch, 0, 0, None, None, v, t0, extra_lineage)
-                rec["parent_version"] = cur_m["version"]
-                new_m = dict(cur_m)
-                new_m["epochs"] = {**cur_m["epochs"], str(epoch): rec}
-                new_m["version"] = v
-                new_m["parent_version"] = cur_m["version"]
-                try:
-                    self._commit_manifest(new_m)
-                    return rec
-                except _StaleParent as sp:
-                    cur_m = self._load_manifest(sp.latest)
-                    if str(epoch) in cur_m["epochs"]:
-                        rec = dict(cur_m["epochs"][str(epoch)])
-                        rec["skipped_duplicate_epoch"] = True
-                        return rec
-                    if v <= sp.latest:
-                        v = self._reserve_version()
+            if _stage:
+                return StagedEpoch(
+                    self, manifest, v, None, set(), [],
+                    dict(epoch=epoch, n_upserts=0, n_deletes=0,
+                         lsn_lo=None, lsn_hi=None, t0=t0,
+                         extra_lineage=extra_lineage),
+                )
+            return self._commit_epoch_with_rebase(
+                manifest, v, None, set(), [], epoch, 0, 0, None, None,
+                t0, extra_lineage,
+            )
         changed_buckets = sorted(stats["changed_buckets"])
         lsn_lo = stats["lsn_lo"]
         lsn_hi = stats["lsn_hi"]
@@ -923,12 +960,64 @@ class LakeTable:
                     b_map.pop(str(b), None)
             return b_map
 
-        # Commit with optimistic rebase: the data write above ran once
+        if _stage:
+            return StagedEpoch(
+                self, manifest, new_version, rel_dir, written,
+                changed_buckets,
+                dict(epoch=epoch, n_upserts=n_upserts, n_deletes=n_deletes,
+                     lsn_lo=lsn_lo, lsn_hi=lsn_hi, t0=t0,
+                     extra_lineage=extra_lineage),
+            )
+        return self._commit_epoch_with_rebase(
+            manifest, new_version, rel_dir, written, changed_buckets,
+            epoch, n_upserts, n_deletes, lsn_lo, lsn_hi, t0, extra_lineage,
+        )
+
+    def _staged_bucket_edits(
+        self, m: dict, rel_dir: str, written: set, changed_buckets: list[int]
+    ) -> dict:
+        """The bucket-map delta a staged/merged epoch applies on top of
+        manifest ``m`` (CoW replaces the touched buckets' dirs, MoR
+        appends its delta dir to their stacks)."""
+        b_map = dict(m["buckets"])
+        for b in changed_buckets:
+            new_dir = f"{rel_dir}/{_BUCKET_COL}={b}"
+            if b in written:
+                if self.merge_mode == "mor":
+                    cur = (
+                        self._bucket_dirs(m, str(b))
+                        if str(b) in m["buckets"]
+                        else []
+                    )
+                    b_map[str(b)] = [*cur, new_dir]
+                else:
+                    b_map[str(b)] = [new_dir]
+            elif self.merge_mode != "mor":
+                # CoW bucket produced no rows (shouldn't happen with
+                # tombstones, but keep the manifest consistent).
+                b_map.pop(str(b), None)
+        return b_map
+
+    def _commit_epoch_with_rebase(
+        self,
+        base: dict,
+        new_version: int,
+        rel_dir: str,
+        written: set,
+        changed_buckets: list[int],
+        epoch: int,
+        n_upserts: int,
+        n_deletes: int,
+        lsn_lo,
+        lsn_hi,
+        t0: float,
+        extra_lineage: dict | None,
+    ) -> dict:
+        # Commit with optimistic rebase: the data write ran once
         # against the BASE snapshot; if another writer committed since,
         # re-point the manifest at the new latest (validated compatible
         # — see _validate_rebase) without touching the data files.
-        base = manifest
-        cur_m = manifest
+        cur_m = base
         while True:
             rec = self._lineage_record(
                 epoch, n_upserts, n_deletes, lsn_lo, lsn_hi, new_version, t0, extra_lineage
@@ -936,7 +1025,9 @@ class LakeTable:
             rec["changed_buckets"] = changed_buckets
             rec["parent_version"] = cur_m["version"]
             new_m = dict(cur_m)
-            new_m["buckets"] = _bucket_edits(cur_m)
+            new_m["buckets"] = self._staged_bucket_edits(
+                cur_m, rel_dir, written, changed_buckets
+            )
             new_m["epochs"] = {**cur_m["epochs"], str(epoch): rec}
             new_m["version"] = new_version
             new_m["parent_version"] = cur_m["version"]
@@ -948,19 +1039,36 @@ class LakeTable:
                 if str(epoch) in latest_m["epochs"]:
                     dup = dict(latest_m["epochs"][str(epoch)])
                     dup["skipped_duplicate_epoch"] = True
+                    self._abandon_version(new_version, rel_dir)
                     return dup
-                self._validate_rebase(base, latest_m, changed_buckets)
+                try:
+                    self._validate_rebase(base, latest_m, changed_buckets)
+                except ConcurrentCommitError:
+                    self._abandon_version(new_version, rel_dir)
+                    raise
                 if new_version <= sp.latest:
                     # a later-committed writer took a higher number:
                     # renumber so the write ordinal (MoR equal-LSN
                     # tie-break) stays ordered by COMMIT order.
                     n2 = self._reserve_version()
-                    os.rename(
-                        os.path.join(self.root, f"data/v{new_version}"),
-                        os.path.join(self.root, f"data/v{n2}"),
-                    )
+                    if rel_dir is not None:  # None: zero-row commit
+                        os.rename(
+                            os.path.join(self.root, f"data/v{new_version}"),
+                            os.path.join(self.root, f"data/v{n2}"),
+                        )
+                        rel_dir = f"data/v{n2}"
+                    # the old number is deliberately abandoned — drop
+                    # its reservation so it reads as debris, not as a
+                    # live in-flight write.
+                    try:
+                        os.remove(
+                            os.path.join(
+                                self._manifest_dir, f".reserve.v{new_version}"
+                            )
+                        )
+                    except FileNotFoundError:
+                        pass
                     new_version = n2
-                    rel_dir = f"data/v{new_version}"
                 cur_m = latest_m
 
     def _validate_rebase(
@@ -1009,6 +1117,33 @@ class LakeTable:
                     f"{latest['version']}); re-run the merge against the "
                     "current snapshot"
                 )
+
+    def stage_epoch(
+        self,
+        updates: DataFrame,
+        epoch: int,
+        op_col: str = "op",
+        lsn_col: str = "lsn",
+        extra_lineage: dict | None = None,
+        stats: dict | None = None,
+        skip_batch_dedup: bool = False,
+    ) -> "StagedEpoch":
+        """WRITE-AUDIT-PUBLISH: run the full merge compute + data
+        write for ``epoch`` WITHOUT committing, and return a
+        ``StagedEpoch`` handle.  ``handle.read()`` is the exact
+        post-publish table state (the audit surface), ``publish()``
+        commits it atomically through the same CAS/rebase path as
+        ``merge_epoch``, ``discard()`` drops the staged files.
+
+        This is the ingest quality gate at scale: audits run against
+        the REAL merged result once, and publishing is a pure
+        metadata commit — no second merge, no window where readers
+        see unaudited rows."""
+        return self.merge_epoch(
+            updates, epoch, op_col=op_col, lsn_col=lsn_col,
+            extra_lineage=extra_lineage, stats=stats,
+            skip_batch_dedup=skip_batch_dedup, _stage=True,
+        )
 
     def merge_epoch_partial(
         self,
@@ -1368,6 +1503,7 @@ class LakeTable:
         try:
             self._commit_manifest(manifest)
         except _StaleParent as sp:
+            self._abandon_version(manifest["version"], None)
             raise ConcurrentCommitError(
                 f"concurrent commit (now at snapshot {sp.latest}) raced "
                 "this schema change; re-run it against the current snapshot"
@@ -1461,6 +1597,7 @@ class LakeTable:
         try:
             self._commit_manifest(manifest)
         except _StaleParent as sp:
+            self._abandon_version(new_version, rel_dir)
             raise ConcurrentCommitError(
                 f"concurrent commit (now at snapshot {sp.latest}) raced "
                 "this compaction; re-run it against the current snapshot"
@@ -1554,6 +1691,7 @@ class LakeTable:
         try:
             self._commit_manifest(manifest)
         except _StaleParent as sp:
+            self._abandon_version(new_version, rel_dir)
             raise ConcurrentCommitError(
                 f"concurrent commit (now at snapshot {sp.latest}) raced "
                 "this rebucket; re-run it against the current snapshot"
@@ -1582,3 +1720,126 @@ class LakeTable:
         if extra:
             rec.update(extra)
         return rec
+
+
+class StagedEpoch:
+    """A WRITE-AUDIT-PUBLISH staged merge (Iceberg's WAP pattern,
+    ``LakeTable.stage_epoch``): the epoch's data files are written and
+    its manifest delta computed, but NOTHING is reader-visible until
+    ``publish()`` runs the same CAS/rebase commit a direct
+    ``merge_epoch`` uses.  ``read()`` exposes the WOULD-BE post-publish
+    state so data-quality audits run against the real merged result —
+    not a re-derivation that could drift from what actually lands —
+    and ``discard()`` drops the staged files without ever committing.
+
+    The staged snapshot stays valid across concurrent commits exactly
+    as far as a direct merge would: ``publish()`` rebases when the
+    interleaved commits commute (MoR appends, disjoint CoW buckets)
+    and raises ``ConcurrentCommitError`` otherwise."""
+
+    def __init__(
+        self,
+        table: LakeTable,
+        base: dict,
+        new_version: int | None,
+        rel_dir: str | None,
+        written: set,
+        changed_buckets: list[int],
+        rec_args: dict,
+        dup_rec: dict | None = None,
+    ):
+        self._table = table
+        self._base = base
+        self._new_version = new_version
+        self._rel_dir = rel_dir
+        self._written = written
+        self._changed_buckets = changed_buckets
+        self._rec_args = rec_args
+        self._dup_rec = dup_rec
+        self._published: dict | None = None
+        self._discarded = False
+
+    @property
+    def epoch(self) -> int:
+        return self._rec_args["epoch"]
+
+    @property
+    def already_committed(self) -> bool:
+        """True when the epoch was already in the manifest at staging
+        time — publish() is then the usual exactly-once no-op."""
+        return self._dup_rec is not None
+
+    def summary(self) -> dict:
+        """Audit-cheap stats of the staged batch (no jobs)."""
+        if self._dup_rec is not None:
+            return dict(self._dup_rec)
+        return {
+            "epoch": self._rec_args["epoch"],
+            "rows_upserted": self._rec_args["n_upserts"],
+            "rows_deleted": self._rec_args["n_deletes"],
+            "lsn_min": self._rec_args["lsn_lo"],
+            "lsn_max": self._rec_args["lsn_hi"],
+            "changed_buckets": list(self._changed_buckets),
+            "staged_version": self._new_version,
+        }
+
+    def _staged_manifest(self) -> dict:
+        m = dict(self._base)
+        m["buckets"] = self._table._staged_bucket_edits(
+            self._base, self._rel_dir, self._written, self._changed_buckets
+        )
+        return m
+
+    def read(self, bucket_ids: list[int] | None = None) -> DataFrame:
+        """The table state publish() would produce (tombstones
+        filtered, system columns dropped) — the audit surface."""
+        if self._discarded:
+            raise ValueError("staged epoch was discarded")
+        if self._dup_rec is not None:
+            return self._table.read(bucket_ids)
+        df = self._table._read_buckets(self._staged_manifest(), bucket_ids)
+        return df.where(~F.col(_DELETED_COL)).drop(
+            _LSN_COL, _BUCKET_COL, _DELETED_COL
+        )
+
+    def publish(self) -> dict:
+        """Commit the staged epoch (idempotent: repeated calls return
+        the first result; an epoch committed by someone else in the
+        meantime returns their record with skipped_duplicate_epoch)."""
+        if self._discarded:
+            raise ValueError("staged epoch was discarded")
+        if self._dup_rec is not None:
+            return dict(self._dup_rec)
+        if self._published is None:
+            a = self._rec_args
+            self._published = self._table._commit_epoch_with_rebase(
+                self._base, self._new_version, self._rel_dir, self._written,
+                self._changed_buckets, a["epoch"], a["n_upserts"],
+                a["n_deletes"], a["lsn_lo"], a["lsn_hi"], a["t0"],
+                a["extra_lineage"],
+            )
+        return self._published
+
+    def discard(self) -> None:
+        """Drop the staged (never-visible) data files and release the
+        version reservation."""
+        import shutil
+
+        if self._published is not None:
+            raise ValueError("staged epoch was already published")
+        self._discarded = True
+        if self._rel_dir is not None:
+            shutil.rmtree(
+                os.path.join(self._table.root, self._rel_dir),
+                ignore_errors=True,
+            )
+        if self._new_version is not None:
+            try:
+                os.remove(
+                    os.path.join(
+                        self._table._manifest_dir,
+                        f".reserve.v{self._new_version}",
+                    )
+                )
+            except FileNotFoundError:
+                pass
