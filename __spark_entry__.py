@@ -16,15 +16,16 @@ from etl_cms_spark.queries import ORACLES, QUERIES
 
 # The driver's CORRECTNESS gate records (at most) the first 50 catalog
 # entries.  ROUND-5 ROTATION (deliberate, one round only — flagged per
-# the round-4 advice): the 23 entries with no driver-green record yet —
+# the round-4 advice): the 25 entries with no driver-green record yet —
 # the 13 round-4-deprioritized property twins / breadth extras plus the
-# ten round-5 additions (cdc_partial_fold, debezium_adapter,
+# twelve round-5 additions (cdc_partial_fold, debezium_adapter,
 # cdc_pipeline_minimal, cdc_columnar_mor, cdc_pipeline_auto,
 # ann_ivf_incremental, neardup_components_star, textdedup_incremental,
-# textdedup_incr_groups, lake_rebucket_state) —
+# textdedup_incr_groups, lake_rebucket_state, lake_concurrent_commits,
+# lake_wap_publish) —
 # are ordered FIRST so this round's gate gives them their driver row;
 # the 50 entries proven green in CORRECTNESS_r04.json fill the window's
-# remaining 27 slots in their natural (§2-primary-first) order.  After
+# remaining 25 slots in their natural (§2-primary-first) order.  After
 # this round the §2-primary-first order returns.  ALL entries always
 # stay oracle-checked in the in-repo mirror of the gate
 # (tests/test_entry.py::test_query_matches_oracle).

@@ -91,6 +91,7 @@ class CDCPipeline:
         salt_task_row_budget: int = 32_000_000,
         broadcast_dedup_max_rows: int = 500_000,
         row_image: str = "full",
+        epoch_audit: "object | None" = None,
     ):
         """dedup_mode:
         * "strict" (default) — max-LSN dedup before mapping.  Measured
@@ -211,6 +212,18 @@ class CDCPipeline:
         if row_image not in ("full", "minimal"):
             raise ValueError(f"row_image must be full|minimal, got {row_image}")
         self.row_image = row_image
+        # epoch_audit: write-audit-publish quality gate.  Called once
+        # per epoch with the StagedEpoch handle (exact would-be
+        # post-merge state via .read(), job-free counts via
+        # .summary()); truthy -> publish, falsy -> the epoch is
+        # DISCARDED and its whole batch lands in the quarantine log
+        # for the reprocess_quarantine repair flow (the source cursor
+        # still advances — rejected data is retained, not re-pulled).
+        # Unsupported with demux_domains: domain merges land before
+        # the main-table decision, so a reject could not retract them.
+        if epoch_audit is not None and demux_domains:
+            raise ValueError("epoch_audit is not supported with demux_domains")
+        self.epoch_audit = epoch_audit
         self.demux_domains = demux_domains
         if demux_tombstones not in ("blanket", "targeted"):
             raise ValueError(f"demux_tombstones must be blanket|targeted, got {demux_tombstones}")
@@ -525,19 +538,56 @@ class CDCPipeline:
             if self.demux_domains:
                 dom_recs = self._demux_merge(mapped, stats, epoch)
 
-            # 5b. exactly-once main merge with lineage.
-            rec = self.table.merge_epoch(
-                updates.drop("_quar"),
-                epoch,
-                extra_lineage=extra,
-                stats={
-                    "n_total": int(stats["n_total"] or 0),
-                    "n_deletes": int(stats["n_deletes"] or 0),
-                    "lsn_lo": stats["lsn_lo"],
-                    "lsn_hi": stats["lsn_hi"],
-                    "changed_buckets": sorted(stats["buckets"] or []),
-                },
-            )
+            # 5b. exactly-once main merge with lineage — optionally
+            # through the write-audit-publish gate (epoch_audit).
+            merge_stats = {
+                "n_total": int(stats["n_total"] or 0),
+                "n_deletes": int(stats["n_deletes"] or 0),
+                "lsn_lo": stats["lsn_lo"],
+                "lsn_hi": stats["lsn_hi"],
+                "changed_buckets": sorted(stats["buckets"] or []),
+            }
+            if self.epoch_audit is None:
+                rec = self.table.merge_epoch(
+                    updates.drop("_quar"), epoch,
+                    extra_lineage=extra, stats=merge_stats,
+                )
+            else:
+                staged = self.table.stage_epoch(
+                    updates.drop("_quar"), epoch,
+                    extra_lineage=extra, stats=merge_stats,
+                )
+                if staged.already_committed:
+                    rec = staged.publish()
+                else:
+                    try:
+                        passed = bool(self.epoch_audit(staged))
+                    except BaseException:
+                        staged.discard()
+                        raise
+                    if passed:
+                        rec = staged.publish()
+                    else:
+                        staged.discard()
+                        # retain the WHOLE batch for the repair flow
+                        # (epoch-keyed overwrite: replays rewrite, not
+                        # duplicate, the slice — same idempotency as
+                        # the unmapped quarantine above).
+                        mapped.withColumn("epoch", F.lit(epoch)).write.mode(
+                            "overwrite"
+                        ).parquet(
+                            os.path.join(self.quarantine_dir, f"epoch={epoch}")
+                        )
+                        rec = {
+                            **extra,
+                            "epoch": epoch,
+                            "audit_rejected": True,
+                            "rows_upserted": 0,
+                            "rows_deleted": 0,
+                            "rows_quarantined": int(stats["n_total"] or 0),
+                            "lsn_min": stats["lsn_lo"],
+                            "lsn_max": stats["lsn_hi"],
+                        }
             if dom_recs is not None:
                 rec["domains"] = dom_recs
         finally:
