@@ -45,6 +45,7 @@ def start_stream(
     sidecars: list | None = None,
     dedup_filter_index: "object | None" = None,
     row_image: str = "full",
+    epoch_audit: "object | None" = None,
 ) -> tuple[StreamingQuery, CDCPipeline]:
     """Tail a changelog directory (file source — swap for Kafka/
     binlog reader by changing only this readStream) and upsert each
@@ -76,6 +77,10 @@ def start_stream(
         # against the table — streaming applies batches in id order,
         # satisfying the mode's in-order contract.
         row_image=row_image,
+        # write-audit-publish gate per MICRO-BATCH: a rejected batch
+        # quarantines whole and the stream keeps flowing (the
+        # checkpoint advances past it; repair is out-of-band).
+        epoch_audit=epoch_audit,
     )
     pipeline.init_tables()
     if sidecars or dedup_filter_index is not None:

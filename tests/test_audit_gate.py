@@ -98,3 +98,26 @@ def test_gate_rejects_demux_combination(spark, tmp_root):
             spark, os.path.join(tmp_root, "bad"),
             demux_domains=True, epoch_audit=lambda s: True,
         )
+
+
+def test_gate_under_streaming(spark, tmp_root):
+    """The gate rides foreachBatch unchanged: a rejected micro-batch
+    quarantines whole and the stream keeps flowing past it."""
+    from etl_cms_spark.streaming.stream import start_stream
+
+    changes = gen_source_changes(spark, n_events=1000, n_keys=200, n_repos=10)
+    log_dir = os.path.join(tmp_root, "changelog")
+    changes.repartition(4).write.parquet(log_dir)
+    lake = os.path.join(tmp_root, "lake")
+
+    q, p = start_stream(
+        spark, log_dir, lake, max_files_per_trigger=2,
+        epoch_audit=lambda staged: staged.epoch != 0,
+    )
+    q.awaitTermination(300)
+    recs = p.table.lineage()
+    assert recs, "stream produced no committed epochs"
+    assert 0 not in p.table.committed_epochs()
+    assert len(p.table.committed_epochs()) >= 1
+    q0 = spark.read.parquet(os.path.join(lake, "quarantine", "epoch=0"))
+    assert q0.count() > 0
