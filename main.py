@@ -80,6 +80,16 @@ def main() -> None:
         "pre-epoch table replace the whole-row dedup forms",
     )
     ap.add_argument(
+        "--audit-max-delete-ratio",
+        type=float,
+        default=None,
+        metavar="R",
+        help="write-audit-publish gate: stage each epoch and REJECT it "
+        "(whole batch to quarantine, cursor still advances) when "
+        "deletes exceed fraction R of its rows — a mass-delete "
+        "circuit breaker; repair later via the quarantine flow",
+    )
+    ap.add_argument(
         "--rebucket",
         type=int,
         default=None,
@@ -115,6 +125,15 @@ def main() -> None:
                 spark, args.dedup_filter_index, "content", "doc_id"
             )
 
+    epoch_audit = None
+    if args.audit_max_delete_ratio is not None:
+        cap = args.audit_max_delete_ratio
+
+        def epoch_audit(staged, _cap=cap):
+            s = staged.summary()
+            n = s["rows_upserted"] + s["rows_deleted"]
+            return n == 0 or (s["rows_deleted"] / n) <= _cap
+
     if args.stream:
         from etl_cms_spark.streaming.stream import start_stream
 
@@ -123,6 +142,7 @@ def main() -> None:
             demux_domains=args.demux_domains,
             dedup_filter_index=filter_index,
             row_image=args.row_image,
+            epoch_audit=epoch_audit,
         )
         q.awaitTermination()
     else:
@@ -142,6 +162,7 @@ def main() -> None:
             salt_task_row_budget=args.salt_task_row_budget,
             broadcast_dedup_max_rows=args.broadcast_dedup_max_rows,
             row_image=args.row_image,
+            epoch_audit=epoch_audit,
         )
         if args.rebucket:
             pipeline.init_tables()
@@ -154,6 +175,11 @@ def main() -> None:
 
     for rec in pipeline.table.lineage():
         print(json.dumps(rec))
+    # audit-rejected epochs never reach the table's lineage — surface
+    # them from the run metrics so the gate's decisions are visible.
+    for rec in getattr(pipeline, "metrics", []):
+        if rec.get("audit_rejected"):
+            print(json.dumps(rec))
 
 
 if __name__ == "__main__":
