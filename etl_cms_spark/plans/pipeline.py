@@ -58,6 +58,53 @@ MAIN_SCHEMA = {
 }
 
 
+class StagedEpochGroup:
+    """The audit surface of a MULTI-TABLE write-audit-publish epoch
+    (``CDCPipeline(epoch_audit=..., demux_domains=True)``): the main
+    table's staged epoch plus one staged epoch per domain sink the
+    batch touches.  A single verdict gates all of them — the pipeline
+    publishes domains first and the main commit last (the completion
+    marker), or discards every participant.
+
+    Compatible with single-table audit callbacks: ``.epoch`` and the
+    flat counters of ``.summary()`` are the MAIN table's (main carries
+    the whole batch, so batch-level rules like a delete-ratio breaker
+    read the same numbers either way); per-domain detail nests under
+    ``summary()["domains"]``.
+    """
+
+    def __init__(self, main, domains: dict, skipped: dict):
+        self.main = main
+        #: live domain name -> StagedEpoch (domains the batch touches)
+        self.domains = dict(domains)
+        #: domain name -> skip record (no rows this epoch; never staged)
+        self.skipped = dict(skipped)
+
+    @property
+    def epoch(self) -> int:
+        return self.main.epoch
+
+    def summary(self) -> dict:
+        return {
+            **self.main.summary(),
+            "domains": {d: s.summary() for d, s in sorted(self.domains.items())},
+            "skipped_domains": sorted(self.skipped),
+        }
+
+    def read(self, table: str = "main", bucket_ids: list | None = None):
+        """Would-be post-publish state of ``table`` ("main" or a
+        domain name)."""
+        h = self.main if table == "main" else self.domains[table]
+        return h.read(bucket_ids)
+
+    def discard_all(self) -> None:
+        """Drop every participant's staged files + reservations.
+        Already-committed (replayed) participants are left alone."""
+        for h in [self.main, *self.domains.values()]:
+            if not h.already_committed and not h.published:
+                h.discard()
+
+
 class CDCPipeline:
     # MoR domain sinks compact whenever any bucket's base+delta stack
     # exceeds this depth (when no explicit compact_depth/compact_every
@@ -219,10 +266,13 @@ class CDCPipeline:
         # DISCARDED and its whole batch lands in the quarantine log
         # for the reprocess_quarantine repair flow (the source cursor
         # still advances — rejected data is retained, not re-pulled).
-        # Unsupported with demux_domains: domain merges land before
-        # the main-table decision, so a reject could not retract them.
-        if epoch_audit is not None and demux_domains:
-            raise ValueError("epoch_audit is not supported with demux_domains")
+        # With demux_domains the gate becomes a MULTI-TABLE
+        # transaction: the main epoch AND every domain slice are
+        # staged, the audit sees the combined would-be state
+        # (StagedEpochGroup), and the verdict publishes or discards
+        # ALL of them — domains first, the main commit last as the
+        # completion marker, so a crash mid-publish rolls forward on
+        # replay (publishes only ever follow a pass).
         self.epoch_audit = epoch_audit
         self.demux_domains = demux_domains
         if demux_tombstones not in ("blanket", "targeted"):
@@ -535,8 +585,18 @@ class CDCPipeline:
             # (the main commit is the last write; if it exists, every
             # domain commit already does).
             dom_recs = None
+            dom_staged = None
             if self.demux_domains:
-                dom_recs = self._demux_merge(mapped, stats, epoch)
+                if self.epoch_audit is None:
+                    dom_recs = self._demux_merge(mapped, stats, epoch)
+                else:
+                    # multi-table WAP: domain slices are STAGED (full
+                    # merge compute + data write, no commit) so the
+                    # audit verdict gates every sink of the epoch
+                    # atomically — see the gate block below.
+                    dom_recs, dom_staged = self._demux_merge(
+                        mapped, stats, epoch, stage=True
+                    )
 
             # 5b. exactly-once main merge with lineage — optionally
             # through the write-audit-publish gate (epoch_audit).
@@ -557,37 +617,88 @@ class CDCPipeline:
                     updates.drop("_quar"), epoch,
                     extra_lineage=extra, stats=merge_stats,
                 )
-                if staged.already_committed:
-                    rec = staged.publish()
+                gate = (
+                    StagedEpochGroup(staged, dom_staged or {}, dom_recs or {})
+                    if self.demux_domains
+                    else staged
+                )
+                # ROLL FORWARD: publishes only ever happen after a
+                # PASS verdict, so any participant already committed
+                # (a replay of a fully published epoch, or a crash
+                # between the domain publishes and the main commit)
+                # proves this epoch's verdict was pass — complete the
+                # transaction instead of re-judging a partially
+                # visible state.
+                roll_forward = staged.already_committed or any(
+                    s.already_committed for s in (dom_staged or {}).values()
+                )
+                if roll_forward:
+                    passed = True
                 else:
                     try:
-                        passed = bool(self.epoch_audit(staged))
+                        passed = bool(self.epoch_audit(gate))
                     except BaseException:
-                        staged.discard()
+                        if self.demux_domains:
+                            gate.discard_all()
+                        else:
+                            staged.discard()
                         raise
-                    if passed:
-                        rec = staged.publish()
+                if passed:
+                    # domains publish FIRST, the main commit LAST —
+                    # the main epoch record is the transaction's
+                    # completion marker (same ordering as the
+                    # unstaged demux path), so a crash anywhere in
+                    # the publish fan-out replays into the
+                    # roll-forward branch above.
+                    if dom_staged:
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        with ThreadPoolExecutor(
+                            max_workers=len(dom_staged)
+                        ) as pool:
+                            futs = {
+                                d: pool.submit(s.publish)
+                                for d, s in dom_staged.items()
+                            }
+                            dom_recs.update(
+                                {d: f.result() for d, f in futs.items()}
+                            )
+                    rec = staged.publish()
+                else:
+                    if self.demux_domains:
+                        gate.discard_all()
+                        dom_recs.update(
+                            {
+                                d: {
+                                    "epoch": epoch,
+                                    "audit_rejected": True,
+                                    "rows_upserted": 0,
+                                    "rows_deleted": 0,
+                                }
+                                for d in (dom_staged or {})
+                            }
+                        )
                     else:
                         staged.discard()
-                        # retain the WHOLE batch for the repair flow
-                        # (epoch-keyed overwrite: replays rewrite, not
-                        # duplicate, the slice — same idempotency as
-                        # the unmapped quarantine above).
-                        mapped.withColumn("epoch", F.lit(epoch)).write.mode(
-                            "overwrite"
-                        ).parquet(
-                            os.path.join(self.quarantine_dir, f"epoch={epoch}")
-                        )
-                        rec = {
-                            **extra,
-                            "epoch": epoch,
-                            "audit_rejected": True,
-                            "rows_upserted": 0,
-                            "rows_deleted": 0,
-                            "rows_quarantined": int(stats["n_total"] or 0),
-                            "lsn_min": stats["lsn_lo"],
-                            "lsn_max": stats["lsn_hi"],
-                        }
+                    # retain the WHOLE batch for the repair flow
+                    # (epoch-keyed overwrite: replays rewrite, not
+                    # duplicate, the slice — same idempotency as
+                    # the unmapped quarantine above).
+                    mapped.withColumn("epoch", F.lit(epoch)).write.mode(
+                        "overwrite"
+                    ).parquet(
+                        os.path.join(self.quarantine_dir, f"epoch={epoch}")
+                    )
+                    rec = {
+                        **extra,
+                        "epoch": epoch,
+                        "audit_rejected": True,
+                        "rows_upserted": 0,
+                        "rows_deleted": 0,
+                        "rows_quarantined": int(stats["n_total"] or 0),
+                        "lsn_min": stats["lsn_lo"],
+                        "lsn_max": stats["lsn_hi"],
+                    }
             if dom_recs is not None:
                 rec["domains"] = dom_recs
         finally:
@@ -890,10 +1001,20 @@ class CDCPipeline:
             out[name] = sc.update_from_lake(self.table, epoch)
         return out
 
-    def _demux_merge(self, mapped: DataFrame, stats: dict, epoch: int) -> dict:
+    def _demux_merge(
+        self, mapped: DataFrame, stats: dict, epoch: int, stage: bool = False
+    ) -> dict:
         """Route the mapped batch into the per-domain destination
         tables (demux I — the reference's multi-output dispatch,
         CMS_SynPuf_ETL_CDM_v5.py:1228-1290, as exactly-once CDC sinks).
+
+        ``stage=True`` (the multi-table write-audit-publish path) runs
+        the identical routing + merge compute but STAGES each live
+        domain's epoch (``LakeTable.stage_epoch``) instead of
+        committing it, returning ``(skip_records, {domain:
+        StagedEpoch})`` — nothing is reader-visible until the caller
+        publishes.  Empty-epoch domains are skipped the same way in
+        both modes (no staging handle, no version reservation).
 
         Shape decisions, all for the 10^10-event case:
 
@@ -1095,11 +1216,12 @@ class CDCPipeline:
         }
         live = [(d, t) for d, t in items if dom_stats[d]["n_total"]]
         try:
+            staged: dict = {}
             if live:
                 with ThreadPoolExecutor(max_workers=len(live)) as pool:
                     futs = {
                         d: pool.submit(
-                            t.merge_epoch,
+                            t.stage_epoch if stage else t.merge_epoch,
                             _slice(d),
                             epoch,
                             stats=dom_stats[d],
@@ -1111,8 +1233,11 @@ class CDCPipeline:
                         )
                         for d, t in live
                     }
-                    recs.update({d: f.result() for d, f in futs.items()})
-            return recs
+                    if stage:
+                        staged = {d: f.result() for d, f in futs.items()}
+                    else:
+                        recs.update({d: f.result() for d, f in futs.items()})
+            return (recs, staged) if stage else recs
         finally:
             if departures is not None:
                 departures.unpersist()

@@ -1769,6 +1769,10 @@ class StagedEpoch:
         time — publish() is then the usual exactly-once no-op."""
         return self._dup_rec is not None
 
+    @property
+    def published(self) -> bool:
+        return self._published is not None
+
     def summary(self) -> dict:
         """Audit-cheap stats of the staged batch (no jobs)."""
         if self._dup_rec is not None:

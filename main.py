@@ -87,7 +87,10 @@ def main() -> None:
         help="write-audit-publish gate: stage each epoch and REJECT it "
         "(whole batch to quarantine, cursor still advances) when "
         "deletes exceed fraction R of its rows — a mass-delete "
-        "circuit breaker; repair later via the quarantine flow",
+        "circuit breaker; repair later via the quarantine flow. "
+        "With --demux-domains the gate is a multi-table transaction: "
+        "one verdict publishes or discards the main table AND every "
+        "domain sink together",
     )
     ap.add_argument(
         "--rebucket",
