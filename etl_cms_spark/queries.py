@@ -1726,6 +1726,71 @@ def cdc_pipeline_auto(spark, sf_dir):
 
 
 @q(
+    "cdc_demux_wap_state",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT l.repo, l.path, l.commit, l.lang, l.content,
+           dim.concept_id, dim.domain, sha256(l.content) AS content_sha
+    FROM latest l JOIN {_concept_dim_sql()} ON l.lang = dim.lang
+    """,
+)
+def cdc_demux_wap_state(spark, sf_dir):
+    """MULTI-TABLE write-audit-publish (plans/pipeline.
+    StagedEpochGroup): the flagship demux pipeline runs under an
+    epoch_audit that REJECTS epoch 1 on its first offering — the
+    verdict retracts the staged epoch from the main table AND every
+    domain sink atomically, quarantines the whole batch, and the
+    repair flow re-offers it (original LSNs) through the same gate.
+    The result is the UNION of the per-domain destination tables; the
+    oracle is the one-pass latest-wins SQL over the full changelog —
+    i.e. the reject + multi-table retraction + repair round-trip must
+    be INVISIBLE in the converged routed state (nothing lost from the
+    rejected epoch, nothing duplicated by the repair, every row in
+    exactly its domain's table)."""
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_mwap_")
+    try:
+        first_offer = set()
+
+        def audit(gate):
+            # multi-table audit surface: per-domain staged detail is
+            # visible before anything commits.
+            assert "domains" in gate.summary()
+            if gate.epoch == 1 and 1 not in first_offer:
+                first_offer.add(1)
+                return False
+            return True
+
+        p = CDCPipeline(
+            spark, root, n_buckets=8, demux_domains=True, epoch_audit=audit
+        )
+        recs = p.run(changes, n_epochs=2)
+        assert recs[1].get("audit_rejected")
+        p.reprocess_quarantine(1, -1)
+        routed = reduce(
+            lambda a, b: a.unionByName(b),
+            [t.read() for _, t in sorted(p.domain_tables.items())],
+        )
+        cols = [
+            "repo", "path", "commit", "lang", "content",
+            "concept_id", "domain", "content_sha",
+        ]
+        return routed.select(*cols).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "lake_concurrent_commits",
     f"""
     WITH ch AS ({_oracle_changelog_sql()}),
