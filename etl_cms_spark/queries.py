@@ -1791,6 +1791,67 @@ def cdc_demux_wap_state(spark, sf_dir):
 
 
 @q(
+    "lake_changelog_chain",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT l.repo, l.path, l.commit, l.lang, l.content,
+           dim.concept_id, dim.domain, sha256(l.content) AS content_sha
+    FROM latest l JOIN {_concept_dim_sql()} ON l.lang = dim.lang
+    """,
+)
+def lake_changelog_chain(spark, sf_dir):
+    """PIPELINE CHAINING through the ``lake_changelog`` streaming
+    source (sources/lakestream.py — Spark-4 Python DataSource API):
+    the flagship pipeline ingests into an upstream MoR lake, a
+    Structured Streaming query tails that lake's epoch commits as a
+    changelog (offsets = snapshot versions, partitions = the epochs'
+    delta bucket dirs, read executor-side with pyarrow), and
+    foreachBatch merges each micro-batch into a DOWNSTREAM table.
+    The result is the downstream state; the oracle is the one-pass
+    latest-wins SQL over the original changelog — the entire
+    upstream-merge → stream → downstream-merge transport must be
+    lossless and duplicate-free."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+    from etl_cms_spark.sink.lake import LakeTable
+    from etl_cms_spark.sources.lakestream import LakeChangelogDataSource
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="cdc_chain_")
+    try:
+        up = CDCPipeline(
+            spark, os.path.join(base, "up"), n_buckets=8, merge_mode="mor"
+        )
+        up.run(changes, n_epochs=2)
+        down = LakeTable(
+            spark, os.path.join(base, "down"), n_buckets=8, merge_mode="mor"
+        )
+        down.create(["repo", "path"], up.table.schema())
+        spark.dataSource.register(LakeChangelogDataSource)
+        q_ = (
+            spark.readStream.format("lake_changelog")
+            .option("path", up.table.root).load()
+            .writeStream.foreachBatch(lambda df, bid: down.merge_epoch(df, bid))
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q_.awaitTermination(300)
+        cols = [
+            "repo", "path", "commit", "lang", "content",
+            "concept_id", "domain", "content_sha",
+        ]
+        return down.read().select(*cols).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@q(
     "lake_concurrent_commits",
     f"""
     WITH ch AS ({_oracle_changelog_sql()}),

@@ -1024,6 +1024,10 @@ class LakeTable:
             )
             rec["changed_buckets"] = changed_buckets
             rec["parent_version"] = cur_m["version"]
+            # persisted so downstream consumers (sources/lakestream)
+            # can tell delta-shaped epochs (MoR: data dir == the
+            # change set) from CoW rewrites without guessing.
+            rec["mode"] = self.merge_mode
             new_m = dict(cur_m)
             new_m["buckets"] = self._staged_bucket_edits(
                 cur_m, rel_dir, written, changed_buckets

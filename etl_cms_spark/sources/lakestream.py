@@ -1,0 +1,250 @@
+"""Structured Streaming source over a LakeTable's own change history
+(pipeline CHAINING): downstream consumers tail an upstream lake's
+epoch commits as a binlog-style changelog, with Spark's checkpointed
+offset machinery giving exactly-once delivery into any epoch-keyed
+sink.
+
+    spark.dataSource.register(LakeChangelogDataSource)
+    ch = (spark.readStream.format("lake_changelog")
+            .option("path", upstream_root).load())
+    # columns: <upstream logical schema> + lsn (bigint) + op ('U'/'D')
+
+This is the Spark-4 Python DataSource API (pyspark.sql.datasource) —
+the idiomatic replacement for a driver-side polling loop.  Design:
+
+* OFFSETS ARE SNAPSHOT VERSIONS.  ``initialOffset`` = the
+  ``startingVersion`` option (default 0 = the table's whole retained
+  history); ``latestOffset`` = the manifest's CURRENT pointer.  A
+  micro-batch covers the committed versions in ``(start, end]``.
+* PARTITIONS ARE DELTA BUCKET DIRS.  For a MERGE-ON-READ table each
+  epoch's ``data/v{N}/_bucket=B`` dir IS the change set (the deduped
+  batch: full after-images + tombstones) — so planning an epoch is a
+  pure manifest read and each Spark task reads one bucket dir with
+  pyarrow, executor-side.  Nothing is re-diffed, nothing re-shuffles:
+  the upstream merge already paid for the delta layout.  10^10-event
+  scale: the stream's work is O(new change rows), driver work is
+  O(epochs × changed buckets) manifest arithmetic.
+* SCHEMA IS THE UPSTREAM LOGICAL SCHEMA at query start, plus
+  ``lsn``/``op``.  Rename evolution is resolved via the manifest's
+  cumulative physical→logical map; widened columns are cast up and
+  columns added later than a delta file materialize as NULLs — the
+  same normalization contract as ``LakeTable.read`` (lake.py:365).
+* MAINTENANCE COMMITS ARE INVISIBLE.  Compaction / rebucket /
+  rollback / schema commits carry no epoch record, so they emit no
+  rows — logical state didn't change.  CoW epochs REFUSE loudly (a
+  CoW data dir is a bucket rewrite, not a delta; streaming it would
+  re-emit unchanged rows): chain from MoR tables.  Partial-columnar
+  tables refuse too (their deltas are per-column partials, not full
+  images).
+* RETENTION = VACUUM HORIZON.  Delta dirs of superseded versions
+  stay on disk until ``vacuum`` drops them (Kafka-retention
+  semantics): keep ``vacuum(keep_last=...)`` at or beyond the
+  slowest consumer's checkpoint lag.
+* ``Trigger.AvailableNow`` falls back to SINGLE-BATCH execution
+  (Python stream readers don't implement the AvailableNow admission
+  contract yet): one micro-batch covering checkpoint→CURRENT, then
+  stop.  Identical delivery/exactly-once semantics; only the
+  batch-size pacing differs.
+
+Exactly-once chaining (tests/test_lakestream.py): the natural sink is
+``foreachBatch(lambda df, bid: downstream.merge_epoch(df, bid))`` —
+Spark replays a failed micro-batch with the SAME batch id, and
+``merge_epoch`` is idempotent per epoch id, so the downstream table
+converges to the upstream state under any crash/restart interleaving.
+
+Reference analogue: the reference's consumers re-read whole CSV
+dumps; this is the incremental-subscription form of the same
+source-to-target contract (ETL-CMS README pipeline diagram).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_LSN = "_lsn"
+_DELETED = "_deleted"
+
+# Spark-DDL type -> pyarrow type factory (None = leave the file's
+# physical type alone and let Spark's arrow ingestion handle it).
+_DDL_TO_ARROW = {
+    "string": "string",
+    "int": "int32",
+    "integer": "int32",
+    "long": "int64",
+    "bigint": "int64",
+    "short": "int16",
+    "smallint": "int16",
+    "byte": "int8",
+    "tinyint": "int8",
+    "double": "float64",
+    "float": "float32",
+    "boolean": "bool",
+    "date": "date32",
+}
+
+
+def _arrow_type(ddl: str):
+    import pyarrow as pa
+
+    name = _DDL_TO_ARROW.get(ddl.lower())
+    return getattr(pa, name)() if name else None
+
+
+def _manifest(root: str, version: int | None = None) -> dict:
+    mdir = os.path.join(root, "_manifests")
+    if version is None:
+        with open(os.path.join(mdir, "CURRENT")) as f:
+            version = int(f.read().strip())
+    with open(os.path.join(mdir, f"v{version}.json")) as f:
+        return json.load(f)
+
+
+class _DeltaDir(InputPartition):
+    """One epoch's delta files for one bucket, plus the projection
+    plan (logical name, candidate file names new-first, target DDL type)
+    resolved driver-side from the manifest."""
+
+    def __init__(self, path: str, columns: list):
+        self.path = path
+        self.columns = columns  # [(logical, physical, ddl_type), ...]
+
+
+class _LakeChangelogStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, start_version: int):
+        self.root = root
+        self.start_version = start_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        return {"version": _manifest(self.root)["version"]}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["version"]), int(end["version"])
+        if s >= e:
+            return []
+        m = _manifest(self.root, e)
+        if m.get("partial_columnar"):
+            raise ValueError(
+                "lake_changelog cannot stream a partial_columnar table: "
+                "its deltas are per-column partial images, not full rows"
+            )
+        # Candidate file-column names for each CURRENT logical column:
+        # a delta written AFTER a rename carries the new name, one
+        # written BEFORE carries the old physical name — same
+        # new-name-first coalesce as LakeTable._normalize (lake.py).
+        old = {v: k for k, v in m.get("renames", {}).items()}
+        cols = [
+            (c, [c] + ([old[c]] if c in old else []), t)
+            for c, t in m["schema"].items()
+        ]
+        recs = sorted(
+            (r for r in m["epochs"].values() if s < r["snapshot_version"] <= e),
+            key=lambda r: r["snapshot_version"],
+        )
+        parts: list[_DeltaDir] = []
+        for r in recs:
+            if r.get("mode", "mor") != "mor":
+                raise ValueError(
+                    f"lake_changelog requires merge-on-read epochs; epoch "
+                    f"{r['epoch']} (snapshot v{r['snapshot_version']}) was "
+                    f"committed mode={r['mode']} — a CoW data dir is a "
+                    f"bucket rewrite, not a delta"
+                )
+            base = os.path.join(self.root, "data", f"v{r['snapshot_version']}")
+            for b in r.get("changed_buckets", []):
+                d = os.path.join(base, f"_bucket={b}")
+                if os.path.isdir(d):
+                    parts.append(_DeltaDir(d, cols))
+        return parts
+
+    def read(self, partition: _DeltaDir):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(partition.path, format="parquet")
+        for batch in dataset.to_batches():
+            n = batch.num_rows
+            if not n:
+                continue
+            names_in = set(batch.schema.names)
+            arrays, names = [], []
+            for logical, candidates, ddl in partition.columns:
+                target = _arrow_type(ddl)
+                present = [c for c in candidates if c in names_in]
+                if present:
+                    arr = (
+                        batch.column(present[0])
+                        if len(present) == 1
+                        else pc.coalesce(*[batch.column(c) for c in present])
+                    )
+                    if target is not None and arr.type != target:
+                        arr = pc.cast(arr, target)
+                else:
+                    # column added after this delta was written
+                    arr = pa.nulls(n, target or pa.string())
+                arrays.append(arr)
+                names.append(logical)
+            arrays.append(pc.cast(batch.column(_LSN), pa.int64()))
+            names.append("lsn")
+            arrays.append(
+                pc.if_else(
+                    pc.fill_null(batch.column(_DELETED), False),
+                    pa.scalar("D"),
+                    pa.scalar("U"),
+                )
+            )
+            names.append("op")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    def commit(self, end: dict) -> None:
+        # offsets live in the query checkpoint; the source keeps no
+        # consumer state (retention is vacuum's keep_last policy).
+        pass
+
+
+class LakeChangelogDataSource(DataSource):
+    """``spark.readStream.format("lake_changelog").option("path", root)``
+    — see module docstring.  Options: ``path`` (table root, required),
+    ``startingVersion`` (first EXCLUDED snapshot version; default 0 =
+    full retained history)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake_changelog"
+
+    def _opt(self, key: str, default=None):
+        # option keys arrive lower-cased from the Spark side
+        for k, v in self.options.items():
+            if k.lower() == key.lower():
+                return v
+        return default
+
+    def _root(self) -> str:
+        root = self._opt("path")
+        if not root:
+            raise ValueError("lake_changelog requires .option('path', <table root>)")
+        return root
+
+    def schema(self) -> str:
+        m = _manifest(self._root())
+        cols = ", ".join(f"`{c}` {t}" for c, t in m["schema"].items())
+        return f"{cols}, lsn bigint, op string"
+
+    def streamReader(self, schema) -> _LakeChangelogStreamReader:
+        return _LakeChangelogStreamReader(
+            self._root(), int(self._opt("startingVersion", 0))
+        )
+
+
+def register(spark) -> None:
+    spark.dataSource.register(LakeChangelogDataSource)

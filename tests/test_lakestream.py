@@ -1,0 +1,182 @@
+"""lake_changelog streaming source (sources/lakestream.py): tail a
+MoR LakeTable's epoch commits as a Structured Streaming changelog —
+offsets are snapshot versions, partitions are the epochs' delta bucket
+dirs, and foreachBatch + merge_epoch gives exactly-once chaining into
+a downstream table.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cms_spark.fixtures.generator import gen_source_changes
+from etl_cms_spark.plans.pipeline import CDCPipeline
+from etl_cms_spark.sink.lake import LakeTable
+from etl_cms_spark.sources.lakestream import LakeChangelogDataSource
+from tests.conftest import assert_df_equal
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(LakeChangelogDataSource)
+
+
+def _drain(spark, root, name, checkpoint=None, starting=None):
+    reader = spark.readStream.format("lake_changelog").option("path", root)
+    if starting is not None:
+        reader = reader.option("startingVersion", starting)
+    w = reader.load().writeStream.format("memory").queryName(name)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def test_stream_emits_exact_epoch_deltas(spark, tmp_root):
+    """Handcrafted two-epoch MoR history: the stream must emit exactly
+    the per-epoch deduped batches — after-images, tombstones with NULL
+    payload, intra-epoch losers dropped, cross-epoch versions BOTH
+    kept (they were separate commits)."""
+    root = os.path.join(tmp_root, "exact")
+    t = LakeTable(spark, root, n_buckets=4, merge_mode="mor")
+    t.create(["k"], {"k": "string", "v": "string"})
+    e0 = spark.createDataFrame(
+        [("a", "a0", 1, "U"), ("a", "a1", 2, "U"),  # intra-epoch loser a0
+         ("b", "b0", 3, "U")],
+        "k string, v string, lsn long, op string",
+    )
+    e1 = spark.createDataFrame(
+        [("a", None, 10, "D"), ("c", "c0", 11, "U")],
+        "k string, v string, lsn long, op string",
+    )
+    t.merge_epoch(e0, 0)
+    t.merge_epoch(e1, 1)
+    got = _drain(spark, root, "exact_tail")
+    exp = spark.createDataFrame(
+        [("a", "a1", 2, "U"), ("b", "b0", 3, "U"),
+         ("a", None, 10, "D"), ("c", "c0", 11, "U")],
+        "k string, v string, lsn long, op string",
+    )
+    assert_df_equal(got, exp, "streamed deltas == per-epoch batches")
+
+
+def test_chained_pipeline_converges(spark, changes, tmp_root):
+    """CHAINING: upstream CDCPipeline (MoR) -> lake_changelog stream ->
+    foreachBatch merge_epoch into a downstream table.  The downstream
+    state must equal the upstream state (latest-wins transport is
+    lossless); a restart over new upstream epochs resumes from the
+    checkpoint exactly-once."""
+    up = CDCPipeline(
+        spark, os.path.join(tmp_root, "up"), n_buckets=8, merge_mode="mor"
+    )
+    lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    up.run(changes.where(F.col("lsn") <= mid), n_epochs=2)
+
+    down = LakeTable(
+        spark, os.path.join(tmp_root, "down"), n_buckets=8, merge_mode="mor"
+    )
+    down.create(["repo", "path"], up.table.schema())
+
+    def apply(df, bid):
+        down.merge_epoch(df, bid)
+
+    ckpt = os.path.join(tmp_root, "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("lake_changelog")
+            .option("path", up.table.root).load()
+            .writeStream.foreachBatch(apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    assert_df_equal(down.read(), up.current_state(), "chained == upstream")
+
+    # no new data: a re-run moves nothing and commits nothing
+    v = down._current_version()
+    run_once()
+    assert down._current_version() == v
+
+    # upstream advances; the restarted stream ships ONLY the new epochs
+    up2 = CDCPipeline(
+        spark, os.path.join(tmp_root, "up"), n_buckets=8, merge_mode="mor"
+    )
+    up2.run(changes, n_epochs=4, start_epoch=2)
+    run_once()
+    assert_df_equal(
+        down.read(), up2.current_state(), "chained after restart == upstream"
+    )
+
+
+def test_rename_and_add_evolution_resolve_to_current_schema(spark, tmp_root):
+    """Deltas written before a rename carry the OLD physical name;
+    deltas written before an add lack the column.  A fresh
+    full-history stream must present every row under the CURRENT
+    logical schema (renamed column populated, added column NULL for
+    old rows)."""
+    root = os.path.join(tmp_root, "evo")
+    t = LakeTable(spark, root, n_buckets=4, merge_mode="mor")
+    t.create(["k"], {"k": "string", "v": "string"})
+    t.merge_epoch(
+        spark.createDataFrame(
+            [("a", "a0", 1, "U")], "k string, v string, lsn long, op string"
+        ),
+        0,
+    )
+    t.apply_schema_change({"rename": "v:val"})
+    t.apply_schema_change({"add": "extra:int"})
+    t.merge_epoch(
+        spark.createDataFrame(
+            [("b", "b0", 5, 7, "U")],
+            "k string, val string, extra int, lsn long, op string",
+        ),
+        1,
+    )
+    got = _drain(spark, root, "evo_tail")
+    # manifest JSON is the schema's canonical (alphabetical) order
+    assert sorted(got.columns) == sorted(["k", "val", "extra", "lsn", "op"])
+    exp = spark.createDataFrame(
+        [("a", "a0", None, 1, "U"), ("b", "b0", 5, 7, "U")],
+        "k string, val string, extra int, lsn long, op string",
+    )
+    assert_df_equal(
+        got.select("k", "val", "extra", "lsn", "op"), exp, "evolved stream rows"
+    )
+
+
+def test_cow_epochs_refuse(spark, tmp_root):
+    root = os.path.join(tmp_root, "cowt")
+    t = LakeTable(spark, root, n_buckets=4, merge_mode="cow")
+    t.create(["k"], {"k": "string", "v": "string"})
+    t.merge_epoch(
+        spark.createDataFrame(
+            [("a", "a0", 1, "U")], "k string, v string, lsn long, op string"
+        ),
+        0,
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="merge-on-read"):
+        _drain(spark, root, "cow_tail")
+
+
+def test_partial_columnar_refuses(spark, tmp_root):
+    root = os.path.join(tmp_root, "colt")
+    t = LakeTable(spark, root, n_buckets=4, merge_mode="mor")
+    t.create(["k"], {"k": "string", "v": "string"}, partial_columnar=True)
+    t.append_partial_epoch(
+        spark.createDataFrame(
+            [("a", "a0", 1, "U")], "k string, v string, lsn long, op string"
+        ),
+        0,
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="partial_columnar"):
+        _drain(spark, root, "col_tail")
