@@ -93,7 +93,12 @@ _DDL_TO_ARROW = {
 def _arrow_type(ddl: str):
     import pyarrow as pa
 
-    name = _DDL_TO_ARROW.get(ddl.lower())
+    d = ddl.lower()
+    if d.startswith("timestamp"):
+        # Spark's arrow ingestion takes microseconds; pyarrow reads
+        # Spark-written parquet timestamps as nanoseconds.
+        return pa.timestamp("us")
+    name = _DDL_TO_ARROW.get(d)
     return getattr(pa, name)() if name else None
 
 

@@ -33,9 +33,10 @@ CHANGELOG_SCHEMA = (
 
 def start_stream(
     spark: SparkSession,
-    changelog_dir: str,
+    changelog_dir: str | None,
     lake_root: str,
     checkpoint_dir: str | None = None,
+    source_table: str | None = None,
     watermark: str = "24 hours",
     max_files_per_trigger: int = 4,
     salt_hot_keys: bool = False,
@@ -55,7 +56,20 @@ def start_stream(
     rows older than (max seen ts - watermark) are dropped as late by
     the stateful dedup.  A file source replaying history delivers
     files in arbitrary order, so the default is wide; a live tail with
-    bounded lag can tighten it to bound dedup state."""
+    bounded lag can tighten it to bound dedup state.
+
+    ``source_table`` (instead of ``changelog_dir``) CHAINS pipelines:
+    the changelog is another MoR LakeTable's own commit history,
+    tailed through the ``lake_changelog`` streaming source
+    (sources/lakestream.py) — the multi-hop bronze→silver shape.  The
+    lake source's delivery is exactly-once by construction (offsets =
+    committed snapshot versions, deterministic content), and each
+    epoch's batch is already one row per (key, lsn), so the
+    watermarked duplicate-drop stage is skipped; if the upstream
+    schema carries ``ts``, the observe() metrics still report the
+    batch's event-time reach."""
+    if (changelog_dir is None) == (source_table is None):
+        raise ValueError("pass exactly one of changelog_dir / source_table")
     # n_buckets/merge_mode only apply when the lake table is created
     # here; reopening an existing table takes n_buckets from its
     # manifest (LakeTable guards the mismatch).
@@ -92,30 +106,42 @@ def start_stream(
 
     from pyspark.sql import functions as F
 
-    stream = (
-        spark.readStream.schema(CHANGELOG_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(changelog_dir)
-        .withWatermark("ts", watermark)
-        # bound within-stream duplicate state by event time.
-        .dropDuplicatesWithinWatermark(["lsn", "repo", "path"])
-        # per-batch ingest metrics surfaced in query.lastProgress
-        # ["observedMetrics"]["ingest"]: rows that SURVIVED the
-        # watermarked dedup + their lsn/event-time range.  Late rows
-        # dropped by the watermark are the gap vs the source count —
-        # the reference's records_read/records_written bookkeeping
-        # (FileControl.py:255-259), stream-side.  The micro-batch is
-        # persisted inside apply_batch, so these fire once per batch
-        # (an uncached foreachBatch frame re-evaluates per action);
-        # ``late_data_stats`` pairs them with the watermark-drop
-        # counter, and the sink's lineage has exact applied counts.
-        .observe(
-            "ingest",
-            F.count(F.lit(1)).alias("rows_after_dedup"),
-            F.min("lsn").alias("lsn_min"),
-            F.max("lsn").alias("lsn_max"),
-            F.max("ts").alias("max_event_time"),
+    if source_table is not None:
+        from etl_cms_spark.sources.lakestream import register
+
+        register(spark)
+        stream = (
+            spark.readStream.format("lake_changelog")
+            .option("path", source_table)
+            .load()
         )
+        if "ts" not in stream.columns:
+            stream = stream.withColumn("ts", F.lit(None).cast("timestamp"))
+    else:
+        stream = (
+            spark.readStream.schema(CHANGELOG_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(changelog_dir)
+            .withWatermark("ts", watermark)
+            # bound within-stream duplicate state by event time.
+            .dropDuplicatesWithinWatermark(["lsn", "repo", "path"])
+        )
+    # per-batch ingest metrics surfaced in query.lastProgress
+    # ["observedMetrics"]["ingest"]: rows that SURVIVED the
+    # watermarked dedup + their lsn/event-time range.  Late rows
+    # dropped by the watermark are the gap vs the source count —
+    # the reference's records_read/records_written bookkeeping
+    # (FileControl.py:255-259), stream-side.  The micro-batch is
+    # persisted inside apply_batch, so these fire once per batch
+    # (an uncached foreachBatch frame re-evaluates per action);
+    # ``late_data_stats`` pairs them with the watermark-drop
+    # counter, and the sink's lineage has exact applied counts.
+    stream = stream.observe(
+        "ingest",
+        F.count(F.lit(1)).alias("rows_after_dedup"),
+        F.min("lsn").alias("lsn_min"),
+        F.max("lsn").alias("lsn_max"),
+        F.max("ts").alias("max_event_time"),
     )
 
     def apply_batch(batch_df, batch_id: int):  # noqa: ANN001

@@ -25,6 +25,12 @@ from pyspark.sql import SparkSession
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--changelog", default=None, help="parquet changelog dir")
+    ap.add_argument(
+        "--source-table", default=None,
+        help="with --stream: tail another MoR lake table's commit "
+        "history (lake_changelog source) instead of a file changelog "
+        "— the multi-hop bronze->silver shape",
+    )
     ap.add_argument("--lake", required=True, help="lake root dir")
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--n-buckets", type=int, default=64)
@@ -107,8 +113,10 @@ def main() -> None:
         "the per-epoch dedup then runs Exchange-free",
     )
     args = ap.parse_args()
-    if not args.changelog and not args.bucketed_table:
-        ap.error("one of --changelog or --bucketed-table is required")
+    if not args.changelog and not args.bucketed_table and not args.source_table:
+        ap.error("one of --changelog / --bucketed-table / --source-table is required")
+    if args.source_table and not args.stream:
+        ap.error("--source-table requires --stream")
 
     # under spark-submit the session/master comes from the submit
     # command line; fall back to the tuned local builder otherwise.
@@ -142,6 +150,7 @@ def main() -> None:
 
         q, pipeline = start_stream(
             spark, args.changelog, args.lake, salt_hot_keys=args.salt,
+            source_table=args.source_table,
             demux_domains=args.demux_domains,
             dedup_filter_index=filter_index,
             row_image=args.row_image,

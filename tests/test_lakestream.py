@@ -150,6 +150,53 @@ def test_rename_and_add_evolution_resolve_to_current_schema(spark, tmp_root):
     )
 
 
+def test_start_stream_from_lake_source(spark, changes, tmp_root):
+    """Multi-hop medallion: a BRONZE lake holds the raw (unmapped)
+    changelog; ``start_stream(source_table=...)`` runs the full SILVER
+    pipeline (map, quarantine, dedup, merge) off bronze's commit
+    history via the lake_changelog source.  Silver must equal the
+    batch pipeline run directly on the original changelog — bronze's
+    per-epoch latest-wins compression is invisible to the final
+    state."""
+    from etl_cms_spark.streaming.stream import start_stream
+
+    bronze = LakeTable(
+        spark, os.path.join(tmp_root, "bronze"), n_buckets=8, merge_mode="mor"
+    )
+    raw_cols = ["repo", "path", "commit", "lang", "content", "ts"]
+    bronze.create(
+        ["repo", "path"],
+        {c: ("timestamp" if c == "ts" else "string") for c in raw_cols},
+    )
+    lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    raw = changes.select(*raw_cols, "lsn", "op")
+    bronze.merge_epoch(raw.where(F.col("lsn") <= mid), 0)
+    bronze.merge_epoch(raw.where(F.col("lsn") > mid), 1)
+
+    q, silver = start_stream(
+        spark, None, os.path.join(tmp_root, "silver"), n_buckets=8,
+        source_table=bronze.root,
+    )
+    q.awaitTermination(300)
+    ref = CDCPipeline(spark, os.path.join(tmp_root, "ref"), n_buckets=8)
+    ref.run(changes, n_epochs=2)
+    assert_df_equal(
+        silver.current_state(), ref.current_state(), "silver == batch ref"
+    )
+
+    def test_requires_exactly_one_source():
+        with pytest.raises(ValueError, match="exactly one"):
+            start_stream(spark, None, os.path.join(tmp_root, "x"))
+        with pytest.raises(ValueError, match="exactly one"):
+            start_stream(
+                spark, "somewhere", os.path.join(tmp_root, "x"),
+                source_table=bronze.root,
+            )
+
+    test_requires_exactly_one_source()
+
+
 def test_cow_epochs_refuse(spark, tmp_root):
     root = os.path.join(tmp_root, "cowt")
     t = LakeTable(spark, root, n_buckets=4, merge_mode="cow")
