@@ -127,6 +127,7 @@ class CDCPipeline:
         merge_mode: str = "cow",
         compact_every: int | None = None,
         compact_depth: int | None = None,
+        compact_cluster_by: list[str] | None = None,
         demux_domains: bool = False,
         demux_tombstones: str = "targeted",
         domain_merge_mode: str | None = None,
@@ -318,6 +319,11 @@ class CDCPipeline:
         # sizes vary).
         self.compact_every = compact_every
         self.compact_depth = compact_depth
+        # value-column clustering applied at each scheduled MAIN-table
+        # compaction (LakeTable.compact(cluster_by=...)): tight
+        # row-group stats for selective non-key predicates, traded
+        # against point-lookup stats — see the compact() docstring.
+        self.compact_cluster_by = compact_cluster_by
         self.quarantine_dir = os.path.join(root, "quarantine")
         self.duplicates_dir = os.path.join(root, "duplicates")
         self.checkpoint_path = os.path.join(root, "_checkpoint.json")
@@ -710,7 +716,9 @@ class CDCPipeline:
             due
             or (self.compact_depth and self.table.max_delta_depth() > self.compact_depth)
         ):
-            rec["compaction"] = self.table.compact()
+            rec["compaction"] = self.table.compact(
+                cluster_by=self.compact_cluster_by
+            )
         if self.demux_domains:
             # domain tables accrue delta stacks (and, in blanket mode,
             # a full-batch tombstone fan-out) every epoch — left

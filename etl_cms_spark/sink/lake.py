@@ -1523,7 +1523,11 @@ class LakeTable:
             (len(self._bucket_dirs(m, b)) for b in m["buckets"]), default=1
         )
 
-    def compact(self, expire_tombstones: bool = False) -> dict:
+    def compact(
+        self,
+        expire_tombstones: bool = False,
+        cluster_by: list[str] | None = None,
+    ) -> dict:
         """Fold merge-on-read deltas back into one base file set per
         bucket (Iceberg-style maintenance).  Winners are resolved with
         the same max-LSN rule reads use, so compaction never changes
@@ -1532,6 +1536,21 @@ class LakeTable:
         Tombstones are kept by default (they guard replays of older
         epochs); pass ``expire_tombstones=True`` once the replay
         horizon has passed them.
+
+        ``cluster_by``: optional VALUE-COLUMN clustering (the Z-order/
+        sort-cluster maintenance knob).  Buckets hash-partition by
+        key, so a secondary predicate (``lang = 'go'``) normally
+        overlaps every row group in every bucket; sorting each bucket
+        file by (cluster_by, key) instead of (key) makes parquet
+        row-group min/max stats TIGHT on those columns, and Spark's
+        pushed filters then skip whole row groups — the 100 TB answer
+        to selective scans on non-key columns.  The trade, explicit:
+        key-column stats loosen within each cluster value, so point
+        lookups scan proportionally more row groups per bucket
+        (``lookup`` stays correct — stats pruning is best-effort by
+        construction).  Compaction is the cheapest moment to
+        (re)establish either layout; the choice is sticky only until
+        the next compact() call.
 
         COLUMNAR tables additionally record a compaction LSN
         WATERMARK (the max lsn_hi of the epochs committed so far):
@@ -1546,6 +1565,9 @@ class LakeTable:
         where this is automatic)."""
         t0 = time.time()
         manifest = self._load_manifest()
+        unknown = [c for c in (cluster_by or []) if c not in manifest["schema"]]
+        if unknown:
+            raise ValueError(f"cluster_by: no such columns {unknown}")
         if manifest.get("partial_columnar"):
             his = [
                 rec.get("lsn_max")
@@ -1578,8 +1600,13 @@ class LakeTable:
         (
             resolved.repartition(n_tasks, F.col(_BUCKET_COL))
             # compaction rewrites whole buckets — the cheapest moment
-            # to (re)establish the clustered key-sorted layout.
-            .sortWithinPartitions(_BUCKET_COL, *manifest["key_cols"])
+            # to (re)establish the clustered layout: key-sorted by
+            # default (tight key stats for point lookups), or
+            # value-clustered when cluster_by asks for predicate
+            # row-group pruning (see docstring).
+            .sortWithinPartitions(
+                _BUCKET_COL, *(cluster_by or []), *manifest["key_cols"]
+            )
             .write.mode("overwrite")
             .partitionBy(_BUCKET_COL)
             .parquet(out_dir)

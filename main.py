@@ -49,6 +49,12 @@ def main() -> None:
     ap.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
     ap.add_argument("--compact-every", type=int, default=None)
     ap.add_argument(
+        "--compact-cluster-by", default=None, metavar="COL[,COL...]",
+        help="sort compacted bucket files by these value columns "
+        "(then key) so selective non-key predicates skip row groups; "
+        "trades point-lookup stats tightness",
+    )
+    ap.add_argument(
         "--demux-domains",
         action="store_true",
         help="route rows into per-domain destination tables",
@@ -167,6 +173,11 @@ def main() -> None:
             salt_hot_keys=args.salt,
             merge_mode=args.merge_mode,
             compact_every=args.compact_every,
+            compact_cluster_by=(
+                args.compact_cluster_by.split(",")
+                if args.compact_cluster_by
+                else None
+            ),
             demux_domains=args.demux_domains,
             demux_tombstones=args.demux_tombstones,
             dedup_mode=args.dedup_mode,

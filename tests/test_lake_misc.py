@@ -409,3 +409,84 @@ def test_rebucket_mor_with_deltas_and_tombstones(spark, tmp_root):
     recs = p2.run(ch, n_epochs=3)
     assert all(r.get("skipped_duplicate_epoch") for r in recs)
     assert sorted(map(str, p2.current_state().collect())) == before
+
+
+def test_compact_cluster_by_enables_rowgroup_pruning(spark, tmp_root):
+    """compact(cluster_by=['lang']): bucket files sort by (lang, key)
+    instead of (key), so row-group min/max stats on lang become tight
+    and a selective lang predicate can SKIP row groups — measured here
+    directly from the parquet footers against a key-sorted twin of the
+    same data.  State must be identical either way."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_cms_spark.sink.lake import LakeTable
+
+    # small row groups so each ~15k-row bucket file holds several
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(64 * 1024))
+    try:
+        langs = ["ada", "c", "go", "js", "py", "rs"]
+        base = spark.range(60_000).select(
+            F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 7, "0")).alias("k"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in langs]),
+                (F.pmod(F.col("id"), F.lit(len(langs))) + 1).cast("int"),
+            ).alias("lang"),
+            F.repeat(F.sha2(F.col("id").cast("string"), 256), 3).alias("v"),
+            (F.col("id") + 1).alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+
+        def build(name, cluster_by):
+            t = LakeTable(
+                spark, os.path.join(tmp_root, name), n_buckets=4,
+                merge_mode="mor",
+            )
+            t.create(["k"], {"k": "string", "lang": "string", "v": "string"})
+            t.merge_epoch(base.where("id % 2 = 0"), 0)
+            t.merge_epoch(base.where("id % 2 = 1"), 1)
+            t.compact(cluster_by=cluster_by)
+            return t
+
+        plain = build("plain", None)
+        clustered = build("clust", ["lang"])
+        assert_df_equal(clustered.read(), plain.read(), "layout is invisible")
+
+        def overlap_ratio(t):
+            files = glob.glob(
+                os.path.join(t.root, "data", "v*-compact", "_bucket=*", "*.parquet")
+            )
+            assert files
+            total = hit = 0
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                idx = md.schema.to_arrow_schema().get_field_index("lang")
+                for i in range(md.num_row_groups):
+                    st = md.row_group(i).column(idx).statistics
+                    total += 1
+                    if st.min <= "go" <= st.max:
+                        hit += 1
+            return hit, total
+
+        p_hit, p_total = overlap_ratio(plain)
+        c_hit, c_total = overlap_ratio(clustered)
+        assert p_total >= 8 and c_total >= 8  # several row groups exist
+        # key-sorted layout: langs interleave, every row group overlaps
+        assert p_hit == p_total
+        # clustered layout: most row groups exclude the predicate value
+        assert c_hit < c_total
+        assert c_hit / c_total <= 0.5, (c_hit, c_total)
+
+        # cluster_by must reference existing columns
+        import pytest
+
+        with pytest.raises(ValueError, match="no such columns"):
+            plain.compact(cluster_by=["nope"])
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
