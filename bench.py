@@ -175,6 +175,64 @@ def run_cdc(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_chain(spark, n_events: int) -> dict:
+    """lake_changelog transport cost: an upstream MoR table's two
+    epochs tailed by the streaming source (pyarrow delta-dir reads,
+    executor-side) and merged into a downstream table via
+    foreachBatch — the multi-hop bronze→silver hop, priced per change
+    row.  Upstream build is SETUP (untimed); the timed window is
+    stream start → downstream converged."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.sink.lake import LakeTable
+    from etl_cms_spark.sources.lakestream import register
+
+    base_dir = tempfile.mkdtemp(prefix="cdc_chain_")
+    try:
+        ch = gen_source_changes(
+            spark, n_events=n_events, n_keys=max(200, n_events // 5), n_repos=100
+        )
+        cols = ["repo", "path", "commit", "lang", "content", "ts"]
+        schema = {c: ("timestamp" if c == "ts" else "string") for c in cols}
+        up = LakeTable(
+            spark, os.path.join(base_dir, "up"), n_buckets=32, merge_mode="mor"
+        )
+        up.create(["repo", "path"], schema)
+        lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+        raw = ch.select(*cols, "lsn", "op")
+        up.merge_epoch(raw.where(F.col("lsn") <= (lo + hi) // 2), 0)
+        up.merge_epoch(raw.where(F.col("lsn") > (lo + hi) // 2), 1)
+        n_rows = sum(
+            r["rows_upserted"] + r["rows_deleted"] for r in up.lineage()
+        )
+        down = LakeTable(
+            spark, os.path.join(base_dir, "down"), n_buckets=32, merge_mode="mor"
+        )
+        down.create(["repo", "path"], schema)
+        register(spark)
+        t0 = time.time()
+        q = (
+            spark.readStream.format("lake_changelog")
+            .option("path", up.root).load()
+            .writeStream.foreachBatch(lambda df, bid: down.merge_epoch(df, bid))
+            .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        return {
+            "seconds": round(dt, 3),
+            "rows": n_rows,
+            "events_per_sec": round(n_rows / dt, 1) if dt > 0 else None,
+        }
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
 def run_small_batch(
     spark, n_base: int, n_batch: int, mode: str,
     demux: bool = False, demux_targeted: bool = False,
@@ -356,6 +414,11 @@ def main_bench() -> None:
     skew_s = run_cdc(spark, n_events=n_cdc // 2, salt=True, key_skew=3.0)
     timings["cdc_hotkey_window"] = skew_w["seconds"]
     timings["cdc_hotkey_salted"] = skew_s["seconds"]
+    # pipeline chaining: the lake_changelog streaming source tailing
+    # an upstream MoR table into a downstream merge (bronze→silver
+    # hop) — prices the pyarrow delta-read + merge transport per row.
+    chain = run_chain(spark, n_events=n_cdc // 4)
+    timings["cdc_chain_transport"] = chain["seconds"]
     total = round(time.time() - total0, 2)
     # Stop the session BEFORE printing the compact line: the driver
     # parses only a ~2 kB output tail, and JVM shutdown-hook logging
