@@ -282,3 +282,43 @@ def test_gate_under_streaming(spark, tmp_root):
     assert len(p.table.committed_epochs()) >= 1
     q0 = spark.read.parquet(os.path.join(lake, "quarantine", "epoch=0"))
     assert q0.count() > 0
+
+
+def test_demux_gate_under_streaming(spark, tmp_root):
+    """Multi-table WAP through foreachBatch: a rejected micro-batch
+    lands in NO table (main nor any domain sink), later batches flow,
+    and the repair re-offer converges every table to the plain demux
+    stream's state."""
+    from etl_cms_spark.streaming.stream import start_stream
+
+    changes = gen_source_changes(spark, n_events=1000, n_keys=200, n_repos=10)
+    log_dir = os.path.join(tmp_root, "schangelog")
+    changes.repartition(4).write.parquet(log_dir)
+    lake = os.path.join(tmp_root, "slake")
+
+    q, p = start_stream(
+        spark, log_dir, lake, max_files_per_trigger=2, n_buckets=8,
+        demux_domains=True, epoch_audit=lambda gate: gate.epoch != 0,
+    )
+    q.awaitTermination(300)
+    assert 0 not in p.table.committed_epochs()
+    assert len(p.table.committed_epochs()) >= 1
+    for d, t in p.domain_tables.items():
+        assert 0 not in t.committed_epochs(), f"domain {d} kept batch 0"
+    assert spark.read.parquet(
+        os.path.join(lake, "quarantine", "epoch=0")
+    ).count() > 0
+
+    repair = CDCPipeline(
+        spark, lake, n_buckets=8, demux_domains=True,
+        epoch_audit=lambda g: True,
+    )
+    repair.reprocess_quarantine(0, -5)
+
+    plain_lake = os.path.join(tmp_root, "plake")
+    q2, plain = start_stream(
+        spark, log_dir, plain_lake, max_files_per_trigger=2, n_buckets=8,
+        demux_domains=True,
+    )
+    q2.awaitTermination(300)
+    _assert_all_tables_equal(repair, plain, "repaired stream == plain stream")
