@@ -36,7 +36,7 @@ def start_stream(
     changelog_dir: str | None,
     lake_root: str,
     checkpoint_dir: str | None = None,
-    source_table: str | None = None,
+    source_table: "str | list[str] | None" = None,
     watermark: str = "24 hours",
     max_files_per_trigger: int = 4,
     salt_hot_keys: bool = False,
@@ -110,11 +110,22 @@ def start_stream(
         from etl_cms_spark.sources.lakestream import register
 
         register(spark)
-        stream = (
-            spark.readStream.format("lake_changelog")
-            .option("path", source_table)
-            .load()
+        # FAN-IN: a list of table roots unions N upstream shards into
+        # one silver pipeline — Spark checkpoints offsets PER SOURCE,
+        # so each shard resumes independently and exactly-once.
+        # Correctness contract: either the shards hold disjoint key
+        # ranges (the usual sharding), or their LSNs share one global
+        # domain so cross-shard latest-wins is meaningful.
+        roots = (
+            [source_table] if isinstance(source_table, str) else list(source_table)
         )
+        shards = [
+            spark.readStream.format("lake_changelog").option("path", r).load()
+            for r in roots
+        ]
+        stream = shards[0]
+        for s in shards[1:]:
+            stream = stream.unionByName(s)
         if "ts" not in stream.columns:
             stream = stream.withColumn("ts", F.lit(None).cast("timestamp"))
     else:

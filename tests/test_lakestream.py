@@ -227,3 +227,36 @@ def test_partial_columnar_refuses(spark, tmp_root):
 
     with pytest.raises(StreamingQueryException, match="partial_columnar"):
         _drain(spark, root, "col_tail")
+
+
+def test_start_stream_fans_in_multiple_shards(spark, changes, tmp_root):
+    """FAN-IN: two bronze shards (disjoint repo ranges) union into one
+    silver pipeline — Spark checkpoints offsets per source, and the
+    silver state equals the batch pipeline over the concatenated
+    changelog."""
+    from etl_cms_spark.streaming.stream import start_stream
+
+    raw_cols = ["repo", "path", "commit", "lang", "content", "ts"]
+    schema = {c: ("timestamp" if c == "ts" else "string") for c in raw_cols}
+    shard_roots = []
+    for i, pred in enumerate(
+        [F.crc32(F.col("repo")) % 2 == 0, F.crc32(F.col("repo")) % 2 == 1]
+    ):
+        b = LakeTable(
+            spark, os.path.join(tmp_root, f"shard{i}"), n_buckets=4,
+            merge_mode="mor",
+        )
+        b.create(["repo", "path"], schema)
+        b.merge_epoch(changes.where(pred).select(*raw_cols, "lsn", "op"), 0)
+        shard_roots.append(b.root)
+
+    q, silver = start_stream(
+        spark, None, os.path.join(tmp_root, "fansilver"), n_buckets=8,
+        source_table=shard_roots,
+    )
+    q.awaitTermination(300)
+    ref = CDCPipeline(spark, os.path.join(tmp_root, "fanref"), n_buckets=8)
+    ref.run(changes, n_epochs=1)
+    assert_df_equal(
+        silver.current_state(), ref.current_state(), "fan-in silver == ref"
+    )
