@@ -1791,6 +1791,76 @@ def cdc_demux_wap_state(spark, sf_dir):
 
 
 @q(
+    "cdc_lineage_metrics",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    b AS (SELECT MIN(lsn) AS lo, MAX(lsn) AS hi FROM ch),
+    w AS (SELECT lo, hi, GREATEST(1, (hi - lo + 2) // 2) AS width FROM b),
+    sliced AS (
+      SELECT ch.*, CAST((ch.lsn - w.lo) // w.width AS INT) AS epoch
+      FROM ch, w),
+    winners AS (
+      SELECT * FROM (
+        SELECT s.*, ROW_NUMBER() OVER (
+          PARTITION BY epoch, repo, path ORDER BY lsn DESC) AS rn
+        FROM sliced s) x
+      WHERE rn = 1),
+    flagged AS (
+      SELECT wi.epoch, wi.lsn,
+             (dim.lang IS NULL AND wi.op <> 'D') AS quar,
+             (wi.op = 'D' OR dim.lang IS NULL) AS del
+      FROM winners wi LEFT JOIN {_concept_dim_sql()} ON wi.lang = dim.lang)
+    SELECT epoch,
+           CAST(SUM(CASE WHEN NOT del THEN 1 ELSE 0 END) AS BIGINT) AS rows_upserted,
+           CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS rows_deleted,
+           CAST(SUM(CASE WHEN quar THEN 1 ELSE 0 END) AS BIGINT) AS rows_quarantined,
+           MIN(lsn) AS lsn_min, MAX(lsn) AS lsn_max
+    FROM flagged GROUP BY epoch
+    """,
+)
+def cdc_lineage_metrics(spark, sf_dir):
+    """LINEAGE AS DATA: the per-epoch lineage/metrics records the
+    engine emits (the north rule's 'per-partition lineage + metrics
+    each epoch') — epoch id, rows applied/deleted/quarantined, source
+    LSN range — returned as a DataFrame and verified EXTERNALLY: the
+    DuckDB oracle recomputes every number from the raw changelog alone
+    (same ceil-width LSN slicing as ``run()``, per-epoch latest-wins,
+    unmapped-upsert→tombstone conversion).  This turns the engine's
+    bookkeeping arithmetic — not just its data plane — into an
+    oracle-checked surface, the analogue of the reference's
+    records_read/records_written FileControl accounting
+    (FileControl.py:255-259)."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_lineage_")
+    try:
+        p = CDCPipeline(spark, root, n_buckets=8)
+        p.run(changes, n_epochs=2)
+        rows = [
+            (
+                int(r["epoch"]),
+                int(r["rows_upserted"]),
+                int(r["rows_deleted"]),
+                int(r.get("rows_quarantined", 0)),
+                int(r["lsn_min"]),
+                int(r["lsn_max"]),
+            )
+            for r in p.table.lineage()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "epoch int, rows_upserted long, rows_deleted long, "
+            "rows_quarantined long, lsn_min long, lsn_max long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "lake_changelog_chain",
     f"""
     WITH ch AS ({_oracle_changelog_sql()}),
