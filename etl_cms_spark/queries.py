@@ -1791,6 +1791,50 @@ def cdc_demux_wap_state(spark, sf_dir):
 
 
 @q(
+    "lake_time_travel",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    b AS (SELECT MIN(lsn) AS lo, MAX(lsn) AS hi FROM ch),
+    w AS (SELECT lo, GREATEST(1, (hi - lo + 2) // 2) AS width FROM b),
+    prefix AS (SELECT ch.* FROM ch, w WHERE ch.lsn < w.lo + w.width),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM prefix),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT l.repo, l.path, l.commit, l.lang, l.content,
+           dim.concept_id, dim.domain, sha256(l.content) AS content_sha
+    FROM latest l JOIN {_concept_dim_sql()} ON l.lang = dim.lang
+    """,
+)
+def lake_time_travel(spark, sf_dir):
+    """TIME TRAVEL: after the full 2-epoch run, ``read_at`` the
+    snapshot version epoch 0 committed — the result must equal the
+    latest-wins SQL over ONLY epoch 0's LSN slice (the oracle
+    recomputes the historical state from the raw changelog; epoch 1's
+    updates, deletes and re-creates must all be invisible).  Snapshot
+    manifests are immutable, so this is a pure manifest pin — no
+    copy, no restore."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_tt_")
+    try:
+        p = CDCPipeline(spark, root, n_buckets=8)
+        p.run(changes, n_epochs=2)
+        v0 = next(
+            int(r["snapshot_version"])
+            for r in p.table.lineage()
+            if int(r["epoch"]) == 0
+        )
+        return p.table.read_at(v0).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "cdc_lineage_metrics",
     f"""
     WITH ch AS ({_oracle_changelog_sql()}),
