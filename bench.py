@@ -921,7 +921,16 @@ This engine at local[32]: {t32} events/s end-to-end.
 
 
 if __name__ == "__main__":
-    if "--cdc-only" in sys.argv:
+    if "--chain-only" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        n = int(sys.argv[sys.argv.index("--events") + 1])
+        globals()["CPUS"] = cpus
+        spark = _tuned_session(cpus)
+        run_chain(spark, max(50_000, n // 20))  # warm-up, untimed metric
+        res = run_chain(spark, n)
+        res["cpus"] = cpus
+        print("CHAIN_RESULT " + json.dumps(res))
+    elif "--cdc-only" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
         n = int(sys.argv[sys.argv.index("--events") + 1])
         main_cdc_only(
