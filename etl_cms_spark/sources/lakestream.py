@@ -39,7 +39,8 @@ the idiomatic replacement for a driver-side polling loop.  Design:
 * RETENTION = VACUUM HORIZON.  Delta dirs of superseded versions
   stay on disk until ``vacuum`` drops them (Kafka-retention
   semantics): keep ``vacuum(keep_last=...)`` at or beyond the
-  slowest consumer's checkpoint lag.
+  slowest consumer's checkpoint lag.  Offsets below the horizon
+  FAIL FAST (Kafka's OffsetOutOfRange) — never a silent skip.
 * ``Trigger.AvailableNow`` falls back to SINGLE-BATCH execution
   (Python stream readers don't implement the AvailableNow admission
   contract yet): one micro-batch covering checkpoint→CURRENT, then
@@ -169,6 +170,21 @@ class _LakeChangelogStreamReader(DataSourceStreamReader):
                 d = os.path.join(base, f"_bucket={b}")
                 if os.path.isdir(d):
                     parts.append(_DeltaDir(d, cols))
+                else:
+                    # A MoR epoch writes every changed bucket, so a
+                    # missing dir means vacuum dropped this version —
+                    # the consumer fell behind the retention horizon.
+                    # FAIL FAST (Kafka's OffsetOutOfRange): silently
+                    # skipping would be silent data loss downstream.
+                    raise ValueError(
+                        f"lake_changelog: epoch {r['epoch']} (snapshot "
+                        f"v{r['snapshot_version']}) delta files are gone — "
+                        f"vacuumed past this consumer's offset.  Restart "
+                        f"with .option('startingVersion', <a retained "
+                        f"version>) and reconcile the gap (e.g. a full "
+                        f"re-sync), or raise vacuum(keep_last=...) above "
+                        f"the slowest consumer's lag"
+                    )
         return parts
 
     def read(self, partition: _DeltaDir):

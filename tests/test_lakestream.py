@@ -260,3 +260,45 @@ def test_start_stream_fans_in_multiple_shards(spark, changes, tmp_root):
     assert_df_equal(
         silver.current_state(), ref.current_state(), "fan-in silver == ref"
     )
+
+
+def test_vacuumed_offsets_fail_fast(spark, tmp_root):
+    """Retention contract: a consumer whose offsets point below the
+    vacuum horizon must FAIL LOUDLY (Kafka's OffsetOutOfRange), never
+    silently skip vacuumed epochs — silent skipping is downstream
+    data loss."""
+    root = os.path.join(tmp_root, "vac")
+    t = LakeTable(spark, root, n_buckets=4, merge_mode="mor")
+    t.create(["k"], {"k": "string", "v": "string"})
+    for e in range(3):
+        # same key every epoch -> a real delta stack in one bucket
+        t.merge_epoch(
+            spark.createDataFrame(
+                [("a", f"v{e}", e + 1, "U")],
+                "k string, v string, lsn long, op string",
+            ),
+            e,
+        )
+    rec = t.compact()      # folds deltas; old version dirs now orphaned
+    assert rec["compacted_buckets"] > 0
+    vac = t.vacuum(keep_last=1)  # ...and dropped
+    assert vac["removed_bucket_dirs"] > 0
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="vacuumed past"):
+        _drain(spark, root, "vac_tail")  # full history from version 0
+
+    # a consumer starting at the retained horizon still works: the
+    # compacted state is reachable via a fresh snapshot sync, and new
+    # epochs stream fine from here.
+    t.merge_epoch(
+        spark.createDataFrame(
+            [("k9", "v9", 99, "U")], "k string, v string, lsn long, op string"
+        ),
+        3,
+    )
+    got = _drain(
+        spark, root, "vac_tail2", starting=t._current_version() - 1
+    )
+    assert [r["k"] for r in got.collect()] == ["k9"]
