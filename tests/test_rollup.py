@@ -166,3 +166,75 @@ def test_state_rollup_replay_is_noop(spark, tmp_root):
     rec = r.apply_diff(diff, epoch=0)
     assert rec.get("skipped_duplicate_epoch")
     assert sorted(map(str, r.read().collect())) == before
+
+
+def test_incremental_hll_distinct_rollup(spark, tmp_root):
+    """distinct= measures: per-group HLL sketches unioned per epoch.
+    N epochs of unions must yield the IDENTICAL estimate to a one-shot
+    sketch over all rows (union = register-wise max), the estimate
+    must track exact COUNT(DISTINCT) within HLL error, and replay is
+    a no-op."""
+    import os
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.plans.rollup import IncrementalRollup
+
+    changes = gen_source_changes(spark, n_events=6000, n_keys=900, n_repos=30)
+    r = IncrementalRollup(
+        spark,
+        os.path.join(tmp_root, "hllr"),
+        key_exprs={"lang": F.coalesce(F.col("lang"), F.lit("-"))},
+        measures={"n_events": F.count(F.lit(1))},
+        distinct={"n_repos": "repo", "n_paths": "path"},
+    )
+    lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).first()
+    width = (hi - lo + 3) // 3
+    for e in range(3):
+        r.apply_epoch(
+            changes.where(
+                (F.col("lsn") >= lo + e * width)
+                & (F.col("lsn") < lo + (e + 1) * width)
+            ),
+            e,
+        )
+    got = {x["lang"]: x for x in r.read().collect()}
+
+    oneshot = {
+        x["lang"]: x
+        for x in changes.groupBy(
+            F.coalesce(F.col("lang"), F.lit("-")).alias("lang")
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("repo")).alias("n_repos"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("path")).alias("n_paths"),
+        )
+        .collect()
+    }
+    exact = {
+        x["lang"]: x
+        for x in changes.groupBy(
+            F.coalesce(F.col("lang"), F.lit("-")).alias("lang")
+        )
+        .agg(
+            F.count_distinct("repo").alias("n_repos"),
+            F.count_distinct("path").alias("n_paths"),
+        )
+        .collect()
+    }
+    assert set(got) == set(oneshot) == set(exact)
+    for lang in got:
+        for m in ("n_repos", "n_paths"):
+            # incremental unions == one-shot sketch, exactly
+            assert got[lang][m] == oneshot[lang][m], (lang, m)
+            # and within HLL error of the exact count (lgk=12 default:
+            # ~1.6% rse; allow 5%)
+            e_ = exact[lang][m]
+            assert abs(got[lang][m] - e_) <= max(2, 0.05 * e_), (lang, m)
+
+    # replay no-op: re-offering epoch 1 is skipped, estimates unchanged
+    rec = r.apply_epoch(changes.where(F.col("lsn") < lo + 2 * width), 1)
+    assert rec.get("skipped_duplicate_epoch")
+    again = {x["lang"]: x for x in r.read().collect()}
+    assert {k: (v["n_repos"], v["n_paths"]) for k, v in again.items()} == {
+        k: (v["n_repos"], v["n_paths"]) for k, v in got.items()
+    }
