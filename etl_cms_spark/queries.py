@@ -1791,6 +1791,64 @@ def cdc_demux_wap_state(spark, sf_dir):
 
 
 @q(
+    "debezium_roundtrip",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT l.repo, l.path, l.commit, l.lang, l.content,
+           dim.concept_id, dim.domain, sha256(l.content) AS content_sha
+    FROM latest l JOIN {_concept_dim_sql()} ON l.lang = dim.lang
+    """,
+)
+def debezium_roundtrip(spark, sf_dir):
+    """CDC round-trip closure: the flagship pipeline's lake exports
+    each epoch's diff as Debezium envelopes (``changes_for_epoch`` →
+    ``to_debezium``, source.lsn = the epoch's snapshot version), a
+    SECOND table ingests them back through ``from_debezium`` +
+    ``merge_epoch`` — and the copy must equal the one-pass
+    latest-wins SQL over the ORIGINAL changelog.  The wire format is
+    lossless in both directions: out (diff → envelope) and in
+    (envelope → flat changelog), including deletes (keys ride the
+    before-image only, Debezium's shape)."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+    from etl_cms_spark.sink.lake import LakeTable
+    from etl_cms_spark.sources.envelopes import from_debezium, to_debezium
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="cdc_dbzrt_")
+    try:
+        p = CDCPipeline(
+            spark, os.path.join(base, "a"), n_buckets=8, merge_mode="mor"
+        )
+        p.run(changes, n_epochs=2)
+        key_cols = ["repo", "path"]
+        copy = LakeTable(
+            spark, os.path.join(base, "b"), n_buckets=8, merge_mode="mor"
+        )
+        copy.create(key_cols, p.table.schema())
+        for rec in p.table.lineage():
+            env = to_debezium(
+                p.table.changes_for_epoch(int(rec["epoch"])),
+                key_cols,
+                lsn=int(rec["snapshot_version"]),
+            )
+            copy.merge_epoch(from_debezium(env, key_cols), int(rec["epoch"]))
+        cols = [
+            "repo", "path", "commit", "lang", "content",
+            "concept_id", "domain", "content_sha",
+        ]
+        return copy.read().select(*cols).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@q(
     "lake_time_travel",
     f"""
     WITH ch AS ({_oracle_changelog_sql()}),

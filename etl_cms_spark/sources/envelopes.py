@@ -72,3 +72,55 @@ def from_debezium(
         F.expr(lsn_expr).cast("long").alias("lsn"),
         op_mapped.alias("op"),
     )
+
+
+def to_debezium(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    lsn,
+    op_col: str = "op",
+    before_col: str = "before",
+    after_col: str = "after",
+) -> DataFrame:
+    """CDC OUT as wire format: wrap ``LakeTable.changes_between`` /
+    ``changes_for_epoch`` output (flat keys + ``op`` I/U/D +
+    before/after payload structs) into Debezium-style envelopes —
+    key fields folded INTO the row images (Debezium's shape: a
+    delete carries keys in ``before`` only), op mapped I→c / U→u /
+    D→d, and a ``source`` struct carrying ``lsn`` (pass the snapshot
+    version for per-epoch exports — every row of one epoch's diff
+    shares its commit position, exactly like rows of one transaction
+    share a WAL position).
+
+    ``from_debezium(to_debezium(diff)) `` round-trips to a changelog
+    whose replay reproduces the exporting table's state
+    (``debezium_roundtrip`` oracle entry).  Pure narrow projection:
+    fuses into the scan, nothing shuffles.
+    """
+    lsn_col = lsn if not isinstance(lsn, (int, float)) else F.lit(int(lsn))
+    payload = [f.name for f in changes.schema[after_col].dataType.fields]
+
+    def image(col: str):
+        return F.when(
+            F.col(col).isNotNull(),
+            F.struct(
+                *[F.col(k).alias(k) for k in key_cols],
+                *[F.col(f"{col}.{c}").alias(c) for c in payload],
+            ),
+        )
+
+    op = (
+        F.when(F.col(op_col) == "I", F.lit("c"))
+        .when(F.col(op_col) == "U", F.lit("u"))
+        .when(F.col(op_col) == "D", F.lit("d"))
+    )
+    op = F.when(
+        op.isNull(),
+        F.raise_error(F.concat(F.lit("unknown diff op: "), F.col(op_col))),
+    ).otherwise(op)
+    return changes.select(
+        image(before_col).alias("before"),
+        image(after_col).alias("after"),
+        op.alias("op"),
+        F.struct(lsn_col.cast("long").alias("lsn")).alias("source"),
+    )

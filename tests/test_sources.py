@@ -178,3 +178,33 @@ def test_debezium_adapter_unknown_op_fails_fast(spark):
     bad = spark.createDataFrame([("x", None, ("k1", "v1"), (1,))], sch)
     with pytest.raises(Exception, match="unknown CDC op"):
         from_debezium(bad, ["k"]).collect()
+
+
+def test_to_debezium_round_trips_all_ops(spark):
+    """to_debezium(from CDC-out diff shape) -> from_debezium is the
+    identity on (key, payload, op-class): insert keys ride after,
+    delete keys ride before ONLY (Debezium's shape), updates carry
+    both images."""
+    from etl_cms_spark.sources.envelopes import from_debezium, to_debezium
+
+    diff = spark.createDataFrame(
+        [
+            ("k1", "I", None, {"v": "new"}),
+            ("k2", "U", {"v": "old"}, {"v": "upd"}),
+            ("k3", "D", {"v": "gone"}, None),
+        ],
+        "k string, op string, before struct<v:string>, after struct<v:string>",
+    )
+    env = to_debezium(diff, ["k"], lsn=7)
+    rows = {r["op"]: r for r in env.collect()}
+    assert set(rows) == {"c", "u", "d"}
+    assert rows["c"]["before"] is None and rows["c"]["after"]["k"] == "k1"
+    assert rows["d"]["after"] is None and rows["d"]["before"]["k"] == "k3"
+    assert rows["u"]["before"]["v"] == "old" and rows["u"]["after"]["v"] == "upd"
+    assert all(r["source"]["lsn"] == 7 for r in rows.values())
+
+    flat = {r["k"]: r for r in from_debezium(env, ["k"]).collect()}
+    assert flat["k1"]["op"] == "I" and flat["k1"]["v"] == "new"
+    assert flat["k2"]["op"] == "U" and flat["k2"]["v"] == "upd"
+    assert flat["k3"]["op"] == "D" and flat["k3"]["v"] is None
+    assert all(r["lsn"] == 7 for r in flat.values())
