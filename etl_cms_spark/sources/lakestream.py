@@ -262,9 +262,17 @@ class LakeChangelogDataSource(DataSource):
         return f"{cols}, lsn bigint, op string"
 
     def streamReader(self, schema) -> _LakeChangelogStreamReader:
-        return _LakeChangelogStreamReader(
-            self._root(), int(self._opt("startingVersion", 0))
-        )
+        root = self._root()
+        start = int(self._opt("startingVersion", 0))
+        current = _manifest(root)["version"]
+        if start > current:
+            # a typo'd startingVersion would otherwise stream nothing,
+            # silently, forever (offsets only grow toward it).
+            raise ValueError(
+                f"startingVersion {start} is ahead of the table's "
+                f"current snapshot v{current} at {root}"
+            )
+        return _LakeChangelogStreamReader(root, start)
 
 
 def register(spark) -> None:

@@ -302,3 +302,15 @@ def test_vacuumed_offsets_fail_fast(spark, tmp_root):
         spark, root, "vac_tail2", starting=t._current_version() - 1
     )
     assert [r["k"] for r in got.collect()] == ["k9"]
+
+
+def test_starting_version_ahead_of_current_refuses(spark, tmp_root):
+    root = os.path.join(tmp_root, "ahead")
+    t = LakeTable(spark, root, n_buckets=4, merge_mode="mor")
+    t.create(["k"], {"k": "string", "v": "string"})
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    # streamReader construction is lazy: the refusal surfaces at
+    # query start, not at .load()
+    with pytest.raises(StreamingQueryException, match="ahead of the table"):
+        _drain(spark, root, "ahead_tail", starting=99)
