@@ -277,3 +277,48 @@ class LakeChangelogDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(LakeChangelogDataSource)
+
+
+def sync_snapshot(spark, upstream_root: str, downstream) -> int:
+    """FULL RE-SYNC for a consumer below the retention horizon (the
+    recovery path the vacuum fail-fast points at): merge the
+    upstream's CURRENT snapshot into ``downstream`` as ONE epoch,
+    then resume streaming with ``startingVersion`` = the returned
+    snapshot version.
+
+    Rows carry their ORIGINAL per-row ``_lsn`` (``read_raw``), and
+    tombstones ride along as deletes — so epochs streamed AFTER the
+    sync merge correctly against the synced rows under the normal
+    max-LSN rule (a streamed update older than a synced row loses,
+    exactly as it would have upstream), and a key deleted upstream
+    cannot resurrect downstream.  The sync epoch id is
+    ``-(version + 1)`` — the reserved negative namespace
+    (CDCPipeline.reprocess_quarantine), so it can never collide with
+    Spark's non-negative micro-batch ids; re-running the sync for
+    the same version is the usual exactly-once no-op.
+
+    CAVEAT for a STALE (non-empty) downstream: deletes are conveyed
+    by upstream tombstone rows, so the sync is complete only while
+    the upstream's tombstone-expiry horizon
+    (``compact(expire_tombstones=True)``) covers the consumer's
+    staleness — an expired tombstone cannot delete the stale copy's
+    live row.  A fresh downstream has no such exposure.
+
+    Returns the upstream snapshot version the sync captured.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_cms_spark.sink.lake import LakeTable
+
+    up = LakeTable(spark, upstream_root)
+    version = up._current_version()
+    key_cols = up._load_manifest()["key_cols"]
+    payload = [c for c in up.schema() if c not in key_cols]
+    snap = up.read_raw().select(
+        *key_cols,
+        *payload,
+        F.col("_lsn").alias("lsn"),
+        F.when(F.col("_deleted"), "D").otherwise("U").alias("op"),
+    )
+    downstream.merge_epoch(snap, -(version + 1))
+    return version

@@ -314,3 +314,60 @@ def test_starting_version_ahead_of_current_refuses(spark, tmp_root):
     # query start, not at .load()
     with pytest.raises(StreamingQueryException, match="ahead of the table"):
         _drain(spark, root, "ahead_tail", starting=99)
+
+
+def test_sync_snapshot_recovers_below_horizon(spark, tmp_root):
+    """The recovery path the retention fail-fast points at: a consumer
+    below the vacuum horizon full-syncs the upstream snapshot (one
+    negative-namespace epoch, original per-row LSNs, tombstones ride
+    along), then resumes streaming from the synced version — and
+    converges with upstream as new epochs land."""
+    from etl_cms_spark.sources.lakestream import sync_snapshot
+
+    root = os.path.join(tmp_root, "recov_up")
+    t = LakeTable(spark, root, n_buckets=4, merge_mode="mor")
+    t.create(["k"], {"k": "string", "v": "string"})
+    for e in range(3):
+        t.merge_epoch(
+            spark.createDataFrame(
+                [("a", f"v{e}", 10 + e, "U"), (f"k{e}", f"x{e}", 20 + e, "U")],
+                "k string, v string, lsn long, op string",
+            ),
+            e,
+        )
+    t.merge_epoch(
+        spark.createDataFrame(
+            [("k0", None, 30, "D")], "k string, v string, lsn long, op string"
+        ),
+        3,
+    )
+    t.compact()
+    t.vacuum(keep_last=1)
+
+    down = LakeTable(
+        spark, os.path.join(tmp_root, "recov_down"), n_buckets=4,
+        merge_mode="mor",
+    )
+    down.create(["k"], {"k": "string", "v": "string"})
+    v = sync_snapshot(spark, root, down)
+    assert_df_equal(down.read(), t.read(), "synced == upstream snapshot")
+    # idempotent: re-sync of the same version is a no-op
+    assert sync_snapshot(spark, root, down) == v
+
+    # resume streaming ABOVE the synced version; new epochs flow
+    t.merge_epoch(
+        spark.createDataFrame(
+            [("a", "final", 99, "U")], "k string, v string, lsn long, op string"
+        ),
+        4,
+    )
+    ckpt = os.path.join(tmp_root, "recov_ckpt")
+    q = (
+        spark.readStream.format("lake_changelog")
+        .option("path", root).option("startingVersion", v).load()
+        .writeStream.foreachBatch(lambda df, bid: down.merge_epoch(df, bid))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    assert_df_equal(down.read(), t.read(), "recovered consumer == upstream")
