@@ -49,6 +49,7 @@ _PRIORITIZED = [
     "cdc_lineage_metrics",        # per-epoch lineage arithmetic verified from the raw changelog (new r5)
     "lake_time_travel",           # snapshot-version read == SQL over the epoch-0 prefix (new r5)
     "debezium_roundtrip",         # CDC out->envelope->in round-trip is lossless (new r5)
+    "lake_drop_column",           # drop-column evolution: no resurrection on re-add (new r5)
     # round-4 deprioritized tail (never driver-checked)
     "cdc_latest_by_key_salted",   # property-twin of cdc_latest_by_key
     "minhash_lsh_portable",       # twin; minhash_lsh_neardup is primary

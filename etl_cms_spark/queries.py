@@ -1963,6 +1963,61 @@ def cdc_lineage_metrics(spark, sf_dir):
 
 
 @q(
+    "lake_drop_column",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    b AS (SELECT MIN(lsn) AS lo, MAX(lsn) AS hi FROM ch),
+    w AS (SELECT lo + GREATEST(1, (hi - lo + 2) // 2) AS boundary FROM b),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT l.repo, l.path,
+           CASE WHEN l.lsn >= w.boundary THEN l.commit END AS commit,
+           l.lang, l.content, dim.concept_id, dim.domain,
+           sha256(l.content) AS content_sha
+    FROM latest l CROSS JOIN w JOIN {_concept_dim_sql()} ON l.lang = dim.lang
+    """,
+)
+def lake_drop_column(spark, sf_dir):
+    """DROP-COLUMN schema evolution, oracle-checked end to end: the
+    changelog carries a ``{{"drop": "commit"}}`` then ``{{"add":
+    "commit:string"}}`` SCHEMA event pair at the epoch-1 boundary.
+    The drop is metadata-only (sink/lake.py:apply_schema_change) —
+    every physical spelling of the column is version-stamped into the
+    manifest's ``dropped`` map and hidden from older write groups —
+    so the re-added column must read NULL for keys whose winning
+    upsert predates the drop and real values for epoch-1 winners.
+    The DuckDB oracle expresses exactly that: commit is NULLed for
+    winners below the epoch boundary, kept at/above it."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.fixtures.generator import gen_schema_events
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = _changelog_from_documents(spark, sf_dir).withColumn(
+        "schema_change", F.lit(None).cast("string")
+    )
+    lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).first()
+    boundary = lo + max(1, (hi - lo + 2) // 2)
+    # data lsns are odd (2*doc_id+1): even event lsns inside epoch 1
+    # collide with nothing and leave the lo/hi epoch split unchanged.
+    drop_lsn = boundary if boundary % 2 == 0 else boundary + 1
+    sev = gen_schema_events(
+        spark,
+        {drop_lsn: '{"drop": "commit"}', drop_lsn + 2: '{"add": "commit:string"}'},
+    ).drop("ts")
+    root = tempfile.mkdtemp(prefix="cdc_drop_")
+    try:
+        p = CDCPipeline(spark, root, n_buckets=8)
+        p.run(changes.unionByName(sev), n_epochs=2)
+        return p.current_state().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "lake_changelog_chain",
     f"""
     WITH ch AS ({_oracle_changelog_sql()}),

@@ -381,7 +381,18 @@ class LakeTable:
             # instead of nondeterministically (round-4 ADVICE).  This
             # is the MoR analogue of the CoW merge's explicit
             # batch-beats-table ">=" rule.
-            p = p.withColumn(_WV_COL, F.lit(_write_ordinal(wdir)))
+            wv = _write_ordinal(wdir)
+            p = p.withColumn(_WV_COL, F.lit(wv))
+            # dropped-column hide, version-aware: a physical column
+            # dropped at snapshot D is invisible in write groups older
+            # than D (then _normalize null-fills if the name was later
+            # re-added); write groups at/after D carry re-added data
+            # and keep it.  read_at() of a pre-drop snapshot uses that
+            # snapshot's manifest (no/earlier dropped entry), so time
+            # travel still sees the column.
+            for dcol, dver in manifest.get("dropped", {}).items():
+                if dcol in p.columns and wv < dver:
+                    p = p.drop(dcol)
             # bucket ids are stored as `_bucket=N` leaf dirs; reading
             # the leaf directly drops the partition column, so
             # recompute it from the key hash (deterministic by
@@ -1084,6 +1095,7 @@ class LakeTable:
         for fld in (
             "schema",
             "renames",
+            "dropped",
             "key_cols",
             "n_buckets",
             "partial_columnar",
@@ -1455,14 +1467,40 @@ class LakeTable:
     }
 
     def apply_schema_change(self, change: dict, epoch: int | None = None) -> None:
-        """``{"add": "name:type"}``, ``{"rename": "old:new"}`` or
-        ``{"widen": "name:type"}`` — metadata-only commit, no data
-        rewrite (Iceberg-style).  ``widen`` promotes a column to a
-        wider type from the allowlisted lossless set; physical files
-        keep the old type and ``_normalize`` casts on read, exactly
-        like renames."""
+        """``{"add": "name:type"}``, ``{"rename": "old:new"}``,
+        ``{"widen": "name:type"}`` or ``{"drop": "name"}`` —
+        metadata-only commit, no data rewrite (Iceberg-style).
+        ``widen`` promotes a column to a wider type from the
+        allowlisted lossless set; physical files keep the old type and
+        ``_normalize`` casts on read, exactly like renames.  ``drop``
+        removes the column from the logical schema without touching
+        data files: every physical name that currently resolves to it
+        is recorded in the manifest's ``dropped`` map with THIS
+        commit's snapshot version, and the read path hides those
+        physical columns only in write groups older than that version
+        — so time travel to a pre-drop snapshot still sees the data,
+        and a later re-``add`` of the same name starts from NULLs
+        instead of resurrecting dropped values (the version check is
+        the field-id-free analogue of Iceberg's field-id rule that a
+        reused name never rebinds to old column data)."""
         manifest = self._load_manifest()
-        if "widen" in change:
+        dropped_phys: set[str] = set()
+        if "drop" in change:
+            name = change["drop"]
+            if name in manifest["key_cols"]:
+                raise ValueError(f"drop: {name!r} is a key column")
+            if name not in manifest["schema"]:
+                return  # already dropped — idempotent on replay
+            del manifest["schema"][name]
+            # every physical spelling of this logical column: the
+            # current name plus any pre-rename names still on disk.
+            dropped_phys = {name} | {
+                p for p, l in manifest["renames"].items() if l == name
+            }
+            manifest["renames"] = {
+                p: l for p, l in manifest["renames"].items() if l != name
+            }
+        elif "widen" in change:
             name, typ = change["widen"].split(":", 1)
             cur = manifest["schema"].get(name)
             if cur is None:
@@ -1494,6 +1532,13 @@ class LakeTable:
         parent = manifest["version"]
         manifest["version"] = self._reserve_version()
         manifest["parent_version"] = parent
+        if dropped_phys:
+            d = dict(manifest.get("dropped", {}))
+            for p in dropped_phys:
+                # latest drop wins: files written before THIS version
+                # hide the column; re-added data (written later) shows.
+                d[p] = manifest["version"]
+            manifest["dropped"] = d
         if epoch is not None:
             manifest["epochs"].setdefault(
                 str(epoch),
