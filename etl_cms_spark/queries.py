@@ -2018,6 +2018,50 @@ def lake_drop_column(spark, sf_dir):
 
 
 @q(
+    "lake_files_metadata",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    keys AS (SELECT DISTINCT repo, path FROM ch)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(repo) AS min_repo, MAX(repo) AS max_repo
+    FROM keys
+    """,
+)
+def lake_files_metadata(spark, sf_dir):
+    """METADATA TABLES (sink/lake.py:files_df — the Iceberg ``files``
+    metadata-table analogue): after the flagship CoW run, the file
+    listing comes from the manifest and per-file parquet FOOTER stats
+    (row counts, leading-key min/max) are read executor-side via
+    mapInPandas.  The oracle recomputes the invariants from the raw
+    changelog alone: a CoW snapshot holds exactly one physical row per
+    distinct key ever seen (live rows + persisted tombstones), so
+    sum(footer row_count) == COUNT(DISTINCT key) and the global footer
+    key-range equals the true key range.  This checks the METADATA
+    layer — what query planning would prune on — not just the data."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_files_")
+    try:
+        p = CDCPipeline(spark, root, n_buckets=8)
+        p.run(changes, n_epochs=2)
+        return (
+            p.table.files_df()
+            .agg(
+                F.sum("row_count").alias("n_rows"),
+                F.min("key_min").alias("min_repo"),
+                F.max("key_max").alias("max_repo"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "lake_changelog_chain",
     f"""
     WITH ch AS ({_oracle_changelog_sql()}),

@@ -732,6 +732,107 @@ class LakeTable:
             rec.get("parent_version", v - 1), v, bucket_ids=[int(b) for b in buckets]
         )
 
+    # ---------------- metadata tables ----------------
+
+    def snapshots_df(self) -> DataFrame:
+        """The table's snapshot history as a DataFrame (Iceberg's
+        ``snapshots`` metadata table): one row per retained manifest —
+        version, parent, committed-epoch count, schema width, bucket
+        count, and whether it is CURRENT.  Manifests are tiny JSON
+        (O(buckets)), so this is a driver-side read of the metadata
+        layer only — no data files are touched."""
+        cur = self._current_version()
+        rows = []
+        for f in os.listdir(self._manifest_dir):
+            m = re.fullmatch(r"v(\d+)\.json", f)
+            if not m:
+                continue
+            man = self._load_manifest(int(m.group(1)))
+            rows.append(
+                (
+                    int(man["version"]),
+                    man.get("parent_version"),
+                    len(man["epochs"]),
+                    len(man["schema"]),
+                    int(man.get("n_buckets", self.n_buckets)),
+                    int(man["version"]) == cur,
+                )
+            )
+        return self.spark.createDataFrame(
+            sorted(rows),
+            "version long, parent_version long, n_epochs long, "
+            "n_schema_cols int, n_buckets int, is_current boolean",
+        )
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The data files referenced by a snapshot (Iceberg's ``files``
+        metadata table): bucket, path, write dir, footer row count,
+        on-disk bytes, and the parquet column-statistics min/max of
+        the leading key column.  The FILE LIST comes from the manifest
+        (the metadata layer, driver-side, O(files) strings — exactly
+        Iceberg's planning input); the per-file FOOTER reads are
+        distributed via ``mapInPandas`` (pyarrow, executor-side,
+        Arrow-batched) so a million-file table never funnels footer
+        I/O through the driver."""
+        manifest = self._load_manifest(version)
+        lead_key = manifest["key_cols"][0]
+        entries = []
+        for b in manifest["buckets"]:
+            for d in self._bucket_dirs(manifest, b):
+                # manifest bucket entries are the `_bucket=N` leaf dirs;
+                # their parent (data/vN[...]) is the write group.
+                bdir = os.path.join(self.root, d)
+                if not os.path.isdir(bdir):
+                    continue
+                entries.extend(
+                    (int(b), os.path.join(bdir, fn), os.path.dirname(d))
+                    for fn in os.listdir(bdir)
+                    if fn.endswith(".parquet")
+                )
+        paths = self.spark.createDataFrame(
+            entries or [], "bucket int, file_path string, write_dir string"
+        )
+
+        def _footers(batches):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    md = pq.ParquetFile(r.file_path).metadata
+                    idx = md.schema.to_arrow_schema().get_field_index(lead_key)
+                    mins, maxs = [], []
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(idx).statistics
+                        if st is not None and st.has_min_max:
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                    out.append(
+                        (
+                            r.bucket,
+                            r.file_path,
+                            r.write_dir,
+                            md.num_rows,
+                            os.path.getsize(r.file_path),
+                            str(min(mins)) if mins else None,
+                            str(max(maxs)) if maxs else None,
+                        )
+                    )
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "bucket", "file_path", "write_dir", "row_count",
+                        "size_bytes", "key_min", "key_max",
+                    ],
+                )
+
+        return paths.mapInPandas(
+            _footers,
+            "bucket int, file_path string, write_dir string, "
+            "row_count long, size_bytes long, key_min string, key_max string",
+        )
+
     def lookup(self, key_values: dict[str, Any]) -> DataFrame:
         """Point lookup by full key: hash the key to its bucket on the
         DRIVER, read only that bucket's file set, and push the key
