@@ -537,9 +537,57 @@ class LakeTable:
         self.n_buckets = int(new.get("n_buckets", self.n_buckets))
         return v
 
+    # ---------------- named refs (tags) ----------------
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under an immutable name (Iceberg tag):
+        ``vacuum`` retains tagged snapshots beyond its ``keep_last``
+        window, so audits / releases / reproducibility pins survive
+        routine GC.  Tags are write-once (O_EXCL ref file — two racing
+        taggers cannot silently overwrite each other); re-pointing a
+        name requires an explicit ``drop_tag`` first."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = self._current_version() if version is None else int(version)
+        if not os.path.exists(os.path.join(self._manifest_dir, f"v{v}.json")):
+            raise ValueError(f"cannot tag snapshot {v}: unknown or vacuumed")
+        try:
+            fd = os.open(
+                os.path.join(self._manifest_dir, f"ref.{name}"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists (drop_tag to re-point)"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            f.write(str(v))
+        return v
+
+    def tags(self) -> dict[str, int]:
+        out = {}
+        for f in os.listdir(self._manifest_dir):
+            if f.startswith("ref."):
+                with open(os.path.join(self._manifest_dir, f)) as fh:
+                    out[f[4:]] = int(fh.read().strip())
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        p = os.path.join(self._manifest_dir, f"ref.{name}")
+        if not os.path.exists(p):
+            raise ValueError(f"no such tag {name!r}")
+        os.remove(p)
+
+    def read_tag(self, name: str, bucket_ids: list[int] | None = None) -> DataFrame:
+        t = self.tags()
+        if name not in t:
+            raise ValueError(f"no such tag {name!r}")
+        return self.read_at(t[name], bucket_ids)
+
     def vacuum(self, keep_last: int = 2, expire_reservations: bool = False) -> dict:
         """Snapshot expiry + orphan GC.  Keeps the last ``keep_last``
-        versions (time travel horizon); deletes every bucket data dir
+        versions (time travel horizon) plus every TAGGED snapshot
+        (``tag`` — retention pins); deletes every bucket data dir
         not referenced by a kept manifest — including orphans from
         crashes between data write and CURRENT swap — and drops the
         expired manifests so reads of vacuumed versions fail fast.
@@ -567,9 +615,13 @@ class LakeTable:
             for f in os.listdir(self._manifest_dir)
             if (m := re.fullmatch(r"\.reserve\.v(\d+)", f))
         }
+        window = set(range(max(0, cur - keep_last + 1), cur + 1))
+        # tagged snapshots are retention pins: their manifests and the
+        # data dirs they reference survive any keep_last window.
+        window |= set(self.tags().values())
         keep = [
             v
-            for v in range(max(0, cur - keep_last + 1), cur + 1)
+            for v in sorted(window)
             if os.path.exists(os.path.join(self._manifest_dir, f"v{v}.json"))
         ]
         referenced: set[str] = set()
