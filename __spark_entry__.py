@@ -51,6 +51,7 @@ _PRIORITIZED = [
     "debezium_roundtrip",         # CDC out->envelope->in round-trip is lossless (new r5)
     "lake_drop_column",           # drop-column evolution: no resurrection on re-add (new r5)
     "lake_files_metadata",        # files metadata table: footer stats reconcile (new r5)
+    "lake_tag_retention",         # tagged snapshot reads identically after vacuum (new r5)
     # round-4 deprioritized tail (never driver-checked)
     "cdc_latest_by_key_salted",   # property-twin of cdc_latest_by_key
     "minhash_lsh_portable",       # twin; minhash_lsh_neardup is primary

@@ -2018,6 +2018,53 @@ def lake_drop_column(spark, sf_dir):
 
 
 @q(
+    "lake_tag_retention",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    b AS (SELECT MIN(lsn) AS lo, MAX(lsn) AS hi FROM ch),
+    w AS (SELECT lo, GREATEST(1, (hi - lo + 2) // 2) AS width FROM b),
+    prefix AS (SELECT ch.* FROM ch, w WHERE ch.lsn < w.lo + w.width),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM prefix),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT l.repo, l.path, l.commit, l.lang, l.content,
+           dim.concept_id, dim.domain, sha256(l.content) AS content_sha
+    FROM latest l JOIN {_concept_dim_sql()} ON l.lang = dim.lang
+    """,
+)
+def lake_tag_retention(spark, sf_dir):
+    """TAG RETENTION (sink/lake.py:tag/vacuum): epoch 0's snapshot is
+    tagged, then ``vacuum(keep_last=1)`` expires every untagged
+    historical version — and the tagged read must STILL equal the
+    latest-wins SQL over epoch 0's LSN slice (same oracle as
+    ``lake_time_travel``, but here the snapshot survives GC only
+    because the tag pins its manifest and data dirs).  This is the
+    operational half of time travel: an audit/release pin that
+    routine snapshot expiry cannot silently reclaim."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_tag_")
+    try:
+        p = CDCPipeline(spark, root, n_buckets=8)
+        p.run(changes, n_epochs=2)
+        v0 = next(
+            int(r["snapshot_version"])
+            for r in p.table.lineage()
+            if int(r["epoch"]) == 0
+        )
+        p.table.tag("audit-epoch0", v0)
+        p.table.vacuum(keep_last=1)
+        return p.table.read_tag("audit-epoch0").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "lake_files_metadata",
     f"""
     WITH ch AS ({_oracle_changelog_sql()}),
