@@ -885,6 +885,26 @@ class LakeTable:
             "row_count long, size_bytes long, key_min string, key_max string",
         )
 
+    def partitions_df(self, version: int | None = None) -> DataFrame:
+        """Per-bucket rollup of ``files_df`` (Iceberg's ``partitions``
+        metadata table): physical rows, bytes, file count, write-group
+        (delta-stack) depth, and key range — the observability surface
+        a compaction/maintenance scheduler plans from (depth ==
+        read-amplification for MoR buckets; tiny-file counts feed
+        bin-packing)."""
+        return (
+            self.files_df(version)
+            .groupBy("bucket")
+            .agg(
+                F.sum("row_count").alias("row_count"),
+                F.sum("size_bytes").alias("size_bytes"),
+                F.count("*").alias("n_files"),
+                F.countDistinct("write_dir").alias("depth"),
+                F.min("key_min").alias("key_min"),
+                F.max("key_max").alias("key_max"),
+            )
+        )
+
     def lookup(self, key_values: dict[str, Any]) -> DataFrame:
         """Point lookup by full key: hash the key to its bucket on the
         DRIVER, read only that bucket's file set, and push the key

@@ -83,3 +83,21 @@ def test_files_df_empty_table(spark, tmp_root):
     t.create(["k"], {"k": "string", "v": "int"})
     assert t.files_df().count() == 0
     assert t.snapshots_df().where("is_current").count() == 1
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_partitions_df_rollup(spark, tmp_root, mode):
+    """partitions_df == files_df grouped by bucket; MoR buckets touched
+    by epoch-1 deltas report depth >= 2 (read amplification the
+    compactor plans from), CoW buckets always depth 1."""
+    t = _mk(spark, os.path.join(tmp_root, f"p_{mode}"), mode)
+    parts = t.partitions_df().collect()
+    assert {r["bucket"] for r in parts} <= set(range(4))
+    files = t.files_df()
+    tot = files.agg(F.sum("row_count"), F.count("*")).first()
+    assert sum(r["row_count"] for r in parts) == tot[0]
+    assert sum(r["n_files"] for r in parts) == tot[1]
+    if mode == "cow":
+        assert all(r["depth"] == 1 for r in parts)
+    else:
+        assert max(r["depth"] for r in parts) >= 2
