@@ -46,6 +46,12 @@ the idiomatic replacement for a driver-side polling loop.  Design:
   contract yet): one micro-batch covering checkpoint→CURRENT, then
   stop.  Identical delivery/exactly-once semantics; only the
   batch-size pacing differs.
+* ADMISSION CONTROL: ``maxVersionsPerBatch`` caps each micro-batch
+  at N snapshot versions (Kafka's ``maxOffsetsPerTrigger``) so a
+  far-behind consumer drains its backlog in bounded, individually
+  checkpointed steps.  Use it with a ``processingTime`` trigger —
+  under AvailableNow's single-batch fallback a cap would stop the
+  drain after the first capped batch.
 
 Exactly-once chaining (tests/test_lakestream.py): the natural sink is
 ``foreachBatch(lambda df, bid: downstream.merge_epoch(df, bid))`` —
@@ -123,18 +129,69 @@ class _DeltaDir(InputPartition):
 
 
 class _LakeChangelogStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, start_version: int):
+    """Pacing state (``maxVersionsPerBatch``): ``latestOffset()`` gets
+    no view of the query's checkpoint (the Python source API has no
+    admission-control hook), and Spark happily walks offsets BACKWARD
+    if ``latestOffset`` ever returns less than the checkpointed end —
+    silently re-emitting committed batches.  Observed call order makes
+    in-memory pacing unsafe: on a fresh start ``latestOffset`` fires
+    BEFORE ``initialOffset`` (an in-memory floor caps nothing on batch
+    1), and on a clean-commit restart it fires before any
+    ``partitions`` call (a floor seeded from ``startingVersion`` would
+    sit BEHIND the checkpoint).  So the floor — the highest snapshot
+    version ever PLANNED for this consumer — is persisted under the
+    table root (``_consumers/<consumerId>.pace``), written on every
+    ``partitions``/``commit``.  Invariant: floor >= every end Spark
+    has ever planned, hence ``min(current, floor + max)`` is always >=
+    the checkpoint and offsets only move forward.  The file is
+    advisory pacing state, never correctness state: deleting it costs
+    at most one uncapped catch-up batch (delete it / switch
+    ``consumerId`` when resetting a consumer onto a new checkpoint,
+    otherwise the first batch jumps straight to the old floor)."""
+
+    def __init__(self, root: str, start_version: int, max_versions: int | None = None,
+                 consumer_id: str = "default"):
         self.root = root
         self.start_version = start_version
+        self.max_versions = max_versions
+        self._pace_path = os.path.join(root, "_consumers", f"{consumer_id}.pace")
+        self._floor = start_version
+        if max_versions is not None and os.path.exists(self._pace_path):
+            try:
+                with open(self._pace_path) as f:
+                    self._floor = max(self._floor, int(f.read().strip()))
+            except (ValueError, OSError):
+                pass  # corrupt/racing hint: fall back to startingVersion
+
+    def _advance_floor(self, version: int) -> None:
+        if version <= self._floor:
+            return
+        self._floor = version
+        if self.max_versions is None:
+            return
+        os.makedirs(os.path.dirname(self._pace_path), exist_ok=True)
+        tmp = f"{self._pace_path}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._pace_path)
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        return {"version": _manifest(self.root)["version"]}
+        cur = _manifest(self.root)["version"]
+        if self.max_versions is not None:
+            cur = min(cur, self._floor + self.max_versions)
+        return {"version": cur}
+
+    def commit(self, end: dict) -> None:
+        # delivery offsets live in the query checkpoint (retention is
+        # vacuum's keep_last policy); only the pacing floor is ours.
+        self._advance_floor(int(end["version"]))
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["version"]), int(end["version"])
+        self._advance_floor(e)
         if s >= e:
             return []
         m = _manifest(self.root, e)
@@ -227,17 +284,18 @@ class _LakeChangelogStreamReader(DataSourceStreamReader):
             names.append("op")
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    def commit(self, end: dict) -> None:
-        # offsets live in the query checkpoint; the source keeps no
-        # consumer state (retention is vacuum's keep_last policy).
-        pass
-
-
 class LakeChangelogDataSource(DataSource):
     """``spark.readStream.format("lake_changelog").option("path", root)``
     — see module docstring.  Options: ``path`` (table root, required),
     ``startingVersion`` (first EXCLUDED snapshot version; default 0 =
-    full retained history)."""
+    full retained history), ``maxVersionsPerBatch`` (admission control,
+    Kafka's ``maxOffsetsPerTrigger`` analogue: cap each micro-batch at
+    N snapshot versions so a consumer with a deep backlog drains it in
+    bounded, individually checkpointed steps instead of one giant
+    batch; default unbounded), ``consumerId`` (names this consumer's
+    pacing-floor file under ``<root>/_consumers/`` — set it when
+    several paced consumers tail the same table, see the reader
+    docstring)."""
 
     @classmethod
     def name(cls) -> str:
@@ -256,7 +314,19 @@ class LakeChangelogDataSource(DataSource):
             raise ValueError("lake_changelog requires .option('path', <table root>)")
         return root
 
+    def _validated_max(self) -> int | None:
+        max_versions = self._opt("maxVersionsPerBatch")
+        if max_versions is None:
+            return None
+        max_versions = int(max_versions)
+        if max_versions < 1:
+            raise ValueError(
+                f"maxVersionsPerBatch must be >= 1, got {max_versions}"
+            )
+        return max_versions
+
     def schema(self) -> str:
+        self._validated_max()  # schema() runs eagerly at .load(): fail fast
         m = _manifest(self._root())
         cols = ", ".join(f"`{c}` {t}" for c, t in m["schema"].items())
         return f"{cols}, lsn bigint, op string"
@@ -272,7 +342,9 @@ class LakeChangelogDataSource(DataSource):
                 f"startingVersion {start} is ahead of the table's "
                 f"current snapshot v{current} at {root}"
             )
-        return _LakeChangelogStreamReader(root, start)
+        return _LakeChangelogStreamReader(
+            root, start, self._validated_max(), self._opt("consumerId", "default")
+        )
 
 
 def register(spark) -> None:

@@ -371,3 +371,127 @@ def test_sync_snapshot_recovers_below_horizon(spark, tmp_root):
     )
     q.awaitTermination(300)
     assert_df_equal(down.read(), t.read(), "recovered consumer == upstream")
+
+
+def test_max_versions_per_batch_paces_the_drain(spark, tmp_root):
+    """maxVersionsPerBatch=2 over a 6-epoch backlog: the drain takes
+    >= 3 micro-batches, every batch's rows span <= 2 epochs, and the
+    union of all batches == the unpaced changelog (pacing changes
+    batch boundaries, never content)."""
+    import time
+
+    root = os.path.join(tmp_root, "paced")
+    t = LakeTable(spark, root, n_buckets=2, merge_mode="mor")
+    t.create(["k"], {"k": "string", "v": "int"})
+    # epoch e writes keys (e, e+100) with lsn base e*10 — disjoint
+    # lsn ranges let the test recover each row's epoch from its lsn.
+    for e in range(6):
+        t.merge_epoch(
+            spark.createDataFrame(
+                [(f"k{e}", e, "U", e * 10 + 1), (f"k{e + 100}", e, "U", e * 10 + 2)],
+                "k string, v int, op string, lsn long",
+            ),
+            e,
+        )
+
+    batches = []  # (bid, [lsn...])
+
+    def sink(df, bid):
+        batches.append((bid, [r["lsn"] for r in df.select("lsn").collect()]))
+
+    q = (
+        spark.readStream.format("lake_changelog")
+        .option("path", root)
+        .option("maxVersionsPerBatch", 2)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmp_root, "paced_ckpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if sum(len(ls) for _, ls in batches) >= 12:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    got = sorted(l for _, ls in batches for l in ls)
+    assert got == sorted(e * 10 + d for e in range(6) for d in (1, 2))
+    nonempty = [ls for _, ls in batches if ls]
+    assert len(nonempty) >= 3, f"expected a paced drain, got {len(nonempty)} batches"
+    for ls in nonempty:
+        assert len({l // 10 for l in ls}) <= 2, f"batch spans >2 epochs: {ls}"
+
+
+def test_max_versions_per_batch_validates(spark, tmp_root):
+    root = os.path.join(tmp_root, "pv")
+    t = LakeTable(spark, root, n_buckets=2, merge_mode="mor")
+    t.create(["k"], {"k": "string", "v": "int"})
+    with pytest.raises(Exception, match="maxVersionsPerBatch"):
+        (
+            spark.readStream.format("lake_changelog")
+            .option("path", root)
+            .option("maxVersionsPerBatch", 0)
+            .load()
+            .writeStream.format("noop")
+            .start()
+        )
+
+
+def test_paced_drain_restart_no_duplicates_still_capped(spark, tmp_root):
+    """Stop a capped drain midway, restart on the same checkpoint: the
+    union is exactly-once (no re-emission — the persisted pacing floor
+    keeps latestOffset from ever regressing behind the checkpoint) and
+    the post-restart batches are still capped at 2 epochs."""
+    import time
+
+    root = os.path.join(tmp_root, "paced_rs")
+    t = LakeTable(spark, root, n_buckets=2, merge_mode="mor")
+    t.create(["k"], {"k": "string", "v": "int"})
+    for e in range(8):
+        t.merge_epoch(
+            spark.createDataFrame(
+                [(f"k{e}", e, "U", e * 10 + 1)],
+                "k string, v int, op string, lsn long",
+            ),
+            e,
+        )
+
+    ckpt = os.path.join(tmp_root, "paced_rs_ckpt")
+    batches = []
+
+    def sink(df, bid):
+        batches.append((bid, [r["lsn"] for r in df.select("lsn").collect()]))
+
+    def run(stop_after_rows):
+        q = (
+            spark.readStream.format("lake_changelog")
+            .option("path", root)
+            .option("maxVersionsPerBatch", 2)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 240
+            while time.time() < deadline:
+                if sum(len(ls) for _, ls in batches) >= stop_after_rows:
+                    break
+                time.sleep(0.25)
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+
+    run(3)          # first leg: at least 3 of 8 rows
+    n_leg1 = len(batches)
+    run(8)          # second leg: same checkpoint, drain the rest
+    got = sorted(l for _, ls in batches for l in ls)
+    assert got == [e * 10 + 1 for e in range(8)], f"dupes/loss: {got}"
+    for _, ls in batches[n_leg1:]:
+        assert len({l // 10 for l in ls}) <= 2, f"restart batch spans >2 epochs: {ls}"
