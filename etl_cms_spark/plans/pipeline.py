@@ -712,13 +712,28 @@ class CDCPipeline:
             if self.row_image == "minimal":
                 folded.unpersist()
         due = bool(self.compact_every and (epoch + 1) % self.compact_every == 0)
-        if self.table.merge_mode == "mor" and (
-            due
-            or (self.compact_depth and self.table.max_delta_depth() > self.compact_depth)
-        ):
-            rec["compaction"] = self.table.compact(
-                cluster_by=self.compact_cluster_by
-            )
+        if self.table.merge_mode == "mor":
+            if due:
+                # scheduled compaction folds the whole delta set (the
+                # periodic full-layout refresh, incl. re-clustering)
+                rec["compaction"] = self.table.compact(
+                    cluster_by=self.compact_cluster_by
+                )
+            elif self.compact_depth:
+                # depth-triggered compaction is SELECTIVE: fold only
+                # the buckets past the cap — read amplification is
+                # per-bucket, so the fix is per-bucket too.  With
+                # skewed keys a few buckets deepen fast; rewriting the
+                # other ~10^4 along with them is O(table) work for
+                # O(hot-bucket) benefit.
+                deep = [
+                    b for b, depth in self.table.delta_depths().items()
+                    if depth > self.compact_depth
+                ]
+                if deep:
+                    rec["compaction"] = self.table.compact(
+                        cluster_by=self.compact_cluster_by, buckets=deep
+                    )
         if self.demux_domains:
             # domain tables accrue delta stacks (and, in blanket mode,
             # a full-batch tombstone fan-out) every epoch — left
@@ -726,12 +741,19 @@ class CDCPipeline:
             # MoR domain table compacts on ITS OWN depth/schedule,
             # independent of the main table's mode.
             depth_cap = self.compact_depth or self._DEFAULT_DOMAIN_COMPACT_DEPTH
-            domc = {
-                d: t.compact()
-                for d, t in sorted(self.domain_tables.items())
-                if t.merge_mode == "mor"
-                and (due or t.max_delta_depth() > depth_cap)
-            }
+            domc = {}
+            for d, t in sorted(self.domain_tables.items()):
+                if t.merge_mode != "mor":
+                    continue
+                if due:
+                    domc[d] = t.compact()
+                else:
+                    deep = [
+                        b for b, depth in t.delta_depths().items()
+                        if depth > depth_cap
+                    ]
+                    if deep:
+                        domc[d] = t.compact(buckets=deep)
             if domc:
                 rec["domain_compactions"] = domc
         sc = self._sync_sidecars(epoch)

@@ -1736,15 +1736,22 @@ class LakeTable:
         amplification MoR accumulates between compactions (a read of a
         bucket merges this many file sets).  Drives the depth-based
         compaction policy in CDCPipeline."""
+        return max(self.delta_depths().values(), default=1)
+
+    def delta_depths(self) -> dict[int, int]:
+        """Per-bucket base+delta stack depth (pure manifest arithmetic,
+        no Spark job, no filesystem listing) — the input for SELECTIVE
+        compaction: at 10^4 buckets a handful of hot keys deepen a few
+        buckets while the rest sit at depth 1-2, and folding only the
+        deep ones makes maintenance O(hot data) instead of O(table)."""
         m = self._load_manifest()
-        return max(
-            (len(self._bucket_dirs(m, b)) for b in m["buckets"]), default=1
-        )
+        return {int(b): len(self._bucket_dirs(m, b)) for b in m["buckets"]}
 
     def compact(
         self,
         expire_tombstones: bool = False,
         cluster_by: list[str] | None = None,
+        buckets: list[int] | None = None,
     ) -> dict:
         """Fold merge-on-read deltas back into one base file set per
         bucket (Iceberg-style maintenance).  Winners are resolved with
@@ -1805,6 +1812,18 @@ class LakeTable:
         target_buckets = (
             sorted(manifest["buckets"]) if expire_tombstones else delta_buckets
         )
+        if buckets is not None:
+            # SELECTIVE compaction: fold only the requested buckets —
+            # the O(hot data) maintenance path (delta_depths() picks
+            # them).  With expire_tombstones, expiry applies only to
+            # the selected buckets; buckets are independent key
+            # domains, so per-bucket expiry is exactly per-bucket
+            # replay-horizon narrowing, nothing cross-bucket.
+            unknown_b = [b for b in buckets if str(b) not in manifest["buckets"]]
+            if unknown_b:
+                raise ValueError(f"compact(buckets=...): no such buckets {unknown_b}")
+            chosen = {str(b) for b in buckets}
+            target_buckets = [b for b in target_buckets if b in chosen]
         if not target_buckets:
             return {"compacted_buckets": 0, "seconds": 0.0}
         resolved = self._read_buckets(manifest, [int(b) for b in target_buckets])

@@ -1,0 +1,127 @@
+"""Table-maintenance planner: turn the lake's metadata tables into a
+declarative action plan, then execute it.
+
+At 100 TB maintenance is a scheduling problem, not a button: a
+maintenance job wakes up, reads the table's OWN metadata (footer
+stats via ``partitions_df`` — one distributed job over manifests and
+parquet footers, never the data), decides which buckets actually need
+work, and does only that work.  This module is that loop's brain:
+
+    plan = plan_maintenance(table, max_depth=4)
+    results = run_maintenance(table, plan)
+
+The plan is plain data (JSON-safe dicts) so a scheduler can log it,
+budget it, defer it, or split it across windows; ``run_maintenance``
+is a thin executor over ``LakeTable.compact(buckets=...)`` /
+``vacuum``.
+
+Policies (each independently optional):
+
+* **depth**: fold buckets whose base+delta stack exceeds
+  ``max_depth`` file sets — MoR read amplification is per-bucket, so
+  only the offending buckets are rewritten (O(hot data), not
+  O(table)).
+* **small files**: fold buckets whose mean file size is under
+  ``small_file_bytes`` once they hold at least ``min_small_files``
+  files — compaction rewrites the bucket as one key-sorted file set,
+  which IS the bin-pack.
+* **retention**: ``vacuum(keep_last=...)`` once the snapshot history
+  exceeds the window (respects tags/reservations — vacuum's own
+  rules apply; the planner only decides WHEN to call it).
+
+Reference analogue: the reference's ETL reloads tables wholesale each
+run (python_etl re-extracts per-state dumps); an incremental lake has
+to do its upkeep incrementally too, or compaction becomes the new
+full reload.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from etl_cms_spark.sink.lake import LakeTable
+
+_DEFAULT_SMALL_FILE_BYTES = 32 << 20  # files under 32 MiB count as small
+
+
+def plan_maintenance(
+    table: LakeTable,
+    *,
+    max_depth: int | None = 4,
+    small_file_bytes: int = _DEFAULT_SMALL_FILE_BYTES,
+    min_small_files: int | None = 8,
+    keep_last_snapshots: int | None = None,
+) -> dict:
+    """Build a maintenance plan from the table's metadata layer.
+
+    Pass ``max_depth=None`` / ``min_small_files=None`` /
+    ``keep_last_snapshots=None`` to disable a policy.  Compaction
+    policies apply to merge-on-read tables only (a CoW bucket is
+    rewritten whole at every merge — there is never a delta stack to
+    fold); retention applies to both modes.
+
+    Returns ``{"actions": [...], "stats": {...}}`` where each action
+    is ``{"action": "compact", "buckets": [...], "reasons": {bucket:
+    [reason...]}}`` or ``{"action": "vacuum", "keep_last": N}``.
+    """
+    actions: list[dict[str, Any]] = []
+    reasons: dict[int, list[str]] = {}
+    stats: dict[str, Any] = {"merge_mode": table.merge_mode}
+
+    wants_compact = table.merge_mode == "mor" and (
+        max_depth is not None or min_small_files is not None
+    )
+    if wants_compact:
+        parts = table.partitions_df().collect()
+        stats["buckets"] = len(parts)
+        stats["max_depth_seen"] = max((r["depth"] for r in parts), default=1)
+        for r in parts:
+            b = int(r["bucket"])
+            why = []
+            if max_depth is not None and r["depth"] > max_depth:
+                why.append("depth")
+            if (
+                min_small_files is not None
+                and r["n_files"] >= min_small_files
+                and r["size_bytes"] / r["n_files"] < small_file_bytes
+                # a single-dir bucket has nothing to fold: compaction
+                # targets delta stacks, depth-1 buckets are skipped
+                and r["depth"] > 1
+            ):
+                why.append("small_files")
+            if why:
+                reasons[b] = why
+        if reasons:
+            actions.append(
+                {
+                    "action": "compact",
+                    "buckets": sorted(reasons),
+                    "reasons": {str(b): reasons[b] for b in sorted(reasons)},
+                }
+            )
+
+    if keep_last_snapshots is not None:
+        n_snapshots = table.snapshots_df().count()
+        stats["snapshots"] = n_snapshots
+        if n_snapshots > keep_last_snapshots:
+            actions.append({"action": "vacuum", "keep_last": keep_last_snapshots})
+
+    return {"actions": actions, "stats": stats}
+
+
+def run_maintenance(table: LakeTable, plan: dict) -> list[dict]:
+    """Execute a plan from :func:`plan_maintenance` in order (compact
+    before vacuum, as planned: vacuum can then drop the dirs the
+    compaction just superseded).  Returns one result record per
+    action, each echoing the action it ran."""
+    results = []
+    for action in plan["actions"]:
+        kind = action["action"]
+        if kind == "compact":
+            rec = table.compact(buckets=[int(b) for b in action["buckets"]])
+        elif kind == "vacuum":
+            rec = table.vacuum(keep_last=action["keep_last"])
+        else:
+            raise ValueError(f"unknown maintenance action {kind!r}")
+        results.append({"action": kind, **rec})
+    return results
