@@ -128,6 +128,8 @@ class CDCPipeline:
         compact_every: int | None = None,
         compact_depth: int | None = None,
         compact_cluster_by: list[str] | None = None,
+        vacuum_every: int | None = None,
+        vacuum_keep_last: int = 8,
         demux_domains: bool = False,
         demux_tombstones: str = "targeted",
         domain_merge_mode: str | None = None,
@@ -319,6 +321,14 @@ class CDCPipeline:
         # sizes vary).
         self.compact_every = compact_every
         self.compact_depth = compact_depth
+        # retention policy: without scheduled vacuum a sustained
+        # pipeline's storage grows one superseded snapshot per epoch,
+        # forever.  ``vacuum_keep_last`` is the time-travel / replay /
+        # changelog-consumer horizon — size it past the slowest
+        # downstream's checkpoint lag (lake_changelog consumers below
+        # the horizon fail fast and must sync_snapshot).
+        self.vacuum_every = vacuum_every
+        self.vacuum_keep_last = vacuum_keep_last
         # value-column clustering applied at each scheduled MAIN-table
         # compaction (LakeTable.compact(cluster_by=...)): tight
         # row-group stats for selective non-key predicates, traded
@@ -756,6 +766,15 @@ class CDCPipeline:
                         domc[d] = t.compact(buckets=deep)
             if domc:
                 rec["domain_compactions"] = domc
+        if self.vacuum_every and (epoch + 1) % self.vacuum_every == 0:
+            # scheduled retention AFTER any compaction above: the
+            # vacuum can then drop the dirs that fold just superseded.
+            rec["vacuum"] = self.table.vacuum(keep_last=self.vacuum_keep_last)
+            if self.demux_domains:
+                rec["domain_vacuums"] = {
+                    d: t.vacuum(keep_last=self.vacuum_keep_last)
+                    for d, t in sorted(self.domain_tables.items())
+                }
         sc = self._sync_sidecars(epoch)
         if sc:
             rec["sidecars"] = sc

@@ -166,3 +166,44 @@ def test_pipeline_depth_trigger_is_selective(spark, tmp_root):
     }
     untouched = [b for b in range(16) if end_dirs[b] == base_dirs[b]]
     assert len(untouched) >= 15, f"cold buckets were rewritten: {end_dirs}"
+
+
+def test_pipeline_scheduled_vacuum_bounds_history(spark, tmp_root):
+    """CDCPipeline(vacuum_every=2, vacuum_keep_last=3): retention runs
+    inside the epoch loop, the manifest history stays bounded, state
+    stays correct, and replay (exactly-once) still works because epoch
+    records ride the CURRENT manifest, not the expired ones."""
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.operators.dedup import latest_by_lsn
+    from etl_cms_spark.plans.mapping import CONCEPT_MAP
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = gen_source_changes(spark, 2000, 300, 12)
+    root = os.path.join(tmp_root, "vac")
+    p = CDCPipeline(
+        spark, root, n_buckets=8, merge_mode="mor",
+        vacuum_every=2, vacuum_keep_last=3,
+    )
+    p.run(changes, n_epochs=6)
+    assert any("vacuum" in r for r in p.metrics)
+    mdir = os.path.join(root, "tables", "files", "_manifests")
+    n_manifests = len([f for f in os.listdir(mdir) if f.startswith("v")])
+    assert n_manifests <= 5, f"history unbounded: {n_manifests} manifests"
+
+    exp = (
+        latest_by_lsn(changes.where(F.col("op") != "SCHEMA"), ["repo", "path"], "lsn")
+        .where(F.col("op") != "D")
+        .where(F.col("lang").isin(list(CONCEPT_MAP.keys())))
+        .select("repo", "path", "commit")
+    )
+    assert_df_equal(
+        p.current_state().select("repo", "path", "commit"), exp,
+        "state correct under scheduled vacuum",
+    )
+    # replay after vacuum: every epoch skips as a duplicate
+    p2 = CDCPipeline(
+        spark, root, n_buckets=8, merge_mode="mor",
+        vacuum_every=2, vacuum_keep_last=3,
+    )
+    recs = p2.run(changes, n_epochs=6)
+    assert all(r.get("skipped_duplicate_epoch") for r in recs)
