@@ -47,6 +47,12 @@ def start_stream(
     dedup_filter_index: "object | None" = None,
     row_image: str = "full",
     epoch_audit: "object | None" = None,
+    compact_depth: int | None = None,
+    vacuum_every: int | None = None,
+    vacuum_keep_last: int = 8,
+    max_versions_per_batch: int | None = None,
+    consumer_id: str | None = None,
+    processing_time: str | None = None,
 ) -> tuple[StreamingQuery, CDCPipeline]:
     """Tail a changelog directory (file source — swap for Kafka/
     binlog reader by changing only this readStream) and upsert each
@@ -70,6 +76,17 @@ def start_stream(
     batch's event-time reach."""
     if (changelog_dir is None) == (source_table is None):
         raise ValueError("pass exactly one of changelog_dir / source_table")
+    if max_versions_per_batch is not None and source_table is None:
+        raise ValueError("max_versions_per_batch applies to source_table chaining only")
+    if max_versions_per_batch is not None and processing_time is None:
+        # the Python lake source runs AvailableNow as a SINGLE batch
+        # (see sources/lakestream.py): a cap would stop the drain after
+        # the first capped batch and silently strand the backlog.
+        raise ValueError(
+            "max_versions_per_batch needs a processing_time trigger "
+            "(e.g. '10 seconds'): the default available-now run is a "
+            "single batch, which a cap would truncate"
+        )
     # n_buckets/merge_mode only apply when the lake table is created
     # here; reopening an existing table takes n_buckets from its
     # manifest (LakeTable guards the mismatch).
@@ -95,6 +112,14 @@ def start_stream(
         # quarantines whole and the stream keeps flowing (the
         # checkpoint advances past it; repair is out-of-band).
         epoch_audit=epoch_audit,
+        # a STREAM is the sustained case: unmaintained, MoR depth and
+        # snapshot history grow one step per micro-batch, forever.
+        # compact_depth folds hot buckets selectively; vacuum_every
+        # bounds storage (size vacuum_keep_last past the slowest
+        # downstream changelog consumer's lag).
+        compact_depth=compact_depth,
+        vacuum_every=vacuum_every,
+        vacuum_keep_last=vacuum_keep_last,
     )
     pipeline.init_tables()
     if sidecars or dedup_filter_index is not None:
@@ -119,10 +144,21 @@ def start_stream(
         roots = (
             [source_table] if isinstance(source_table, str) else list(source_table)
         )
-        shards = [
-            spark.readStream.format("lake_changelog").option("path", r).load()
-            for r in roots
-        ]
+        def _shard(i, r):
+            reader = spark.readStream.format("lake_changelog").option("path", r)
+            if max_versions_per_batch is not None:
+                # Kafka-style admission control on the chained source:
+                # a silver pipeline attached to a deep bronze backlog
+                # drains it in bounded, checkpointed steps.  Fan-in
+                # shards get per-shard pacing files (suffix = shard
+                # index) under each upstream's _consumers/.
+                reader = reader.option("maxVersionsPerBatch", max_versions_per_batch)
+                reader = reader.option(
+                    "consumerId", f"{consumer_id or 'silver'}-{i}"
+                )
+            return reader.load()
+
+        shards = [_shard(i, r) for i, r in enumerate(roots)]
         stream = shards[0]
         for s in shards[1:]:
             stream = stream.unionByName(s)
@@ -169,17 +205,21 @@ def start_stream(
         finally:
             batch_df.unpersist()
 
-    q = (
+    writer = (
         stream.writeStream.queryName("cdc_ingest")
         .foreachBatch(apply_batch)
         .option(
             "checkpointLocation",
             checkpoint_dir or os.path.join(lake_root, "_stream_checkpoint"),
         )
-        .trigger(availableNow=True)
-        .start()
     )
-    return q, pipeline
+    # default: drain-what's-there-and-stop; processing_time runs a
+    # continuous paced tail (required with max_versions_per_batch).
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), pipeline
 
 
 class LateDataListener:

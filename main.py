@@ -112,6 +112,41 @@ def main() -> None:
         "(one bounded rewrite; no-op if already N)",
     )
     ap.add_argument(
+        "--compact-depth",
+        type=int,
+        default=None,
+        help="fold a bucket's MoR delta stack once it exceeds N file "
+        "sets (SELECTIVE: only the offending buckets are rewritten)",
+    )
+    ap.add_argument(
+        "--vacuum-every",
+        type=int,
+        default=None,
+        help="run snapshot-expiry vacuum every N epochs/micro-batches "
+        "(bounds storage on sustained runs)",
+    )
+    ap.add_argument(
+        "--vacuum-keep-last",
+        type=int,
+        default=8,
+        help="retention horizon for --vacuum-every: keep the last N "
+        "snapshots (size past the slowest changelog consumer's lag)",
+    )
+    ap.add_argument(
+        "--max-versions-per-batch",
+        type=int,
+        default=None,
+        help="with --stream --source-table: cap each micro-batch at N "
+        "upstream snapshot versions (needs --processing-time)",
+    )
+    ap.add_argument(
+        "--processing-time",
+        default=None,
+        metavar="INTERVAL",
+        help="with --stream: run a continuous paced tail (e.g. '10 "
+        "seconds') instead of the default drain-and-stop",
+    )
+    ap.add_argument(
         "--bucketed-table",
         default=None,
         help="read the changelog from a producer-bucketed catalog table "
@@ -161,6 +196,11 @@ def main() -> None:
             dedup_filter_index=filter_index,
             row_image=args.row_image,
             epoch_audit=epoch_audit,
+            compact_depth=args.compact_depth,
+            vacuum_every=args.vacuum_every,
+            vacuum_keep_last=args.vacuum_keep_last,
+            max_versions_per_batch=args.max_versions_per_batch,
+            processing_time=args.processing_time,
         )
         q.awaitTermination()
     else:
@@ -173,6 +213,9 @@ def main() -> None:
             salt_hot_keys=args.salt,
             merge_mode=args.merge_mode,
             compact_every=args.compact_every,
+            compact_depth=args.compact_depth,
+            vacuum_every=args.vacuum_every,
+            vacuum_keep_last=args.vacuum_keep_last,
             compact_cluster_by=(
                 args.compact_cluster_by.split(",")
                 if args.compact_cluster_by

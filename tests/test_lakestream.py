@@ -495,3 +495,62 @@ def test_paced_drain_restart_no_duplicates_still_capped(spark, tmp_root):
     assert got == [e * 10 + 1 for e in range(8)], f"dupes/loss: {got}"
     for _, ls in batches[n_leg1:]:
         assert len({l // 10 for l in ls}) <= 2, f"restart batch spans >2 epochs: {ls}"
+
+
+def test_start_stream_paced_chaining(spark, changes, tmp_root):
+    """start_stream(source_table=..., max_versions_per_batch=1,
+    processing_time=...): the silver pipeline drains a 4-epoch bronze
+    backlog one version per micro-batch and converges to the batch
+    reference; the cap+available-now combination refuses."""
+    import time
+
+    from etl_cms_spark.streaming.stream import start_stream
+
+    bronze = LakeTable(
+        spark, os.path.join(tmp_root, "bronze_p"), n_buckets=8, merge_mode="mor"
+    )
+    raw_cols = ["repo", "path", "commit", "lang", "content", "ts"]
+    bronze.create(
+        ["repo", "path"],
+        {c: ("timestamp" if c == "ts" else "string") for c in raw_cols},
+    )
+    lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).first()
+    raw = changes.select(*raw_cols, "lsn", "op")
+    width = (hi - lo) // 4 + 1
+    for e in range(4):
+        bronze.merge_epoch(
+            raw.where(
+                (F.col("lsn") >= lo + e * width) & (F.col("lsn") < lo + (e + 1) * width)
+            ),
+            e,
+        )
+
+    with pytest.raises(ValueError, match="processing_time"):
+        start_stream(
+            spark, None, os.path.join(tmp_root, "silver_bad"),
+            source_table=bronze.root, max_versions_per_batch=1,
+        )
+
+    ref = CDCPipeline(spark, os.path.join(tmp_root, "ref_p"), n_buckets=8)
+    ref.run(changes, n_epochs=4)
+    n_ref = ref.current_state().count()
+
+    q, silver = start_stream(
+        spark, None, os.path.join(tmp_root, "silver_p"), n_buckets=8,
+        source_table=bronze.root, max_versions_per_batch=1,
+        processing_time="50 milliseconds", consumer_id="t",
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if silver.table.exists() and silver.current_state().count() == n_ref:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert_df_equal(
+        silver.current_state(), ref.current_state(), "paced silver == batch ref"
+    )
+    # pacing touched more than one micro-batch epoch (one per version)
+    assert len([m for m in silver.metrics if m.get("rows_upserted")]) >= 3
