@@ -610,10 +610,11 @@ def _run_level(cpus: int, n_events: int, pin: bool, repeats: int = 1, bucketed: 
 def main_sustained(n_events: int, n_epochs: int) -> None:
     """Sustained change-events/sec over a LONG epoch sequence — the
     north metric is SUSTAINED throughput, which a 2-epoch burst only
-    approximates.  MoR merges with depth-triggered compaction so
-    maintenance happens (and is charged) inside the run: steady state
-    = epochs 2.., compaction epochs included — a sustained number
-    that excluded maintenance would be fiction.  Per-epoch wall times
+    approximates.  MoR merges with depth-triggered (selective)
+    compaction AND scheduled vacuum so maintenance happens (and is
+    charged) inside the run: steady state = epochs 2.., compaction
+    and retention epochs included — a sustained number that excluded
+    maintenance would be fiction.  Per-epoch wall times
     + the rolling table size land in BENCH/sustained.json."""
     import shutil
     import tempfile
@@ -629,7 +630,8 @@ def main_sustained(n_events: int, n_epochs: int) -> None:
     root = tempfile.mkdtemp(prefix="cdc_sustained_")
     staging = tempfile.mkdtemp(prefix="cdc_sustained_stage_")
     try:
-        p = CDCPipeline(spark, root, n_buckets=64, merge_mode="mor", compact_depth=6)
+        p = CDCPipeline(spark, root, n_buckets=64, merge_mode="mor", compact_depth=6,
+                        vacuum_every=4, vacuum_keep_last=8)
         meta = p.stage(changes, staging, n_epochs=n_epochs)
         p.init_tables()
         per_epoch = []
@@ -648,6 +650,7 @@ def main_sustained(n_events: int, n_epochs: int) -> None:
                 "events_per_sec": round(nominal / dt, 1),
                 "rows_applied": rec.get("rows_upserted", 0) + rec.get("rows_deleted", 0),
                 "compacted": "compaction" in rec,
+                "vacuumed": "vacuum" in rec,
             })
         steady = per_epoch[2:] or per_epoch
         steady_eps = round(nominal * len(steady) / sum(r["seconds"] for r in steady), 1)
@@ -659,6 +662,8 @@ def main_sustained(n_events: int, n_epochs: int) -> None:
             "compact_depth": 6,
             "steady_state_events_per_sec": steady_eps,
             "n_compactions": sum(r["compacted"] for r in per_epoch),
+            "n_vacuums": sum(r["vacuumed"] for r in per_epoch),
+            "vacuum_every": 4,
             "per_epoch": per_epoch,
         }
         os.makedirs("BENCH", exist_ok=True)

@@ -130,7 +130,8 @@ class LakeTable:
         # bucket dirs while stale rows stay in old ones.  The manifest
         # is authoritative for an existing table.
         if self.exists():
-            persisted = self._load_manifest().get("n_buckets")
+            m = self._load_manifest()
+            persisted = m.get("n_buckets")
             if persisted is not None and int(persisted) != n_buckets:
                 import warnings
 
@@ -140,6 +141,14 @@ class LakeTable:
                     stacklevel=2,
                 )
                 self.n_buckets = int(persisted)
+            # merge_mode is persisted too: a reopener that forgets (or
+            # defaults) the mode must not silently flip write strategy
+            # — and read-only consumers (maintenance planner, CLI)
+            # need the true mode without being told.  Pre-field
+            # manifests keep the constructor value.
+            persisted_mode = m.get("merge_mode")
+            if persisted_mode is not None and persisted_mode != merge_mode:
+                self.merge_mode = persisted_mode
 
     # ---------------- manifest plumbing ----------------
 
@@ -293,6 +302,7 @@ class LakeTable:
             "buckets": {},  # bucket-id(str) -> list of relative data dirs (base + deltas)
             "epochs": {},  # epoch(str) -> lineage record
             "n_buckets": self.n_buckets,
+            "merge_mode": self.merge_mode,
         }
         if partial_columnar:
             manifest["partial_columnar"] = True

@@ -153,16 +153,48 @@ def main() -> None:
         "(stage_changelog_bucketed) instead of --changelog parquet — "
         "the per-epoch dedup then runs Exchange-free",
     )
+    ap.add_argument(
+        "--maintain",
+        action="store_true",
+        help="maintenance mode: plan (and run, unless --dry-run) "
+        "selective compaction + retention for the MAIN table under "
+        "--lake from its own metadata tables; prints the plan and "
+        "results as JSON.  Uses --compact-depth (default 4) and "
+        "--vacuum-keep-last as the policies",
+    )
+    ap.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="with --maintain: print the plan, execute nothing",
+    )
     args = ap.parse_args()
-    if not args.changelog and not args.bucketed_table and not args.source_table:
-        ap.error("one of --changelog / --bucketed-table / --source-table is required")
-    if args.source_table and not args.stream:
-        ap.error("--source-table requires --stream")
+    if not args.maintain:
+        if not args.changelog and not args.bucketed_table and not args.source_table:
+            ap.error("one of --changelog / --bucketed-table / --source-table is required")
+        if args.source_table and not args.stream:
+            ap.error("--source-table requires --stream")
 
     # under spark-submit the session/master comes from the submit
     # command line; fall back to the tuned local builder otherwise.
     spark = SparkSession.builder.appName("etl-cms-spark").getOrCreate()
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    if args.maintain:
+        import os
+
+        from etl_cms_spark.sink.lake import LakeTable
+        from etl_cms_spark.sink.maintenance import plan_maintenance, run_maintenance
+
+        table = LakeTable(spark, os.path.join(args.lake, "tables", "files"))
+        plan = plan_maintenance(
+            table,
+            max_depth=args.compact_depth or 4,
+            keep_last_snapshots=args.vacuum_keep_last,
+        )
+        print(json.dumps({"plan": plan}))
+        if not args.dry_run and plan["actions"]:
+            print(json.dumps({"results": run_maintenance(table, plan)}))
+        return
 
     filter_index = None
     if args.dedup_filter_index:

@@ -207,3 +207,18 @@ def test_pipeline_scheduled_vacuum_bounds_history(spark, tmp_root):
     )
     recs = p2.run(changes, n_epochs=6)
     assert all(r.get("skipped_duplicate_epoch") for r in recs)
+
+
+def test_merge_mode_persisted_on_reopen(spark, tmp_root):
+    """merge_mode rides the manifest like n_buckets: a reopener that
+    defaults (or misstates) the mode gets the table's true mode — the
+    planner and CLI read it without being told."""
+    root = os.path.join(tmp_root, "modep")
+    t = LakeTable(spark, root, n_buckets=4, merge_mode="mor")
+    t.create(["k"], {"k": "string", "v": "int"})
+    t.merge_epoch(
+        spark.createDataFrame([("a", 1, "U", 1)], "k string, v int, op string, lsn long"),
+        0,
+    )
+    assert LakeTable(spark, root).merge_mode == "mor"          # default reopen
+    assert LakeTable(spark, root, merge_mode="cow").merge_mode == "mor"
