@@ -109,19 +109,51 @@ def plan_maintenance(
     return {"actions": actions, "stats": stats}
 
 
-def run_maintenance(table: LakeTable, plan: dict) -> list[dict]:
+def run_maintenance(table: LakeTable, plan: dict, retries: int = 1) -> list[dict]:
     """Execute a plan from :func:`plan_maintenance` in order (compact
     before vacuum, as planned: vacuum can then drop the dirs the
     compaction just superseded).  Returns one result record per
-    action, each echoing the action it ran."""
+    action, each echoing the action it ran.
+
+    Maintenance runs BESIDE live writers by design, so a compaction
+    losing the commit CAS to a concurrent merge is expected, not
+    exceptional: the action is retried against a FRESH plan for the
+    same policy inputs (up to ``retries`` times — the stale plan's
+    bucket list may be wrong for the new snapshot), then recorded as
+    ``{"skipped_concurrent": ...}`` so the scheduler's next wake-up
+    picks it up rather than the job dying mid-plan."""
+    from etl_cms_spark.sink.lake import ConcurrentCommitError
+
     results = []
     for action in plan["actions"]:
         kind = action["action"]
-        if kind == "compact":
-            rec = table.compact(buckets=[int(b) for b in action["buckets"]])
-        elif kind == "vacuum":
-            rec = table.vacuum(keep_last=action["keep_last"])
-        else:
-            raise ValueError(f"unknown maintenance action {kind!r}")
+        attempt, spec = 0, action
+        while True:
+            try:
+                if kind == "compact":
+                    rec = table.compact(buckets=[int(b) for b in spec["buckets"]])
+                elif kind == "vacuum":
+                    rec = table.vacuum(keep_last=spec["keep_last"])
+                else:
+                    raise ValueError(f"unknown maintenance action {kind!r}")
+                break
+            except ConcurrentCommitError as e:
+                if attempt >= retries:
+                    rec = {"skipped_concurrent": str(e)}
+                    break
+                attempt += 1
+                if kind == "compact":
+                    # re-derive: of the buckets this plan chose, which
+                    # still carry a delta stack in the NEW snapshot
+                    depths = table.delta_depths()
+                    still = [
+                        b
+                        for b in (int(x) for x in spec["buckets"])
+                        if depths.get(b, 1) > 1
+                    ]
+                    if not still:
+                        rec = {"compacted_buckets": 0, "seconds": 0.0}
+                        break
+                    spec = {"action": "compact", "buckets": still}
         results.append({"action": kind, **rec})
     return results

@@ -222,3 +222,46 @@ def test_merge_mode_persisted_on_reopen(spark, tmp_root):
     )
     assert LakeTable(spark, root).merge_mode == "mor"          # default reopen
     assert LakeTable(spark, root, merge_mode="cow").merge_mode == "mor"
+
+
+def test_run_maintenance_retries_on_concurrent_commit(spark, tmp_root, monkeypatch):
+    """A merge racing the planned compaction: run_maintenance re-derives
+    the bucket list against the new snapshot and retries instead of
+    dying; the final state includes BOTH the merge and the fold."""
+    from etl_cms_spark.sink.lake import LakeTable as LT
+
+    t = _mk_skewed(spark, os.path.join(tmp_root, "race"))
+    plan = plan_maintenance(t, max_depth=2, min_small_files=None)
+    assert plan["actions"], "precondition: something to compact"
+
+    writer = LakeTable(spark, t.root, n_buckets=4, merge_mode="mor")
+    orig = LT._commit_manifest
+    state = {"fired": False}
+
+    def hooked(self, manifest):
+        if self is t and not state["fired"]:
+            state["fired"] = True
+            writer.merge_epoch(
+                spark.createDataFrame(
+                    [("k000", 9999, "U", 9999)],
+                    "k string, v int, op string, lsn long",
+                ),
+                99,
+            )
+        return orig(self, manifest)
+
+    monkeypatch.setattr(LT, "_commit_manifest", hooked)
+    attempts = []
+    orig_compact = t.compact
+
+    def counting_compact(*a, **kw):
+        attempts.append(kw.get("buckets"))
+        return orig_compact(*a, **kw)
+
+    monkeypatch.setattr(t, "compact", counting_compact)
+    results = run_maintenance(t, plan)
+    assert results[0]["action"] == "compact"
+    assert "skipped_concurrent" not in results[0], results
+    assert len(attempts) == 2, f"retry path not exercised: {attempts}"
+    got = t.read().where("k = 'k000'").select("v").first()
+    assert got["v"] == 9999, "racing merge must survive the fold"
