@@ -16,17 +16,12 @@ from etl_cms_spark.queries import ORACLES, QUERIES
 
 # The driver's CORRECTNESS gate records (at most) the first 50 catalog
 # entries.  ROUND-5 ROTATION (deliberate, one round only — flagged per
-# the round-4 advice): the 30 entries with no driver-green record yet —
+# the round-4 advice): the 33 entries with no driver-green record yet —
 # the 13 round-4-deprioritized property twins / breadth extras plus the
-# seventeen round-5 additions (cdc_partial_fold, debezium_adapter,
-# cdc_pipeline_minimal, cdc_columnar_mor, cdc_pipeline_auto,
-# ann_ivf_incremental, neardup_components_star, textdedup_incremental,
-# textdedup_incr_groups, lake_rebucket_state, lake_concurrent_commits,
-# lake_wap_publish, cdc_demux_wap_state, lake_changelog_chain,
-# cdc_lineage_metrics, lake_time_travel, debezium_roundtrip) —
-# are ordered FIRST so this round's gate gives them their driver row;
-# the 50 entries proven green in CORRECTNESS_r04.json fill the window's
-# remaining 20 slots in their natural (§2-primary-first) order.  After
+# twenty round-5 additions (enumerated below) — are ordered FIRST so
+# this round's gate gives them their driver row; the 50 entries proven
+# green in CORRECTNESS_r04.json fill the window's remaining 17 slots in
+# their natural (§2-primary-first) order.  After
 # this round the §2-primary-first order returns.  ALL entries always
 # stay oracle-checked in the in-repo mirror of the gate
 # (tests/test_entry.py::test_query_matches_oracle).
