@@ -128,6 +128,7 @@ class CDCPipeline:
         compact_every: int | None = None,
         compact_depth: int | None = None,
         compact_cluster_by: list[str] | None = None,
+        compact_cluster_layout: str = "linear",
         vacuum_every: int | None = None,
         vacuum_keep_last: int = 8,
         demux_domains: bool = False,
@@ -334,6 +335,10 @@ class CDCPipeline:
         # row-group stats for selective non-key predicates, traded
         # against point-lookup stats — see the compact() docstring.
         self.compact_cluster_by = compact_cluster_by
+        # "linear" or "zorder" (functions/zorder): z-order gives
+        # EVERY clustered column bounded row-group stats, linear
+        # only the leading one.
+        self.compact_cluster_layout = compact_cluster_layout
         self.quarantine_dir = os.path.join(root, "quarantine")
         self.duplicates_dir = os.path.join(root, "duplicates")
         self.checkpoint_path = os.path.join(root, "_checkpoint.json")
@@ -727,7 +732,8 @@ class CDCPipeline:
                 # scheduled compaction folds the whole delta set (the
                 # periodic full-layout refresh, incl. re-clustering)
                 rec["compaction"] = self.table.compact(
-                    cluster_by=self.compact_cluster_by
+                    cluster_by=self.compact_cluster_by,
+                    cluster_layout=self.compact_cluster_layout,
                 )
             elif self.compact_depth:
                 # depth-triggered compaction is SELECTIVE: fold only
@@ -742,7 +748,8 @@ class CDCPipeline:
                 ]
                 if deep:
                     rec["compaction"] = self.table.compact(
-                        cluster_by=self.compact_cluster_by, buckets=deep
+                        cluster_by=self.compact_cluster_by, buckets=deep,
+                        cluster_layout=self.compact_cluster_layout,
                     )
         if self.demux_domains:
             # domain tables accrue delta stacks (and, in blanket mode,

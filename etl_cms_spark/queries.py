@@ -3516,3 +3516,50 @@ def lake_rebucket_state(spark, sf_dir):
         return p.current_state().localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "lake_zorder_state",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT l.repo, l.path, l.commit, l.lang, l.content,
+           dim.concept_id, dim.domain, sha256(l.content) AS content_sha
+    FROM latest l JOIN {_concept_dim_sql()} ON l.lang = dim.lang
+    """,
+)
+def lake_zorder_state(spark, sf_dir):
+    """Z-ORDER clustering maintenance: two epochs merge, then
+    ``compact(cluster_by=["lang", "repo"], cluster_layout="zorder")``
+    rewrites each bucket in Morton order of (lang-rank, repo-rank) —
+    the multi-column row-group-pruning layout
+    (functions/zorder.zorder_key; Delta/Iceberg OPTIMIZE ZORDER BY
+    re-expressed as a Spark sort key).  The oracle is the SAME
+    one-pass latest-wins SQL as ``cdc_pipeline_state``: like every
+    maintenance action, the physical layout must be invisible to
+    query results, so a hash match certifies the rewrite reordered
+    rows and changed nothing else.  The pruning effect itself is
+    measured from parquet footers in tests/test_zorder.py (second
+    cluster column: 100% row-group overlap under the linear layout
+    vs ~35% under z-order, leading column still prunes)."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).first()
+    width = max(1, (hi - lo + 1 + 1) // 2)
+    root = tempfile.mkdtemp(prefix="cdc_zorder_")
+    try:
+        p = CDCPipeline(spark, root, n_buckets=8, merge_mode="mor")
+        p.init_tables()
+        p.process_epoch(changes.where(F.col("lsn") < lo + width), 0)
+        p.process_epoch(changes.where(F.col("lsn") >= lo + width), 1)
+        p.table.compact(cluster_by=["lang", "repo"], cluster_layout="zorder")
+        return p.current_state().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1762,6 +1762,7 @@ class LakeTable:
         expire_tombstones: bool = False,
         cluster_by: list[str] | None = None,
         buckets: list[int] | None = None,
+        cluster_layout: str = "linear",
     ) -> dict:
         """Fold merge-on-read deltas back into one base file set per
         bucket (Iceberg-style maintenance).  Winners are resolved with
@@ -1787,6 +1788,19 @@ class LakeTable:
         (re)establish either layout; the choice is sticky only until
         the next compact() call.
 
+        ``cluster_layout``: ``"linear"`` (default) sorts
+        lexicographically by (cluster_by, key) — tight stats on the
+        LEADING cluster column only.  ``"zorder"`` sorts by a Morton
+        interleave of per-column rank indices
+        (functions/zorder.zorder_key), so EVERY clustered column gets
+        bounded min/max per row group — the multi-predicate layout
+        (Delta/Iceberg ``OPTIMIZE ZORDER BY``).  Costs one extra
+        bounded approxQuantile pass over the buckets being rewritten;
+        measured A/B in tests/test_zorder.py: with a high-cardinality
+        leading column, the second column's row-group overlap drops
+        from 100% (linear) to a fraction, while the leading column
+        keeps useful (coarser) pruning.
+
         COLUMNAR tables additionally record a compaction LSN
         WATERMARK (the max lsn_hi of the epochs committed so far):
         the per-column fold is order-independent only while every
@@ -1803,6 +1817,12 @@ class LakeTable:
         unknown = [c for c in (cluster_by or []) if c not in manifest["schema"]]
         if unknown:
             raise ValueError(f"cluster_by: no such columns {unknown}")
+        if cluster_layout not in ("linear", "zorder"):
+            raise ValueError(
+                f"cluster_layout must be 'linear' or 'zorder', got {cluster_layout!r}"
+            )
+        if cluster_layout == "zorder" and not cluster_by:
+            raise ValueError("cluster_layout='zorder' requires cluster_by")
         if manifest.get("partial_columnar"):
             his = [
                 rec.get("lsn_max")
@@ -1839,6 +1859,15 @@ class LakeTable:
         resolved = self._read_buckets(manifest, [int(b) for b in target_buckets])
         if expire_tombstones:
             resolved = resolved.where(~F.col(_DELETED_COL))
+        if cluster_layout == "zorder":
+            from etl_cms_spark.functions.zorder import zorder_key
+
+            resolved = resolved.withColumn(
+                "_zcluster", zorder_key(resolved, list(cluster_by))
+            )
+            sort_cols: list = [_BUCKET_COL, "_zcluster", *manifest["key_cols"]]
+        else:
+            sort_cols = [_BUCKET_COL, *(cluster_by or []), *manifest["key_cols"]]
         new_version = self._reserve_version()
         rel_dir = f"data/v{new_version}-compact"
         out_dir = os.path.join(self.root, rel_dir)
@@ -1849,11 +1878,13 @@ class LakeTable:
             # compaction rewrites whole buckets — the cheapest moment
             # to (re)establish the clustered layout: key-sorted by
             # default (tight key stats for point lookups), or
-            # value-clustered when cluster_by asks for predicate
-            # row-group pruning (see docstring).
-            .sortWithinPartitions(
-                _BUCKET_COL, *(cluster_by or []), *manifest["key_cols"]
-            )
+            # value-clustered (linear or z-order) when cluster_by asks
+            # for predicate row-group pruning (see docstring).  The
+            # z key is dropped before the write: it exists only to
+            # order rows, the pruning evidence lives in the data
+            # columns' own footer stats.
+            .sortWithinPartitions(*sort_cols)
+            .drop("_zcluster")
             .write.mode("overwrite")
             .partitionBy(_BUCKET_COL)
             .parquet(out_dir)
@@ -1883,6 +1914,7 @@ class LakeTable:
         return {
             "compacted_buckets": len(target_buckets),
             "snapshot_version": new_version,
+            "cluster_layout": cluster_layout if cluster_by else None,
             "seconds": round(time.time() - t0, 2),
         }
 

@@ -55,6 +55,13 @@ def main() -> None:
         "trades point-lookup stats tightness",
     )
     ap.add_argument(
+        "--compact-cluster-layout", default="linear",
+        choices=["linear", "zorder"],
+        help="linear = lexicographic (tight stats on the LEADING "
+        "cluster column); zorder = Morton-interleaved rank key "
+        "(bounded row-group stats on EVERY cluster column)",
+    )
+    ap.add_argument(
         "--demux-domains",
         action="store_true",
         help="route rows into per-domain destination tables",
@@ -253,6 +260,7 @@ def main() -> None:
                 if args.compact_cluster_by
                 else None
             ),
+            compact_cluster_layout=args.compact_cluster_layout,
             demux_domains=args.demux_domains,
             demux_tombstones=args.demux_tombstones,
             dedup_mode=args.dedup_mode,
