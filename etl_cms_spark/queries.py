@@ -3563,3 +3563,64 @@ def lake_zorder_state(spark, sf_dir):
         return p.current_state().localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "lake_stats_pruned_read",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT repo, path, commit, lang, content, sha256(content) AS content_sha
+    FROM latest
+    WHERE lang BETWEEN 'go' AND 'java'
+    """,
+)
+def lake_stats_pruned_read(spark, sf_dir):
+    """PLANNING-time file pruning (Iceberg manifest column stats,
+    re-expressed — sink/stats.py): two epochs merge, compaction
+    establishes a z-ordered layout with bounded files
+    (``target_file_rows``), ``refresh_stats`` records per-file
+    [min, max] via distributed footer reads into the ``_stats.json``
+    sidecar, and ``read_where({"lang": ("go", "java")})`` drops
+    provably-excluded FILES from the scan before Spark plans it —
+    the scan's file list, not just its row groups, shrinks.  The
+    oracle is the latest-wins SQL with the same range predicate: by
+    construction pruning may only remove files with no matching
+    rows, so the hash must match exactly.  Pruning effectiveness
+    (files_read < files_total) is asserted in
+    tests/test_statsprune.py; this entry certifies it never changes
+    results."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.sink.lake import LakeTable
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).first()
+    width = max(1, (hi - lo + 1 + 1) // 2)
+    root = tempfile.mkdtemp(prefix="cdc_statsprune_")
+    try:
+        t = LakeTable(spark, root, n_buckets=8, merge_mode="mor")
+        t.create(
+            ["repo", "path"],
+            {"repo": "string", "path": "string", "commit": "string",
+             "lang": "string", "content": "string"},
+        )
+        t.merge_epoch(changes.where(F.col("lsn") < lo + width), 0)
+        t.merge_epoch(changes.where(F.col("lsn") >= lo + width), 1)
+        t.compact(cluster_by=["lang"], cluster_layout="zorder",
+                  target_file_rows=400)
+        t.refresh_stats(["lang"])
+        out = (
+            t.read_where({"lang": ("go", "java")})
+            .select(
+                "repo", "path", "commit", "lang", "content",
+                F.sha2(F.col("content"), 256).alias("content_sha"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -344,18 +344,31 @@ class LakeTable:
         return [v] if isinstance(v, str) else list(v)
 
     def _read_buckets(
-        self, manifest: dict, bucket_ids: list[int] | None, resolve: bool = True
+        self,
+        manifest: dict,
+        bucket_ids: list[int] | None,
+        resolve: bool = True,
+        admit_files: "dict[str, list[str]] | None" = None,
     ) -> DataFrame:
+        """``admit_files`` (sink/stats.py planning-time pruning): maps a
+        RELATIVE leaf dir to the subset of its parquet files admitted by
+        manifest-layer column stats — dirs absent from the map are read
+        whole; an empty list skips the dir.  Callers guarantee the
+        subset is resolution-safe (stats.py only file-prunes buckets
+        with no delta stack, where every row is its own winner)."""
         sel = manifest["buckets"]
         if bucket_ids is not None:
             sel = {b: d for b, d in sel.items() if int(b) in set(bucket_ids)}
-        dirs = sorted(
-            {
-                os.path.join(self.root, d)
-                for b in sel
-                for d in self._bucket_dirs(manifest, b)
-            }
+        rel_dirs = sorted(
+            {d for b in sel for d in self._bucket_dirs(manifest, b)}
         )
+        if admit_files is not None:
+            rel_dirs = [
+                d
+                for d in rel_dirs
+                if d not in admit_files or admit_files[d]
+            ]
+        dirs = [os.path.join(self.root, d) for d in rel_dirs]
         has_deltas = any(len(self._bucket_dirs(manifest, b)) > 1 for b in sel)
         cols = [*manifest["schema"].keys(), _LSN_COL, _BUCKET_COL, _DELETED_COL]
         if not dirs:
@@ -377,8 +390,14 @@ class LakeTable:
         # (Found by the round-4 soak: a widen followed by one more
         # MoR delta made the stack unreadable under mergeSchema.)
         by_write: dict[str, list[str]] = {}
-        for d in dirs:
-            by_write.setdefault(os.path.dirname(d), []).append(d)
+        for rd, d in zip(rel_dirs, dirs):
+            if admit_files is not None and rd in admit_files:
+                # stats-admitted subset: read file paths, not the dir
+                by_write.setdefault(os.path.dirname(d), []).extend(
+                    sorted(admit_files[rd])
+                )
+            else:
+                by_write.setdefault(os.path.dirname(d), []).append(d)
         parts = []
         for wdir, ds in sorted(by_write.items()):
             p = self.spark.read.parquet(*sorted(ds))
@@ -503,6 +522,31 @@ class LakeTable:
         m = self._load_manifest()
         df = self._read_buckets(m, bucket_ids)
         return df.where(~F.col(_DELETED_COL)).drop(_LSN_COL, _BUCKET_COL, _DELETED_COL)
+
+    def refresh_stats(self, cols: list[str]) -> dict:
+        """Record per-file column min/max in the ``_stats.json``
+        planning cache (distributed footer reads; immutable dirs are
+        read once, ever).  See sink/stats.py."""
+        from etl_cms_spark.sink import stats as _stats
+
+        return _stats.refresh_stats(self, cols)
+
+    def read_where(self, predicates: dict[str, tuple]) -> DataFrame:
+        """Current snapshot filtered by ``{col: (lo, hi)}`` closed
+        ranges, with files pruned at PLANNING time from the stats
+        cache — Iceberg's manifest-stats scan planning.  Identical
+        results to ``read().where(...)``; see sink/stats.py for the
+        resolution-safety model."""
+        from etl_cms_spark.sink import stats as _stats
+
+        return _stats.read_where(self, predicates)
+
+    def plan_where(self, predicates: dict[str, tuple]) -> dict:
+        """The planning report ``read_where`` acts on (buckets/files
+        total vs read) — observability for pruning effectiveness."""
+        from etl_cms_spark.sink import stats as _stats
+
+        return _stats.plan_where(self, predicates)
 
     def read_raw(self, bucket_ids: list[int] | None = None) -> DataFrame:
         """Current snapshot INCLUDING tombstone rows and the ``_lsn``
@@ -1763,6 +1807,7 @@ class LakeTable:
         cluster_by: list[str] | None = None,
         buckets: list[int] | None = None,
         cluster_layout: str = "linear",
+        target_file_rows: int | None = None,
     ) -> dict:
         """Fold merge-on-read deltas back into one base file set per
         bucket (Iceberg-style maintenance).  Winners are resolved with
@@ -1800,6 +1845,14 @@ class LakeTable:
         leading column, the second column's row-group overlap drops
         from 100% (linear) to a fraction, while the leading column
         keeps useful (coarser) pruning.
+
+        ``target_file_rows``: cap rows per output FILE
+        (``maxRecordsPerFile``) so each bucket dir holds several
+        files, each covering a contiguous slice of the sort order —
+        with clustering that makes per-FILE stats tight, which is
+        what the PLANNING-time pruner (sink/stats.py ``read_where``)
+        skips on; without it a compacted bucket is one file spanning
+        the full value range and only row-group pruning can help.
 
         COLUMNAR tables additionally record a compaction LSN
         WATERMARK (the max lsn_hi of the epochs committed so far):
@@ -1886,6 +1939,9 @@ class LakeTable:
             .sortWithinPartitions(*sort_cols)
             .drop("_zcluster")
             .write.mode("overwrite")
+            .option(
+                "maxRecordsPerFile", int(target_file_rows or 0)
+            )  # 0 = unlimited (Spark default)
             .partitionBy(_BUCKET_COL)
             .parquet(out_dir)
         )

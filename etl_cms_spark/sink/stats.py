@@ -1,0 +1,309 @@
+"""Manifest-layer column statistics + planning-time file pruning.
+
+Iceberg plans scans from per-file column min/max recorded in manifest
+files, so a selective predicate skips data files WITHOUT opening their
+footers.  This module re-expresses that for LakeTable: a sidecar stats
+cache (``<root>/_stats.json``) holds per-file [min, max] for chosen
+value columns, ``refresh_stats`` fills it with DISTRIBUTED footer reads
+(mapInPandas, the files_df idiom — the driver never funnels footer
+I/O), and ``read_where`` prunes the scan's file list before Spark ever
+plans it.
+
+Why this matters at 100 TB even though parquet already row-group-prunes:
+the builtin pruning happens AFTER every file is opened and its footer
+fetched — ~10^6 round trips on a large table.  Planning-time pruning is
+driver-side dict arithmetic over the cache.  Z-order clustering
+(functions/zorder.py) is the natural partner: it makes per-file stats
+TIGHT on every clustered column, so the same layout that helps row
+groups lets whole files drop out here.
+
+Correctness model — pruning granularity follows resolution granularity:
+
+* Buckets with a DELTA STACK resolve winners per key across files, so a
+  file may only be skipped if its absence cannot change any winner.
+  We therefore skip such buckets only WHOLE, and only when EVERY file
+  in every dir excludes the predicate (then every physical row fails
+  it, hence every resolved winner fails it too).
+* Single-dir buckets (CoW, or MoR after compaction — the steady state
+  maintenance produces) carry one physical row per key: each row is
+  its own winner, so individual FILES prune safely.
+* ``partial_columnar`` tables assemble one logical row from MANY
+  physical rows (per-column LWW) — a pruned row could carry another
+  column's winning value — so ``read_where`` refuses them.
+* The cache is a pure planning CACHE: data dirs are immutable once
+  written, so entries never go stale; files without an entry (new
+  deltas, renamed columns, vacuumed-and-rewritten history) are ADMITTED
+  conservatively.  Correctness never depends on freshness — a cold
+  cache just reads everything, exactly like ``read``.
+* The residual predicate is ALWAYS applied to the admitted rows; stats
+  only decide what not to read.
+
+NULL semantics: ``read_where`` predicates are closed ranges
+``col BETWEEN lo AND hi`` — null-rejecting.  A file whose footers
+PROVE the column all-null (every row group's null_count == num_rows)
+is excluded; a file with stats merely absent is admitted (nothing
+provable).  Strings compare binary/lexicographic, matching Spark's
+default collation.
+
+Scale note: the sidecar is O(files x cols) JSON.  At 10^6+ files shard
+it per write dir (the Iceberg manifest-file shape) — the read path
+below only needs the union; kept single-file here for inspectability.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STATS_FILE = "_stats.json"
+_STATABLE = ("string", "int", "bigint", "long", "float", "double",
+             "smallint", "tinyint")
+
+
+def _stats_path(root: str) -> str:
+    return os.path.join(root, _STATS_FILE)
+
+
+def load_stats(root: str) -> dict:
+    p = _stats_path(root)
+    if not os.path.exists(p):
+        return {"dirs": {}}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _save_stats(root: str, stats: dict) -> None:
+    fd, tmp = tempfile.mkstemp(dir=root, prefix="_stats_", suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, _stats_path(root))
+
+
+def refresh_stats(table, cols: list[str]) -> dict:
+    """Record per-file [min, max] of ``cols`` for every data dir in the
+    CURRENT manifest that the cache doesn't cover yet.  Footer reads
+    run executor-side (mapInPandas over the file list); the driver
+    collects one small row per (file, col).  Dirs are immutable, so a
+    covered dir is never re-read; dirs that left the manifest (vacuum,
+    rollback past them) are dropped from the cache.  Returns
+    ``{"files_scanned": n, "dirs_covered": n}``."""
+    m = table._load_manifest()
+    schema = m["schema"]
+    bad = [c for c in cols if c not in schema]
+    if bad:
+        raise ValueError(f"refresh_stats: no such columns {bad}")
+    untyped = [
+        c for c in cols
+        if not any(schema[c].startswith(t) for t in _STATABLE)
+    ]
+    if untyped:
+        raise ValueError(
+            f"refresh_stats: unsupported stat types {{{', '.join(f'{c}: {schema[c]}' for c in untyped)}}}"
+        )
+    stats = load_stats(table.root)
+    live_dirs = {
+        d for b in m["buckets"] for d in table._bucket_dirs(m, b)
+    }
+    stats["dirs"] = {d: v for d, v in stats["dirs"].items() if d in live_dirs}
+    todo = []
+    for d in sorted(live_dirs):
+        cached = stats["dirs"].get(d, {})
+        need = [c for c in cols if c not in cached.get("cols", [])]
+        if not need:
+            continue
+        absdir = os.path.join(table.root, d)
+        if not os.path.isdir(absdir):
+            continue
+        for fn in os.listdir(absdir):
+            if fn.endswith(".parquet"):
+                todo.append((d, fn, os.path.join(absdir, fn)))
+    if not todo:
+        return {"files_scanned": 0, "dirs_covered": len(stats["dirs"])}
+
+    paths = table.spark.createDataFrame(
+        todo, "rel_dir string, file string, file_path string"
+    )
+    want = list(cols)
+
+    def _footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                md = pq.ParquetFile(r.file_path).metadata
+                arrow = md.schema.to_arrow_schema()
+                names = set(arrow.names)
+                for c in want:
+                    if c not in names:
+                        # pre-rename / pre-add file: no stats, admit
+                        continue
+                    idx = arrow.get_field_index(c)
+                    mins, maxs = [], []
+                    proven_all_null = True
+                    for g in range(md.num_row_groups):
+                        rg = md.row_group(g)
+                        st = rg.column(idx).statistics
+                        if st is not None and st.has_min_max:
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                            proven_all_null = False
+                        elif not (
+                            st is not None
+                            and st.has_null_count
+                            and st.null_count == rg.num_rows
+                        ):
+                            # stats absent but rows may be non-null:
+                            # nothing provable, record nothing (admit)
+                            proven_all_null = False
+                    if mins:
+                        out.append(
+                            (r.rel_dir, r.file, c,
+                             json.dumps(min(mins)), json.dumps(max(maxs)))
+                        )
+                    elif proven_all_null:
+                        # every row group proves null-only: range
+                        # predicates (null-rejecting) exclude the file
+                        out.append((r.rel_dir, r.file, c, None, None))
+            yield pd.DataFrame(
+                out, columns=["rel_dir", "file", "col", "mn", "mx"]
+            )
+
+    rows = paths.mapInPandas(
+        _footers, "rel_dir string, file string, col string, mn string, mx string"
+    ).collect()
+    per_dir: dict[str, dict] = {}
+    for r in rows:
+        ent = per_dir.setdefault(r.rel_dir, {})
+        fent = ent.setdefault(r.file, {})
+        if r.mn is not None:
+            fent[r.col] = [json.loads(r.mn), json.loads(r.mx)]
+        else:
+            fent[r.col] = None  # all-null: matches no range predicate... admit
+    scanned = set()
+    for d, fn, _ in todo:
+        scanned.add((d, fn))
+        dent = stats["dirs"].setdefault(d, {"cols": [], "files": {}})
+        dent["files"].setdefault(fn, {}).update(per_dir.get(d, {}).get(fn, {}))
+    for d in {d for d, _, _ in todo}:
+        dent = stats["dirs"][d]
+        dent["cols"] = sorted(set(dent.get("cols", [])) | set(cols))
+    _save_stats(table.root, stats)
+    return {"files_scanned": len(scanned), "dirs_covered": len(stats["dirs"])}
+
+
+def _file_admits(fstats: dict | None, preds: dict[str, tuple]) -> bool:
+    """True if the file may contain rows matching ALL range predicates.
+    Missing stats for a column -> conservatively true for that column."""
+    if fstats is None:
+        return True
+    for c, (lo, hi) in preds.items():
+        rng = fstats.get(c, ...)
+        if rng is ...:
+            continue  # no stats recorded for this col: admit
+        if rng is None:
+            # proven all-null: BETWEEN is null-rejecting, no row matches
+            return False
+        mn, mx = rng
+        try:
+            if mx < lo or mn > hi:
+                return False
+        except TypeError:
+            continue  # incomparable (type-widened history): admit
+    return True
+
+
+def plan_where(table, predicates: dict[str, tuple]) -> dict:
+    """Planning report + file admission for ``read_where`` — pure
+    driver-side arithmetic over the manifest and the stats cache."""
+    m = table._load_manifest()
+    if m.get("partial_columnar"):
+        raise ValueError(
+            "read_where: partial_columnar tables assemble rows from many "
+            "physical rows (per-column LWW); file pruning is unsafe — "
+            "compact + read() instead"
+        )
+    for c in predicates:
+        if c not in m["schema"]:
+            raise ValueError(f"read_where: no such column {c}")
+    stats = load_stats(table.root)["dirs"]
+    admit: dict[str, list[str]] = {}
+    bucket_ids: list[int] = []
+    files_total = files_read = 0
+    for b in m["buckets"]:
+        dirs = table._bucket_dirs(m, b)
+        per_dir: dict[str, list[str]] = {}
+        any_admitted = False
+        all_covered = True
+        for d in dirs:
+            dent = stats.get(d)
+            fentries = (dent or {}).get("files", {})
+            absdir = os.path.join(table.root, d)
+            names = (
+                [fn for fn in os.listdir(absdir) if fn.endswith(".parquet")]
+                if os.path.isdir(absdir)
+                else []
+            )
+            files_total += len(names)
+            kept = []
+            for fn in names:
+                fstats = fentries.get(fn)
+                if fstats is None:
+                    all_covered = False
+                if _file_admits(fstats, predicates):
+                    kept.append(os.path.join(absdir, fn))
+            per_dir[d] = kept
+            if kept:
+                any_admitted = True
+        if len(dirs) > 1:
+            # delta stack: winners resolve across files — skip only the
+            # WHOLE bucket, and only on full stats coverage proving no
+            # physical row matches.
+            if any_admitted or not all_covered:
+                bucket_ids.append(int(b))
+                files_read += sum(
+                    len([f for f in os.listdir(os.path.join(table.root, d))
+                         if f.endswith(".parquet")])
+                    if os.path.isdir(os.path.join(table.root, d)) else 0
+                    for d in dirs
+                )
+        else:
+            # single dir: every row is its own winner — prune per FILE.
+            if any_admitted:
+                bucket_ids.append(int(b))
+                admit.update(per_dir)
+                files_read += sum(len(v) for v in per_dir.values())
+    return {
+        "bucket_ids": bucket_ids,
+        "admit_files": admit,
+        "buckets_total": len(m["buckets"]),
+        "buckets_read": len(bucket_ids),
+        "files_total": files_total,
+        "files_read": files_read,
+    }
+
+
+def read_where(table, predicates: dict[str, tuple]) -> DataFrame:
+    """Current snapshot filtered by closed-range predicates
+    ``{col: (lo, hi)}`` (equality = ``(v, v)``), with the scan's file
+    list pruned at PLANNING time from the stats cache — identical
+    results to ``read().where(...)`` by construction (the residual
+    filter always applies; stats only remove files that provably
+    contain no matching row)."""
+    plan = plan_where(table, predicates)
+    m = table._load_manifest()
+    df = table._read_buckets(
+        m, plan["bucket_ids"], admit_files=plan["admit_files"]
+    )
+    from etl_cms_spark.sink.lake import _BUCKET_COL, _DELETED_COL, _LSN_COL
+
+    df = df.where(~F.col(_DELETED_COL)).drop(_LSN_COL, _BUCKET_COL, _DELETED_COL)
+    for c, (lo, hi) in predicates.items():
+        df = df.where(F.col(c).between(F.lit(lo), F.lit(hi)))
+    return df

@@ -1,0 +1,176 @@
+"""Planning-time file pruning from the manifest-layer stats cache
+(sink/stats.py): read_where == read().where() always, and after a
+clustered + file-capped compaction the plan provably skips files."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cms_spark.sink.lake import LakeTable
+from tests.conftest import assert_df_equal
+
+LANGS = ["ada", "c", "go", "js", "py", "rs"]
+
+
+def _base(spark, n=30_000):
+    return spark.range(n).select(
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 7, "0")).alias("k"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(8192)).cast("int").alias("num"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in LANGS]),
+            (F.pmod(F.col("id"), F.lit(len(LANGS))) + 1).cast("int"),
+        ).alias("lang"),
+        F.sha2(F.col("id").cast("string"), 256).alias("v"),
+        (F.col("id") + 1).alias("lsn"),
+        F.when(F.pmod(F.col("id"), F.lit(37)) == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+
+
+def _make(spark, root, compacted=False, **compact_kw):
+    t = LakeTable(spark, root, n_buckets=4, merge_mode="mor")
+    t.create(
+        ["k"], {"k": "string", "num": "int", "lang": "string", "v": "string"}
+    )
+    base = _base(spark)
+    t.merge_epoch(base.where("id % 2 = 0"), 0)
+    t.merge_epoch(base.where("id % 2 = 1"), 1)
+    if compacted:
+        t.compact(**compact_kw)
+    return t
+
+
+def test_read_where_equals_filter_on_mor_stack(spark, tmp_root):
+    """No compaction, no stats: stacked buckets read whole, results
+    identical, plan admits everything (cold cache = plain read)."""
+    t = _make(spark, os.path.join(tmp_root, "sp_stack"))
+    preds = {"num": (1000, 2999), "lang": ("go", "go")}
+    plan = t.plan_where(preds)
+    assert plan["files_read"] == plan["files_total"] > 0
+    assert plan["buckets_read"] == plan["buckets_total"]
+    expect = t.read().where("num between 1000 and 2999 and lang = 'go'")
+    assert_df_equal(t.read_where(preds), expect, "stacked, cold cache")
+
+
+def test_read_where_prunes_files_after_clustered_compact(spark, tmp_root):
+    """Z-order + target_file_rows -> several files per bucket, each a
+    contiguous curve slice; refresh_stats + read_where then skips
+    files at PLANNING time, results byte-identical."""
+    t = _make(
+        spark,
+        os.path.join(tmp_root, "sp_zc"),
+        compacted=True,
+        cluster_by=["num", "lang"],
+        cluster_layout="zorder",
+        target_file_rows=1500,
+    )
+    r = t.refresh_stats(["num", "lang"])
+    assert r["files_scanned"] > 4  # several files per bucket exist
+    preds = {"lang": ("go", "go")}
+    plan = t.plan_where(preds)
+    assert plan["files_total"] > 8
+    assert plan["files_read"] < plan["files_total"], plan
+    expect = t.read().where("lang = 'go'")
+    assert_df_equal(t.read_where(preds), expect, "zorder pruned read")
+
+    # leading numeric column prunes too
+    plan_n = t.plan_where({"num": (0, 799)})
+    assert plan_n["files_read"] < plan_n["files_total"], plan_n
+    assert_df_equal(
+        t.read_where({"num": (0, 799)}),
+        t.read().where("num between 0 and 799"),
+        "numeric pruned read",
+    )
+    # refresh is incremental: immutable dirs are never re-read
+    assert t.refresh_stats(["num", "lang"])["files_scanned"] == 0
+
+
+def test_whole_table_skip_out_of_range(spark, tmp_root):
+    t = _make(
+        spark,
+        os.path.join(tmp_root, "sp_skip"),
+        compacted=True,
+        cluster_by=["num"],
+        target_file_rows=1500,
+    )
+    t.refresh_stats(["num"])
+    plan = t.plan_where({"num": (10_000_000, 20_000_000)})
+    assert plan["buckets_read"] == 0 and plan["files_read"] == 0
+    assert t.read_where({"num": (10_000_000, 20_000_000)}).count() == 0
+
+
+def test_stacked_bucket_whole_skip_needs_full_coverage(spark, tmp_root):
+    """A bucket with a delta stack may be skipped only WHOLE and only
+    when every file has stats excluding the predicate."""
+    t = _make(spark, os.path.join(tmp_root, "sp_cov"))
+    t.refresh_stats(["num"])
+    # fully covered + out of range -> all stacked buckets skip
+    plan = t.plan_where({"num": (10_000_000, 20_000_000)})
+    assert plan["buckets_read"] == 0
+    # in-range predicate on a stack -> whole buckets read (no file cuts)
+    plan2 = t.plan_where({"num": (0, 99)})
+    assert plan2["buckets_read"] == plan2["buckets_total"]
+    assert plan2["files_read"] == plan2["files_total"]
+    assert_df_equal(
+        t.read_where({"num": (0, 99)}),
+        t.read().where("num between 0 and 99"),
+        "stacked in-range",
+    )
+
+
+def test_rename_evolution_admits_old_files(spark, tmp_root):
+    """Files written before a rename carry the OLD physical name; the
+    cache has no entry for the new name -> conservative admit, results
+    still correct through _normalize."""
+    root = os.path.join(tmp_root, "sp_ren")
+    t = _make(spark, root, compacted=True, cluster_by=["lang"],
+              target_file_rows=1500)
+    t.refresh_stats(["lang"])
+    t.apply_schema_change({"rename": "lang:language"})
+    preds = {"language": ("go", "go")}
+    plan = t.plan_where(preds)
+    assert plan["files_read"] == plan["files_total"]  # nothing provable
+    assert_df_equal(
+        t.read_where(preds),
+        t.read().where("language = 'go'"),
+        "post-rename read_where",
+    )
+
+
+def test_refresh_and_read_where_guards(spark, tmp_root):
+    t = _make(spark, os.path.join(tmp_root, "sp_guard"))
+    with pytest.raises(ValueError, match="no such columns"):
+        t.refresh_stats(["nope"])
+    with pytest.raises(ValueError, match="no such column"):
+        t.plan_where({"nope": (0, 1)})
+    t2 = LakeTable(
+        spark, os.path.join(tmp_root, "sp_pc"), n_buckets=4, merge_mode="mor"
+    )
+    t2.create(["k"], {"k": "string", "a": "int", "b": "int"},
+              partial_columnar=True)
+    with pytest.raises(ValueError, match="partial_columnar"):
+        t2.plan_where({"a": (0, 1)})
+
+
+def test_vacuumed_dirs_drop_from_cache(spark, tmp_root):
+    t = _make(spark, os.path.join(tmp_root, "sp_vac"))
+    t.refresh_stats(["num"])
+    from etl_cms_spark.sink.stats import load_stats
+
+    before = set(load_stats(t.root)["dirs"])
+    t.compact()  # folds the stack; old dirs leave the manifest
+    t.vacuum(keep_last=1)
+    t.refresh_stats(["num"])
+    after = set(load_stats(t.root)["dirs"])
+    assert after and after != before
+    # every cached dir is live in the current manifest
+    m = t._load_manifest()
+    live = {d for b in m["buckets"] for d in t._bucket_dirs(m, b)}
+    assert after <= live
+    assert_df_equal(
+        t.read_where({"num": (0, 99)}),
+        t.read().where("num between 0 and 99"),
+        "post-vacuum read_where",
+    )
