@@ -28,6 +28,12 @@ Policies (each independently optional):
 * **retention**: ``vacuum(keep_last=...)`` once the snapshot history
   exceeds the window (respects tags/reservations — vacuum's own
   rules apply; the planner only decides WHEN to call it).
+* **stats**: keep the planning-time pruning cache (sink/stats.py)
+  covering every live dir.  Columns come from ``stats_cols`` or, by
+  default, from whatever the cache already tracks — one manual
+  ``refresh_stats`` call opts a table in, and maintenance keeps it
+  current as epochs add dirs.  Runs LAST so a compaction in the same
+  plan gets its new dirs covered immediately.
 
 Reference analogue: the reference's ETL reloads tables wholesale each
 run (python_etl re-extracts per-state dumps); an incremental lake has
@@ -51,6 +57,7 @@ def plan_maintenance(
     small_file_bytes: int = _DEFAULT_SMALL_FILE_BYTES,
     min_small_files: int | None = 8,
     keep_last_snapshots: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Build a maintenance plan from the table's metadata layer.
 
@@ -106,6 +113,28 @@ def plan_maintenance(
         if n_snapshots > keep_last_snapshots:
             actions.append({"action": "vacuum", "keep_last": keep_last_snapshots})
 
+    from etl_cms_spark.sink import stats as stats_mod
+
+    cache = stats_mod.load_stats(table.root)
+    cols = stats_cols or sorted(
+        {c for d in cache["dirs"].values() for c in d.get("cols", [])}
+    )
+    if cols:
+        m = table._load_manifest()
+        live = {d for b in m["buckets"] for d in table._bucket_dirs(m, b)}
+        missing = [
+            d
+            for d in live
+            if not set(cols) <= set(cache["dirs"].get(d, {}).get("cols", []))
+        ]
+        stats["stats_dirs_missing"] = len(missing)
+        if missing:
+            # last on purpose: a compact/vacuum earlier in this plan
+            # changes the dir set, and refresh_stats re-derives its
+            # todo list from the manifest at EXECUTION time — so the
+            # new dirs get covered in the same maintenance window.
+            actions.append({"action": "refresh_stats", "cols": cols})
+
     return {"actions": actions, "stats": stats}
 
 
@@ -134,6 +163,8 @@ def run_maintenance(table: LakeTable, plan: dict, retries: int = 1) -> list[dict
                     rec = table.compact(buckets=[int(b) for b in spec["buckets"]])
                 elif kind == "vacuum":
                     rec = table.vacuum(keep_last=spec["keep_last"])
+                elif kind == "refresh_stats":
+                    rec = table.refresh_stats(spec["cols"])
                 else:
                     raise ValueError(f"unknown maintenance action {kind!r}")
                 break

@@ -55,6 +55,12 @@ def main() -> None:
         "trades point-lookup stats tightness",
     )
     ap.add_argument(
+        "--stats-cols", default=None, metavar="COL[,COL...]",
+        help="with --maintain: keep the planning-time pruning cache "
+        "(sink/stats.py) covering these columns; without it, whatever "
+        "the cache already tracks is refreshed",
+    )
+    ap.add_argument(
         "--compact-cluster-layout", default="linear",
         choices=["linear", "zorder"],
         help="linear = lexicographic (tight stats on the LEADING "
@@ -197,6 +203,7 @@ def main() -> None:
             table,
             max_depth=args.compact_depth or 4,
             keep_last_snapshots=args.vacuum_keep_last,
+            stats_cols=(args.stats_cols.split(",") if args.stats_cols else None),
         )
         print(json.dumps({"plan": plan}))
         if not args.dry_run and plan["actions"]:

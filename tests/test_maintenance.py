@@ -265,3 +265,36 @@ def test_run_maintenance_retries_on_concurrent_commit(spark, tmp_root, monkeypat
     assert len(attempts) == 2, f"retry path not exercised: {attempts}"
     got = t.read().where("k = 'k000'").select("v").first()
     assert got["v"] == 9999, "racing merge must survive the fold"
+
+
+def test_plan_refresh_stats_policy(spark, tmp_root):
+    """Once a table opts into the pruning cache (one refresh_stats
+    call), the planner notices uncovered live dirs after new epochs
+    and schedules a refresh — LAST, so a compaction in the same plan
+    gets its new dirs covered by the same run."""
+    t = _mk_skewed(spark, os.path.join(tmp_root, "mstats"), n_epochs_hot=5)
+    # no cache, no stats_cols -> no stats action
+    plan0 = plan_maintenance(t, max_depth=4)
+    assert not [a for a in plan0["actions"] if a["action"] == "refresh_stats"]
+    t.refresh_stats(["v"])  # opt in
+    t.merge_epoch(
+        spark.createDataFrame(
+            [("k001", 7, "U", 5000)], "k string, v int, op string, lsn long"
+        ),
+        99,
+    )
+    plan = plan_maintenance(t, max_depth=4)
+    acts = [a["action"] for a in plan["actions"]]
+    assert "refresh_stats" in acts
+    assert acts[-1] == "refresh_stats"  # ordered after compact/vacuum
+    assert plan["stats"]["stats_dirs_missing"] > 0
+    res = run_maintenance(t, plan)
+    ref = [r for r in res if r["action"] == "refresh_stats"]
+    assert ref and ref[0]["files_scanned"] > 0
+    # steady state: everything covered (incl. dirs the compaction wrote)
+    plan2 = plan_maintenance(t, max_depth=4)
+    assert not [a for a in plan2["actions"] if a["action"] == "refresh_stats"]
+    assert plan2["stats"]["stats_dirs_missing"] == 0
+    # explicit stats_cols overrides cache-derived columns
+    plan3 = plan_maintenance(t, max_depth=4, stats_cols=["k", "v"])
+    assert [a for a in plan3["actions"] if a["action"] == "refresh_stats"]
