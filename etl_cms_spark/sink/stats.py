@@ -233,10 +233,34 @@ def plan_where(table, predicates: dict[str, tuple]) -> dict:
         if c not in m["schema"]:
             raise ValueError(f"read_where: no such column {c}")
     stats = load_stats(table.root)["dirs"]
+    # key-equality fast path: when the predicates pin EVERY key column
+    # to a single value, the row can only live in one hash bucket —
+    # the same driver-side prune as LakeTable.lookup, compounding with
+    # the per-file stats below (read_where subsumes lookup + value
+    # predicates in one plan).
+    key_cols = m["key_cols"]
+    key_bucket: int | None = None
+    if all(
+        c in predicates and predicates[c][0] == predicates[c][1]
+        for c in key_cols
+    ):
+        one = table.spark.createDataFrame(
+            [tuple(predicates[c][0] for c in key_cols)],
+            ", ".join(f"`{c}` {m['schema'][c]}" for c in key_cols),
+        )
+        key_bucket = int(
+            one.select(
+                table.bucket_expr(
+                    key_cols, m.get("n_buckets", table.n_buckets)
+                ).alias("b")
+            ).first()["b"]
+        )
     admit: dict[str, list[str]] = {}
     bucket_ids: list[int] = []
     files_total = files_read = 0
     for b in m["buckets"]:
+        if key_bucket is not None and int(b) != key_bucket:
+            continue
         dirs = table._bucket_dirs(m, b)
         per_dir: dict[str, list[str]] = {}
         any_admitted = False
@@ -284,8 +308,9 @@ def plan_where(table, predicates: dict[str, tuple]) -> dict:
         "admit_files": admit,
         "buckets_total": len(m["buckets"]),
         "buckets_read": len(bucket_ids),
-        "files_total": files_total,
+        "files_total": files_total,  # files in buckets considered
         "files_read": files_read,
+        "key_bucket": key_bucket,
     }
 
 

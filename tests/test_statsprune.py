@@ -174,3 +174,24 @@ def test_vacuumed_dirs_drop_from_cache(spark, tmp_root):
         t.read().where("num between 0 and 99"),
         "post-vacuum read_where",
     )
+
+
+def test_key_equality_prunes_to_one_bucket(spark, tmp_root):
+    """Predicates pinning the full key to one value plan exactly one
+    hash bucket (lookup's driver-side prune) and agree with both
+    read().where() and lookup()."""
+    t = _make(spark, os.path.join(tmp_root, "sp_key"))
+    key = "k0000200"
+    preds = {"k": (key, key)}
+    plan = t.plan_where(preds)
+    assert plan["key_bucket"] is not None
+    assert plan["buckets_read"] <= 1
+    assert plan["bucket_ids"] in ([], [plan["key_bucket"]])
+    assert_df_equal(
+        t.read_where(preds), t.read().where(F.col("k") == key), "key read_where"
+    )
+    assert_df_equal(t.read_where(preds), t.lookup({"k": key}), "vs lookup")
+    # key + value predicate compound in one plan
+    both = t.read_where({"k": (key, key), "num": (0, 10_000)})
+    exp = t.read().where(f"k = '{key}' and num between 0 and 10000")
+    assert_df_equal(both, exp, "key + value predicates")
