@@ -531,22 +531,27 @@ class LakeTable:
 
         return _stats.refresh_stats(self, cols)
 
-    def read_where(self, predicates: dict[str, tuple]) -> DataFrame:
-        """Current snapshot filtered by ``{col: (lo, hi)}`` closed
-        ranges, with files pruned at PLANNING time from the stats
-        cache — Iceberg's manifest-stats scan planning.  Identical
-        results to ``read().where(...)``; see sink/stats.py for the
+    def read_where(
+        self, predicates: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
+        """Snapshot (current, or ``version`` for time travel) filtered
+        by ``{col: (lo, hi)}`` closed ranges, with files pruned at
+        PLANNING time from the stats cache — Iceberg's manifest-stats
+        scan planning.  Identical results to ``read().where(...)`` /
+        ``read_at(version).where(...)``; see sink/stats.py for the
         resolution-safety model."""
         from etl_cms_spark.sink import stats as _stats
 
-        return _stats.read_where(self, predicates)
+        return _stats.read_where(self, predicates, version)
 
-    def plan_where(self, predicates: dict[str, tuple]) -> dict:
+    def plan_where(
+        self, predicates: dict[str, tuple], version: int | None = None
+    ) -> dict:
         """The planning report ``read_where`` acts on (buckets/files
         total vs read) — observability for pruning effectiveness."""
         from etl_cms_spark.sink import stats as _stats
 
-        return _stats.plan_where(self, predicates)
+        return _stats.plan_where(self, predicates, version)
 
     def read_raw(self, bucket_ids: list[int] | None = None) -> DataFrame:
         """Current snapshot INCLUDING tombstone rows and the ``_lsn``

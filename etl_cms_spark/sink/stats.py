@@ -219,10 +219,16 @@ def _file_admits(fstats: dict | None, preds: dict[str, tuple]) -> bool:
     return True
 
 
-def plan_where(table, predicates: dict[str, tuple]) -> dict:
+def plan_where(
+    table, predicates: dict[str, tuple], version: int | None = None
+) -> dict:
     """Planning report + file admission for ``read_where`` — pure
-    driver-side arithmetic over the manifest and the stats cache."""
-    m = table._load_manifest()
+    driver-side arithmetic over the manifest and the stats cache.
+    ``version`` plans against an older snapshot (time travel): its
+    manifest's own dir set and bucket count apply; dirs the cache
+    covers prune exactly as on the current snapshot (dirs are
+    immutable, so stats recorded later are still valid for them)."""
+    m = table._load_manifest(version)
     if m.get("partial_columnar"):
         raise ValueError(
             "read_where: partial_columnar tables assemble rows from many "
@@ -314,15 +320,17 @@ def plan_where(table, predicates: dict[str, tuple]) -> dict:
     }
 
 
-def read_where(table, predicates: dict[str, tuple]) -> DataFrame:
+def read_where(
+    table, predicates: dict[str, tuple], version: int | None = None
+) -> DataFrame:
     """Current snapshot filtered by closed-range predicates
     ``{col: (lo, hi)}`` (equality = ``(v, v)``), with the scan's file
     list pruned at PLANNING time from the stats cache — identical
     results to ``read().where(...)`` by construction (the residual
     filter always applies; stats only remove files that provably
     contain no matching row)."""
-    plan = plan_where(table, predicates)
-    m = table._load_manifest()
+    plan = plan_where(table, predicates, version)
+    m = table._load_manifest(version)
     df = table._read_buckets(
         m, plan["bucket_ids"], admit_files=plan["admit_files"]
     )

@@ -86,6 +86,14 @@ def test_read_where_prunes_files_after_clustered_compact(spark, tmp_root):
     # refresh is incremental: immutable dirs are never re-read
     assert t.refresh_stats(["num", "lang"])["files_scanned"] == 0
 
+    # the physical scan's file list IS the admitted list — pruning
+    # happened at planning time, not behind a runtime filter
+    scanned = {p.replace("file:", "").replace("///", "/")
+               for p in t.read_where(preds).inputFiles()}
+    admitted = {f for fs in plan["admit_files"].values() for f in fs}
+    assert scanned <= admitted, scanned - admitted
+    assert len(scanned) == plan["files_read"]
+
 
 def test_whole_table_skip_out_of_range(spark, tmp_root):
     t = _make(
@@ -195,3 +203,23 @@ def test_key_equality_prunes_to_one_bucket(spark, tmp_root):
     both = t.read_where({"k": (key, key), "num": (0, 10_000)})
     exp = t.read().where(f"k = '{key}' and num between 0 and 10000")
     assert_df_equal(both, exp, "key + value predicates")
+
+
+def test_read_where_time_travel(spark, tmp_root):
+    """version= plans against the older manifest: pre-compaction
+    snapshots read their own dir set, results == read_at().where()."""
+    t = _make(spark, os.path.join(tmp_root, "sp_tt"))
+    v_before = t._load_manifest()["version"]
+    t.compact(cluster_by=["lang"], cluster_layout="zorder",
+              target_file_rows=1500)
+    t.refresh_stats(["lang"])
+    preds = {"lang": ("go", "go")}
+    # current snapshot prunes; the old one reads its (stacked) dirs whole
+    assert t.plan_where(preds)["files_read"] < t.plan_where(preds)["files_total"]
+    old = t.plan_where(preds, version=v_before)
+    assert old["files_read"] == old["files_total"]
+    assert_df_equal(
+        t.read_where(preds, version=v_before),
+        t.read_at(v_before).where("lang = 'go'"),
+        "time-travel read_where",
+    )
