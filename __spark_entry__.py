@@ -16,11 +16,11 @@ from etl_cms_spark.queries import ORACLES, QUERIES
 
 # The driver's CORRECTNESS gate records (at most) the first 50 catalog
 # entries.  ROUND-5 ROTATION (deliberate, one round only — flagged per
-# the round-4 advice): the 33 entries with no driver-green record yet —
+# the round-4 advice): the 35 entries with no driver-green record yet —
 # the 13 round-4-deprioritized property twins / breadth extras plus the
-# twenty round-5 additions (enumerated below) — are ordered FIRST so
+# twenty-two round-5 additions (enumerated below) — are ordered FIRST so
 # this round's gate gives them their driver row; the 50 entries proven
-# green in CORRECTNESS_r04.json fill the window's remaining 17 slots in
+# green in CORRECTNESS_r04.json fill the window's remaining 15 slots in
 # their natural (§2-primary-first) order.  After
 # this round the §2-primary-first order returns.  ALL entries always
 # stay oracle-checked in the in-repo mirror of the gate
@@ -47,6 +47,8 @@ _PRIORITIZED = [
     "lake_drop_column",           # drop-column evolution: no resurrection on re-add (new r5)
     "lake_files_metadata",        # files metadata table: footer stats reconcile (new r5)
     "lake_tag_retention",         # tagged snapshot reads identically after vacuum (new r5)
+    "lake_zorder_state",          # z-order clustering invisible to state (new r5)
+    "lake_stats_pruned_read",     # planning-time file pruning == filtered read (new r5)
     # round-4 deprioritized tail (never driver-checked)
     "cdc_latest_by_key_salted",   # property-twin of cdc_latest_by_key
     "minhash_lsh_portable",       # twin; minhash_lsh_neardup is primary
