@@ -39,7 +39,8 @@ Correctness model — pruning granularity follows resolution granularity:
   only decide what not to read.
 
 NULL semantics: ``read_where`` predicates are closed ranges
-``col BETWEEN lo AND hi`` — null-rejecting.  A file whose footers
+``col BETWEEN lo AND hi`` (tuples) or value membership ``col IN
+(...)`` (lists) — both null-rejecting.  A file whose footers
 PROVE the column all-null (every row group's null_count == num_rows)
 is excluded; a file with stats merely absent is admitted (nothing
 provable).  Strings compare binary/lexicographic, matching Spark's
@@ -198,22 +199,53 @@ def refresh_stats(table, cols: list[str]) -> dict:
     return {"files_scanned": len(scanned), "dirs_covered": len(stats["dirs"])}
 
 
-def _file_admits(fstats: dict | None, preds: dict[str, tuple]) -> bool:
-    """True if the file may contain rows matching ALL range predicates.
-    Missing stats for a column -> conservatively true for that column."""
+def _norm_predicates(predicates: dict) -> dict:
+    """Validate + normalize: a TUPLE ``(lo, hi)`` is a closed range, a
+    LIST/SET is value membership (IN).  The distinction is by Python
+    type on purpose — a 2-element list would otherwise be ambiguous."""
+    out = {}
+    for c, v in predicates.items():
+        if isinstance(v, tuple):
+            if len(v) != 2:
+                raise ValueError(
+                    f"predicate {c}: range tuple must be (lo, hi), got {v!r}"
+                )
+            out[c] = ("range", v)
+        elif isinstance(v, (list, set, frozenset)):
+            vals = sorted(set(v))
+            if not vals:
+                raise ValueError(f"predicate {c}: empty IN list")
+            out[c] = ("in", vals)
+        else:
+            raise ValueError(
+                f"predicate {c}: pass a (lo, hi) tuple or a [v, ...] list, "
+                f"got {type(v).__name__}"
+            )
+    return out
+
+
+def _file_admits(fstats: dict | None, preds: dict) -> bool:
+    """True if the file may contain rows matching ALL predicates
+    (normalized form).  Missing stats for a column -> conservatively
+    true for that column."""
     if fstats is None:
         return True
-    for c, (lo, hi) in preds.items():
+    for c, (kind, v) in preds.items():
         rng = fstats.get(c, ...)
         if rng is ...:
             continue  # no stats recorded for this col: admit
         if rng is None:
-            # proven all-null: BETWEEN is null-rejecting, no row matches
+            # proven all-null: both BETWEEN and IN are null-rejecting
             return False
         mn, mx = rng
         try:
-            if mx < lo or mn > hi:
-                return False
+            if kind == "range":
+                lo, hi = v
+                if mx < lo or mn > hi:
+                    return False
+            else:  # membership: admit iff ANY value falls inside [mn, mx]
+                if not any(mn <= x <= mx for x in v):
+                    return False
         except TypeError:
             continue  # incomparable (type-widened history): admit
     return True
@@ -238,20 +270,28 @@ def plan_where(
     for c in predicates:
         if c not in m["schema"]:
             raise ValueError(f"read_where: no such column {c}")
+    preds = _norm_predicates(predicates)
     stats = load_stats(table.root)["dirs"]
     # key-equality fast path: when the predicates pin EVERY key column
     # to a single value, the row can only live in one hash bucket —
     # the same driver-side prune as LakeTable.lookup, compounding with
     # the per-file stats below (read_where subsumes lookup + value
     # predicates in one plan).
+    def _single(p):
+        kind, v = p
+        if kind == "range" and v[0] == v[1]:
+            return v[0]
+        if kind == "in" and len(v) == 1:
+            return v[0]
+        return None
+
     key_cols = m["key_cols"]
     key_bucket: int | None = None
     if all(
-        c in predicates and predicates[c][0] == predicates[c][1]
-        for c in key_cols
+        c in preds and _single(preds[c]) is not None for c in key_cols
     ):
         one = table.spark.createDataFrame(
-            [tuple(predicates[c][0] for c in key_cols)],
+            [tuple(_single(preds[c]) for c in key_cols)],
             ", ".join(f"`{c}` {m['schema'][c]}" for c in key_cols),
         )
         key_bucket = int(
@@ -286,7 +326,7 @@ def plan_where(
                 fstats = fentries.get(fn)
                 if fstats is None:
                     all_covered = False
-                if _file_admits(fstats, predicates):
+                if _file_admits(fstats, preds):
                     kept.append(os.path.join(absdir, fn))
             per_dir[d] = kept
             if kept:
@@ -323,8 +363,9 @@ def plan_where(
 def read_where(
     table, predicates: dict[str, tuple], version: int | None = None
 ) -> DataFrame:
-    """Current snapshot filtered by closed-range predicates
-    ``{col: (lo, hi)}`` (equality = ``(v, v)``), with the scan's file
+    """Current snapshot filtered by predicates — ``{col: (lo, hi)}``
+    closed range (equality = ``(v, v)``) or ``{col: [v1, v2, ...]}``
+    membership — with the scan's file
     list pruned at PLANNING time from the stats cache — identical
     results to ``read().where(...)`` by construction (the residual
     filter always applies; stats only remove files that provably
@@ -337,6 +378,9 @@ def read_where(
     from etl_cms_spark.sink.lake import _BUCKET_COL, _DELETED_COL, _LSN_COL
 
     df = df.where(~F.col(_DELETED_COL)).drop(_LSN_COL, _BUCKET_COL, _DELETED_COL)
-    for c, (lo, hi) in predicates.items():
-        df = df.where(F.col(c).between(F.lit(lo), F.lit(hi)))
+    for c, (kind, v) in _norm_predicates(predicates).items():
+        if kind == "range":
+            df = df.where(F.col(c).between(F.lit(v[0]), F.lit(v[1])))
+        else:
+            df = df.where(F.col(c).isin(*v))
     return df

@@ -223,3 +223,43 @@ def test_read_where_time_travel(spark, tmp_root):
         t.read_at(v_before).where("lang = 'go'"),
         "time-travel read_where",
     )
+
+
+def test_membership_predicates(spark, tmp_root):
+    """Lists mean IN: files admit iff any value falls in [min,max];
+    results == read().where(isin); a 1-element list on the full key
+    takes the single-bucket fast path."""
+    t = _make(
+        spark,
+        os.path.join(tmp_root, "sp_in"),
+        compacted=True,
+        cluster_by=["lang"],
+        cluster_layout="zorder",
+        target_file_rows=1500,
+    )
+    t.refresh_stats(["lang", "num"])
+    preds = {"lang": ["ada", "rs"]}
+    plan = t.plan_where(preds)
+    assert plan["files_read"] < plan["files_total"], plan
+    assert_df_equal(
+        t.read_where(preds),
+        t.read().where(F.col("lang").isin("ada", "rs")),
+        "IN pruned read",
+    )
+    # mixed range + membership
+    mixed = {"lang": ["go"], "num": (0, 4000)}
+    assert_df_equal(
+        t.read_where(mixed),
+        t.read().where("lang = 'go' and num between 0 and 4000"),
+        "mixed predicates",
+    )
+    # single-value IN on the key -> one-bucket plan
+    plan_k = t.plan_where({"k": ["k0000123"]})
+    assert plan_k["key_bucket"] is not None and plan_k["buckets_read"] <= 1
+    # guards
+    with pytest.raises(ValueError, match="empty IN list"):
+        t.plan_where({"lang": []})
+    with pytest.raises(ValueError, match="range tuple"):
+        t.plan_where({"num": (1, 2, 3)})
+    with pytest.raises(ValueError, match="tuple or a"):
+        t.plan_where({"num": 5})
