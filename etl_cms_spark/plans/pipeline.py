@@ -129,6 +129,7 @@ class CDCPipeline:
         compact_depth: int | None = None,
         compact_cluster_by: list[str] | None = None,
         compact_cluster_layout: str = "linear",
+        stats_cols: list[str] | None = None,
         vacuum_every: int | None = None,
         vacuum_keep_last: int = 8,
         demux_domains: bool = False,
@@ -339,6 +340,10 @@ class CDCPipeline:
         # EVERY clustered column bounded row-group stats, linear
         # only the leading one.
         self.compact_cluster_layout = compact_cluster_layout
+        # planning-time pruning cache upkeep (sink/stats.py): after a
+        # scheduled compaction rewrites dirs, refresh their stats in
+        # the same epoch so read_where stays covered.
+        self.stats_cols = stats_cols
         self.quarantine_dir = os.path.join(root, "quarantine")
         self.duplicates_dir = os.path.join(root, "duplicates")
         self.checkpoint_path = os.path.join(root, "_checkpoint.json")
@@ -735,6 +740,10 @@ class CDCPipeline:
                     cluster_by=self.compact_cluster_by,
                     cluster_layout=self.compact_cluster_layout,
                 )
+                if self.stats_cols:
+                    rec["stats_refresh"] = self.table.refresh_stats(
+                        self.stats_cols
+                    )
             elif self.compact_depth:
                 # depth-triggered compaction is SELECTIVE: fold only
                 # the buckets past the cap — read amplification is

@@ -56,9 +56,10 @@ def main() -> None:
     )
     ap.add_argument(
         "--stats-cols", default=None, metavar="COL[,COL...]",
-        help="with --maintain: keep the planning-time pruning cache "
-        "(sink/stats.py) covering these columns; without it, whatever "
-        "the cache already tracks is refreshed",
+        help="keep the planning-time pruning cache (sink/stats.py) "
+        "covering these columns: with --maintain, schedules a refresh "
+        "for uncovered dirs (default: whatever the cache tracks); in "
+        "the batch epoch loop, refreshes after scheduled compactions",
     )
     ap.add_argument(
         "--compact-cluster-layout", default="linear",
@@ -268,6 +269,7 @@ def main() -> None:
                 else None
             ),
             compact_cluster_layout=args.compact_cluster_layout,
+            stats_cols=(args.stats_cols.split(",") if args.stats_cols else None),
             demux_domains=args.demux_domains,
             demux_tombstones=args.demux_tombstones,
             dedup_mode=args.dedup_mode,

@@ -263,3 +263,32 @@ def test_membership_predicates(spark, tmp_root):
         t.plan_where({"num": (1, 2, 3)})
     with pytest.raises(ValueError, match="tuple or a"):
         t.plan_where({"num": 5})
+
+
+def test_pipeline_refreshes_stats_after_scheduled_compaction(spark, tmp_root):
+    """CDCPipeline(stats_cols=[...]) keeps the pruning cache covered
+    right after each scheduled compaction rewrites dirs."""
+    import tempfile
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = gen_source_changes(spark, 2000, 300, 12)
+    root = os.path.join(tmp_root, "sp_pipe")
+    p = CDCPipeline(spark, root, merge_mode="mor", compact_every=2,
+                    compact_cluster_by=["lang"],
+                    compact_cluster_layout="zorder",
+                    stats_cols=["lang"])
+    p.init_tables()
+    recs = p.run(changes, n_epochs=4)
+    refreshed = [r["stats_refresh"] for r in recs if "stats_refresh" in r]
+    assert refreshed and any(r["files_scanned"] > 0 for r in refreshed)
+    t = p.table
+    plan = t.plan_where({"lang": ("go", "go")})
+    # compacted dirs are covered; later epochs' deltas admit conservatively
+    assert plan["files_total"] > 0
+    assert_df_equal(
+        t.read_where({"lang": ("go", "go")}),
+        t.read().where("lang = 'go'"),
+        "pipeline-maintained cache",
+    )
