@@ -557,3 +557,78 @@ def test_columnar_epochs_match_model_under_any_order(
     got = {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
     want_live, _ = _model_fold(rows)
     assert got == {k: (a, b) for k, (a, b, _) in want_live.items()}
+
+
+# ---- planning-time file pruning: read_where == read().where() ----
+# under random data (nulls included), random epoch splits, random
+# maintenance (layout/file cap), random range/IN predicates.
+
+prune_rows = st.lists(
+    st.tuples(
+        st.integers(0, 40),                          # key id
+        st.one_of(st.none(), st.integers(-50, 50)),  # num (nullable)
+        st.sampled_from(["ada", "c", "go", "js", "py"]),
+        st.booleans(),                               # delete?
+    ),
+    min_size=4,
+    max_size=40,
+)
+prune_pred = st.one_of(
+    st.tuples(st.integers(-60, 60), st.integers(0, 40)).map(
+        lambda t: {"num": (t[0], t[0] + t[1])}
+    ),
+    st.lists(
+        st.sampled_from(["ada", "c", "go", "js", "py", "zz"]),
+        min_size=1, max_size=3,
+    ).map(lambda v: {"lang": v}),
+    st.tuples(st.sampled_from(["ada", "go", "zz"]),
+              st.sampled_from(["js", "py", "rs"])).map(
+        lambda t: {"lang": (min(t), max(t))}
+    ),
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=prune_rows, pred=prune_pred, compact=st.booleans(),
+       layout=st.sampled_from(["linear", "zorder"]),
+       cap=st.sampled_from([0, 7]))
+def test_read_where_always_equals_filtered_read(
+    spark, tmp_path_factory, rows, pred, compact, layout, cap
+):
+    import os
+
+    from etl_cms_spark.sink.lake import LakeTable
+    from tests.conftest import assert_df_equal
+
+    root = str(tmp_path_factory.mktemp("prune_prop"))
+    t = LakeTable(spark, os.path.join(root, "t"), n_buckets=4,
+                  merge_mode="mor")
+    t.create(["k"], {"k": "string", "num": "int", "lang": "string"})
+    data = [
+        (f"k{kid:02d}", num, lang, "D" if is_del else "U", i + 1)
+        for i, (kid, num, lang, is_del) in enumerate(rows)
+    ]
+    half = max(1, len(data) // 2)
+    for epoch, chunk in enumerate([data[:half], data[half:]]):
+        if chunk:
+            t.merge_epoch(
+                spark.createDataFrame(
+                    chunk, "k string, num int, lang string, op string, lsn long"
+                ),
+                epoch,
+            )
+    if compact:
+        t.compact(cluster_by=["num", "lang"], cluster_layout=layout,
+                  target_file_rows=cap or None)
+        t.refresh_stats(["num", "lang"])
+    got = t.read_where(pred)
+    exp = t.read()
+    from pyspark.sql import functions as F
+
+    for c, v in pred.items():
+        if isinstance(v, tuple):
+            exp = exp.where(F.col(c).between(F.lit(v[0]), F.lit(v[1])))
+        else:
+            exp = exp.where(F.col(c).isin(*v))
+    assert_df_equal(got, exp, f"pred={pred} compact={compact} {layout}/{cap}")
