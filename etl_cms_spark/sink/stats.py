@@ -187,16 +187,26 @@ def refresh_stats(table, cols: list[str]) -> dict:
             fent[r.col] = [json.loads(r.mn), json.loads(r.mx)]
         else:
             fent[r.col] = None  # all-null: matches no range predicate... admit
+    # merge-on-save: RELOAD the cache and fold our results into it, so
+    # a concurrent refresh (different columns, or maintenance racing a
+    # manual call) isn't clobbered.  Entries are per-dir immutable
+    # facts, so the merge is a plain union — any residual save race
+    # loses only freshness, never correctness, and the next refresh
+    # converges (it re-derives its todo from what's missing).
+    final = load_stats(table.root)
+    final["dirs"] = {
+        d: v for d, v in final["dirs"].items() if d in live_dirs
+    }
     scanned = set()
     for d, fn, _ in todo:
         scanned.add((d, fn))
-        dent = stats["dirs"].setdefault(d, {"cols": [], "files": {}})
+        dent = final["dirs"].setdefault(d, {"cols": [], "files": {}})
         dent["files"].setdefault(fn, {}).update(per_dir.get(d, {}).get(fn, {}))
     for d in {d for d, _, _ in todo}:
-        dent = stats["dirs"][d]
+        dent = final["dirs"][d]
         dent["cols"] = sorted(set(dent.get("cols", [])) | set(cols))
-    _save_stats(table.root, stats)
-    return {"files_scanned": len(scanned), "dirs_covered": len(stats["dirs"])}
+    _save_stats(table.root, final)
+    return {"files_scanned": len(scanned), "dirs_covered": len(final["dirs"])}
 
 
 def _norm_predicates(predicates: dict) -> dict:
