@@ -553,6 +553,13 @@ class LakeTable:
 
         return _stats.plan_where(self, predicates, version)
 
+    def stats_coverage(self) -> dict:
+        """How much of the current snapshot the pruning cache covers
+        (dirs/files/cols) — see sink/stats.py."""
+        from etl_cms_spark.sink import stats as _stats
+
+        return _stats.stats_coverage(self)
+
     def read_raw(self, bucket_ids: list[int] | None = None) -> DataFrame:
         """Current snapshot INCLUDING tombstone rows and the ``_lsn``
         / ``_deleted`` system columns (MoR stacks resolved).  For

@@ -394,3 +394,21 @@ def read_where(
         else:
             df = df.where(F.col(c).isin(*v))
     return df
+
+
+def stats_coverage(table) -> dict:
+    """Operability report: how much of the CURRENT snapshot the
+    planning cache covers — drive alerting/scheduling from this (the
+    maintenance planner's stats policy consumes the same inputs)."""
+    m = table._load_manifest()
+    cache = load_stats(table.root)["dirs"]
+    live = sorted({d for b in m["buckets"] for d in table._bucket_dirs(m, b)})
+    covered = [d for d in live if d in cache]
+    cols = sorted({c for d in covered for c in cache[d].get("cols", [])})
+    files_covered = sum(len(cache[d].get("files", {})) for d in covered)
+    return {
+        "dirs_total": len(live),
+        "dirs_covered": len(covered),
+        "files_covered": files_covered,
+        "cols": cols,
+    }

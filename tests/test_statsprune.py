@@ -86,6 +86,11 @@ def test_read_where_prunes_files_after_clustered_compact(spark, tmp_root):
     # refresh is incremental: immutable dirs are never re-read
     assert t.refresh_stats(["num", "lang"])["files_scanned"] == 0
 
+    cov = t.stats_coverage()
+    assert cov["dirs_covered"] == cov["dirs_total"] > 0
+    assert cov["cols"] == ["lang", "num"]
+    assert cov["files_covered"] == plan["files_total"]
+
     # the physical scan's file list IS the admitted list — pruning
     # happened at planning time, not behind a runtime filter
     scanned = {p.replace("file:", "").replace("///", "/")
