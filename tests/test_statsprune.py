@@ -297,3 +297,75 @@ def test_pipeline_refreshes_stats_after_scheduled_compaction(spark, tmp_root):
         t.read().where("lang = 'go'"),
         "pipeline-maintained cache",
     )
+
+
+def test_widen_evolution_keeps_pruning_safe(spark, tmp_root):
+    """Stats recorded while num was int stay valid after a widen to
+    long (values compare numerically); post-widen files record longs."""
+    t = _make(spark, os.path.join(tmp_root, "sp_widen"), compacted=True,
+              cluster_by=["num"], target_file_rows=1500)
+    t.refresh_stats(["num"])
+    t.apply_schema_change({"widen": "num:long"})
+    big = spark.createDataFrame(
+        [("kwide", 3_000_000_000, "go", "x", "U", 10_000_000)],
+        "k string, num long, lang string, v string, op string, lsn long",
+    )
+    t.merge_epoch(big, 7)
+    t.refresh_stats(["num"])
+    preds = {"num": (2_999_999_999, 3_000_000_001)}
+    got = t.read_where(preds)
+    assert [r.k for r in got.collect()] == ["kwide"]
+    assert_df_equal(
+        t.read_where({"num": (0, 799)}),
+        t.read().where("num between 0 and 799"),
+        "pre-widen range still prunes correctly",
+    )
+
+
+def test_rebucket_then_read_where(spark, tmp_root):
+    """Bucket-count evolution: plans use the NEW manifest's bucket set
+    and count (key fast path included); old stats dirs left the
+    manifest, so the cache re-covers on refresh."""
+    t = _make(spark, os.path.join(tmp_root, "sp_rb"))
+    t.refresh_stats(["lang"])
+    t.rebucket(16)
+    t.refresh_stats(["lang"])
+    cov = t.stats_coverage()
+    assert cov["dirs_covered"] == cov["dirs_total"] > 0
+    key = "k0000321"
+    plan = t.plan_where({"k": (key, key)})
+    assert plan["buckets_total"] == 16 and plan["buckets_read"] <= 1
+    assert_df_equal(
+        t.read_where({"k": (key, key)}), t.lookup({"k": key}),
+        "post-rebucket key plan",
+    )
+    assert_df_equal(
+        t.read_where({"lang": ("go", "go")}),
+        t.read().where("lang = 'go'"),
+        "post-rebucket value predicate",
+    )
+
+
+def test_drop_readd_stale_stats_stay_safe(spark, tmp_root):
+    """Old files carry data (and cached stats) for a dropped-then-
+    re-added column, but the read path hides those physical values
+    (they read as NULL).  ANY stats decision on them is safe: an
+    exclusion drops rows that would read NULL and fail the
+    null-rejecting predicate anyway; an admission leaves the residual
+    filter to drop them.  Pin both directions."""
+    t = _make(spark, os.path.join(tmp_root, "sp_drop"), compacted=True,
+              cluster_by=["num"], target_file_rows=1500)
+    t.refresh_stats(["num"])
+    t.apply_schema_change({"drop": "num"})
+    t.apply_schema_change({"add": "num:int"})
+    fresh = spark.createDataFrame(
+        [("knew", 77, "go", "x", "U", 20_000_000)],
+        "k string, num int, lang string, v string, op string, lsn long",
+    )
+    t.merge_epoch(fresh, 8)
+    # in-range vs the STALE stats (old files admitted or not — rows
+    # read NULL and fail): only the fresh row may match
+    got = t.read_where({"num": (0, 10_000)})
+    exp = t.read().where("num between 0 and 10000")
+    assert_df_equal(got, exp, "drop/re-add read_where")
+    assert [r.k for r in got.collect()] == ["knew"]
