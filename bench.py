@@ -785,6 +785,9 @@ def main_scaling(n_events: int) -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling.json", "w") as f:
         json.dump(report, f, indent=1)
+    # BASELINE.md = generated measurement block + hand-maintained
+    # analysis (BENCH/NOTES.md).  The append keeps a --scaling re-run
+    # from clobbering the cross-session narrative.
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(SCALING_TEMPLATE.format(
             n=n_events,
@@ -805,6 +808,9 @@ def main_scaling(n_events: int) -> None:
             m8=r8["map_stage"]["events_per_sec"], m32=r32["map_stage"]["events_per_sec"],
             me832=report["pair_8_to_32"]["map_stage_efficiency"],
         ))
+        if os.path.exists("BENCH/NOTES.md"):
+            with open("BENCH/NOTES.md") as notes:
+                f.write("\n" + notes.read())
     print(json.dumps(report))
 
 
@@ -910,10 +916,12 @@ backfill epoch with ~10^9 keys); the window form has no such cliff.
 The ONLY plan difference between the plain and bucketed rows is the
 per-epoch dedup shuffle (Exchange-free on the bucketed tail,
 plan-asserted in tests/test_plans.py) — so the gap between their
-efficiencies IS the shuffle's single-box scaling penalty, isolated.
-Note the re-scope makes the plain number HONESTLY LOWER than round
-2's 0.664: the staging write it used to include is embarrassingly
-parallel and scaled near-linearly, flattering the ratio; what remains
+efficiencies bounds the shuffle's single-box scaling penalty,
+isolated; a draw where the plain row meets or exceeds the bucketed
+row says that penalty sat inside the run's noise floor (see the
+cross-session table below).  Round-3 re-scope note: the staging write
+the plain window used to include is embarrassingly parallel and
+scaled near-linearly, flattering the ratio; what remains
 is shuffle+merge dominated.  On a multi-node cluster each executor
 adds its own disks/page-cache/NIC, so shuffle bandwidth scales with
 executor count and the bucketed row (the production path for a
