@@ -33,6 +33,7 @@ def from_debezium(
     before_col: str = "before",
     after_col: str = "after",
     lsn_expr: str = "source.lsn",
+    on_key_change: str = "split",
 ) -> DataFrame:
     """Flatten Debezium-style envelopes into the engine's changelog.
 
@@ -45,12 +46,38 @@ def from_debezium(
       a raise_error branch rather than silently dropping events;
     * ``lsn`` is taken from ``lsn_expr`` (default ``source.lsn`` —
       pass e.g. ``source.sequence`` or ``ts_ms`` for feeds that
-      position differently).
+      position differently);
+    * **primary-key changes**: an ``u`` whose before-image keys
+      differ (null-safely) from its after-image keys moves the row
+      to a new identity.  Taking only the after-key (the pre-round-5
+      behaviour) upserts the NEW key and strands the OLD key's row
+      forever.  ``on_key_change`` controls the fix:
+
+      - ``"split"`` (default) — emit TWO events at the envelope's
+        LSN: a ``D`` tombstone at the old key and an ``I`` at the
+        new key.  This is exactly what Debezium's own connectors do
+        for key-updating statements (they emit a delete + create
+        pair); feeds that pre-split never trip the branch and pay
+        only the one-element explode.
+      - ``"error"`` — raise on the first key-changing update (for
+        feeds contractually pre-split upstream, where one arriving
+        anyway means a misconfigured connector).
+      - ``"ignore"`` — the old behaviour (after-key only), for
+        feeds whose before-images are unreliable.
 
     Returns columns ``[*key_cols, *payload_cols, lsn, op]`` — ready
     for ``fold_partial_updates`` / ``latest_by_lsn`` and
     ``LakeTable.merge_epoch``.
+
+    Plan shape: ``"ignore"``/``"error"`` stay a pure narrow
+    projection; ``"split"`` adds one Generate (explode of a 1-or-2
+    element array) — still narrow, still shuffle-free, so the
+    adapter's cost at 10^10 events remains scan-bound.
     """
+    if on_key_change not in ("split", "error", "ignore"):
+        raise ValueError(
+            f"on_key_change must be split|error|ignore, got {on_key_change!r}"
+        )
     if payload_cols is None:
         after_fields = [f.name for f in df.schema[after_col].dataType.fields]
         payload_cols = [c for c in after_fields if c not in key_cols]
@@ -63,13 +90,81 @@ def from_debezium(
         F.raise_error(F.concat(F.lit("unknown CDC op: "), F.col(op_col))),
     ).otherwise(op_mapped)
 
+    lsn = F.expr(lsn_expr).cast("long").alias("lsn")
+    coalesced_keys = [
+        F.coalesce(F.col(f"{after_col}.{k}"), F.col(f"{before_col}.{k}")).alias(k)
+        for k in key_cols
+    ]
+    after_payload = [F.col(f"{after_col}.{c}").alias(c) for c in payload_cols]
+
+    if on_key_change != "ignore":
+        # Null-safe: a NULL before-image (feeds configured without
+        # before rows) can't witness a key change and never trips.
+        key_changed = (F.col(op_col) == "u") & F.col(before_col).isNotNull()
+        differs = F.lit(False)
+        for k in key_cols:
+            differs = differs | ~F.col(f"{before_col}.{k}").eqNullSafe(
+                F.col(f"{after_col}.{k}")
+            )
+        key_changed = key_changed & differs
+
+        if on_key_change == "error":
+            guard = F.when(
+                key_changed,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "key-changing update in envelope feed "
+                            "(on_key_change='error'): before/after key mismatch "
+                            "at lsn "
+                        ),
+                        F.expr(lsn_expr).cast("string"),
+                    )
+                ),
+            ).otherwise(op_mapped)
+            return df.select(
+                *coalesced_keys,
+                *after_payload,
+                lsn,
+                guard.alias("op"),
+            )
+
+        # split: 1-or-2 event structs per envelope, exploded.  The
+        # new-key half is an insert — the row is NEW under that
+        # identity (matches Debezium's delete+create pair).
+        event_t = F.struct(
+            *[F.col(f"{after_col}.{k}").alias(k) for k in key_cols],
+            *after_payload,
+            F.lit("I").alias("op"),
+        )
+        null_payload = [
+            F.lit(None).cast(df.schema[after_col].dataType[c].dataType).alias(c)
+            for c in payload_cols
+        ]
+        tombstone_t = F.struct(
+            *[F.col(f"{before_col}.{k}").alias(k) for k in key_cols],
+            *null_payload,
+            F.lit("D").alias("op"),
+        )
+        plain_t = F.struct(
+            *coalesced_keys,
+            *after_payload,
+            op_mapped.alias("op"),
+        )
+        events = F.when(
+            key_changed, F.array(tombstone_t, event_t)
+        ).otherwise(F.array(plain_t))
+        return df.select(F.explode(events).alias("_e"), lsn).select(
+            *[F.col(f"_e.{k}").alias(k) for k in key_cols],
+            *[F.col(f"_e.{c}").alias(c) for c in payload_cols],
+            "lsn",
+            F.col("_e.op").alias("op"),
+        )
+
     return df.select(
-        *[
-            F.coalesce(F.col(f"{after_col}.{k}"), F.col(f"{before_col}.{k}")).alias(k)
-            for k in key_cols
-        ],
-        *[F.col(f"{after_col}.{c}").alias(c) for c in payload_cols],
-        F.expr(lsn_expr).cast("long").alias("lsn"),
+        *coalesced_keys,
+        *after_payload,
+        lsn,
         op_mapped.alias("op"),
     )
 

@@ -208,3 +208,77 @@ def test_to_debezium_round_trips_all_ops(spark):
     assert flat["k2"]["op"] == "U" and flat["k2"]["v"] == "upd"
     assert flat["k3"]["op"] == "D" and flat["k3"]["v"] is None
     assert all(r["lsn"] == 7 for r in flat.values())
+
+
+def test_debezium_key_change_splits_into_delete_plus_insert(spark, tmp_root):
+    """A key-changing ``u`` (before.k != after.k) must MOVE the row:
+    tombstone at the old key + insert at the new key, both at the
+    envelope's LSN.  Taking only the after-key (on_key_change=
+    'ignore') strands the old row — the merged state shows exactly
+    that divergence."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_cms_spark.sink.lake import LakeTable
+    from etl_cms_spark.sources.envelopes import from_debezium
+
+    sch = (
+        "op string, before struct<k:string,v:string>, "
+        "after struct<k:string,v:string>, source struct<lsn:long>"
+    )
+    rows = [
+        ("c", None, ("k1", "v1"), (1,)),
+        ("c", None, ("k2", "w1"), (2,)),
+        # primary-key update: k1 -> k9 (payload also changes)
+        ("u", ("k1", "v1"), ("k9", "v2"), (3,)),
+        # ordinary update, same key: must NOT split
+        ("u", ("k2", "w1"), ("k2", "w2"), (4,)),
+    ]
+    env = spark.createDataFrame(rows, sch)
+
+    flat = from_debezium(env, ["k"])  # default on_key_change="split"
+    assert flat.count() == 5  # 4 envelopes -> 5 events
+    moved = {(r["k"], r["op"], r["lsn"]): r["v"] for r in flat.collect()}
+    assert moved[("k1", "D", 3)] is None  # tombstone, no payload
+    assert moved[("k9", "I", 3)] == "v2"
+    assert ("k2", "U", 4) in moved  # same-key update untouched
+
+    t = LakeTable(spark, os.path.join(tmp_root, "dbz_kc"), n_buckets=2)
+    t.create(["k"], {"k": "string", "v": "string"})
+    t.merge_epoch(flat, 0)
+    state = {r["k"]: r["v"] for r in t.read().collect()}
+    assert state == {"k9": "v2", "k2": "w2"}  # k1 is GONE
+
+    # 'ignore' reproduces the stranded-row bug it exists to escape to
+    legacy = from_debezium(env, ["k"], on_key_change="ignore")
+    t2 = LakeTable(spark, os.path.join(tmp_root, "dbz_kc2"), n_buckets=2)
+    t2.create(["k"], {"k": "string", "v": "string"})
+    t2.merge_epoch(legacy, 0)
+    state2 = {r["k"]: r["v"] for r in t2.read().collect()}
+    assert state2 == {"k1": "v1", "k9": "v2", "k2": "w2"}
+
+    # split path stays shuffle-free: Generate, but no Exchange
+    plan = flat._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # null-safe: NULL before-image never witnesses a change
+    no_before = spark.createDataFrame([("u", None, ("k5", "z1"), (9,))], sch)
+    out = from_debezium(no_before, ["k"]).collect()
+    assert len(out) == 1 and out[0]["k"] == "k5" and out[0]["op"] == "U"
+
+
+def test_debezium_key_change_error_mode_fails_fast(spark):
+    import pytest
+
+    from etl_cms_spark.sources.envelopes import from_debezium
+
+    sch = (
+        "op string, before struct<k:string,v:string>, "
+        "after struct<k:string,v:string>, source struct<lsn:long>"
+    )
+    env = spark.createDataFrame([("u", ("k1", "v1"), ("k9", "v2"), (3,))], sch)
+    with pytest.raises(Exception, match="key-changing update"):
+        from_debezium(env, ["k"], on_key_change="error").collect()
+    with pytest.raises(ValueError, match="split\\|error\\|ignore"):
+        from_debezium(env, ["k"], on_key_change="bogus")
