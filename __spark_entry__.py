@@ -16,11 +16,11 @@ from etl_cms_spark.queries import ORACLES, QUERIES
 
 # The driver's CORRECTNESS gate records (at most) the first 50 catalog
 # entries.  ROUND-5 ROTATION (deliberate, one round only — flagged per
-# the round-4 advice): the 35 entries with no driver-green record yet —
+# the round-4 advice): the entries with no driver-green record yet —
 # the 13 round-4-deprioritized property twins / breadth extras plus the
-# twenty-two round-5 additions (enumerated below) — are ordered FIRST so
+# round-5 additions (enumerated below) — are ordered FIRST so
 # this round's gate gives them their driver row; the 50 entries proven
-# green in CORRECTNESS_r04.json fill the window's remaining 15 slots in
+# green in CORRECTNESS_r04.json fill the window's remaining slots in
 # their natural (§2-primary-first) order.  After
 # this round the §2-primary-first order returns.  ALL entries always
 # stay oracle-checked in the in-repo mirror of the gate
@@ -29,7 +29,9 @@ _PRIORITIZED = [
     # round-5 additions (never driver-checked)
     "cdc_partial_fold",           # binlog row_image=MINIMAL partial-column fold
     "debezium_adapter",           # before/after envelope -> flat changelog
+    "debezium_keychange",         # PK-changing update -> delete+insert split (new r5)
     "cdc_pipeline_minimal",       # flagship loop under row_image=minimal
+    "cdc_bootstrap_handoff",      # snapshot bootstrap -> overlapping tail gate (new r5)
     "cdc_columnar_mor",           # order-independent partial epochs (per-column LWW)
     "cdc_pipeline_auto",          # measured per-epoch dedup-form resolution
     "ann_ivf_incremental",        # epoch-incremental ANN upkeep (r4 top ask)

@@ -57,6 +57,16 @@ MAIN_SCHEMA = {
     "content_sha": "string",
 }
 
+# Reserved epoch id for the initial-snapshot bootstrap (see
+# CDCPipeline.bootstrap).  Lives in the negative (non-source) epoch
+# namespace like repair ids, pinned far below any plausible
+# caller-chosen repair epoch; the repair flows reject it explicitly.
+BOOTSTRAP_EPOCH = -(2**62)
+
+# "watermark not read from the checkpoint yet" sentinel (None is a
+# valid cached value: no bootstrap happened).
+_UNSET = object()
+
 
 class StagedEpochGroup:
     """The audit surface of a MULTI-TABLE write-audit-publish epoch
@@ -408,6 +418,7 @@ class CDCPipeline:
             if dedup_filter_index not in self.sidecars:
                 self.sidecars.append(dedup_filter_index)
         self.metrics: list[dict[str, Any]] = []
+        self._bootstrap_lsn: "int | None | object" = _UNSET
 
     # ---------------- lifecycle ----------------
 
@@ -426,10 +437,95 @@ class CDCPipeline:
         return {"last_epoch": -1, "lsn_hi": -1}
 
     def _save_checkpoint(self, epoch: int, lsn_hi: int | None) -> None:
+        payload = {"last_epoch": epoch, "lsn_hi": lsn_hi}
+        b = self._bootstrap_watermark()
+        if b is not None:
+            # the snapshot watermark is part of the cursor: every
+            # later save must carry it forward or a restarted
+            # pipeline would lose the tail gate.
+            payload["bootstrap_lsn"] = b
         tmp = self.checkpoint_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"last_epoch": epoch, "lsn_hi": lsn_hi}, f)
+            json.dump(payload, f)
         os.replace(tmp, self.checkpoint_path)
+
+    def _bootstrap_watermark(self) -> "int | None":
+        """Snapshot LSN recorded by ``bootstrap()`` (None when the
+        table was built from the changelog alone).  Read once from
+        the checkpoint, then cached — a fresh pipeline object on an
+        existing root picks it up from disk."""
+        if self._bootstrap_lsn is _UNSET:
+            self._bootstrap_lsn = self.checkpoint().get("bootstrap_lsn")
+        return self._bootstrap_lsn
+
+    def bootstrap(self, snapshot: DataFrame, snapshot_lsn: int) -> dict:
+        """Initial load → changelog-tail HANDOFF (Debezium's
+        snapshot-then-stream model; the reference's one-shot full
+        load, python_etl's whole-file reads, generalized to a
+        resumable cutover).
+
+        ``snapshot`` is a SOURCE-image snapshot — one row per live
+        key, the changelog's columns minus (lsn, op) — consistent as
+        of ``snapshot_lsn``.  Every row is stamped ``op='I'`` at
+        ``lsn=snapshot_lsn`` and applied through the FULL epoch path
+        (dedup no-ops, mapping, quarantine, demux fan-out, lineage)
+        under the reserved ``BOOTSTRAP_EPOCH``, so a bootstrapped
+        table is indistinguishable from a replayed one.
+
+        The handoff trap this closes: replaying a tail that OVERLAPS
+        the snapshot (lsn <= snapshot_lsn) is NOT absorbed by max-LSN
+        resolution alone — a key deleted before the snapshot has no
+        snapshot row to outrank its older pre-delete upserts, so an
+        overlapping replay would RESURRECT it.  ``bootstrap`` records
+        ``snapshot_lsn`` in the checkpoint and every subsequent
+        ``process_epoch`` drops events (and schema events) at
+        ``lsn <= snapshot_lsn`` — a scan-level pushed-down predicate
+        (monotone lsn ⇒ parquet row-group/file stats prune whole
+        overlap files at re-tail scale), after which any remaining
+        overlap convergence IS guaranteed by max-LSN.  Tail feeds may
+        therefore start anywhere at or before the cutover; correctness
+        no longer depends on the producer cutting exactly at W.
+
+        Idempotent: a crash before the checkpoint write re-runs the
+        merge as a duplicate-epoch no-op; re-bootstrapping an already
+        tailed table, or with a different watermark, fails fast."""
+        if snapshot_lsn < 0:
+            raise ValueError(f"snapshot_lsn must be >= 0, got {snapshot_lsn}")
+        overlap = {"lsn", "op"} & set(snapshot.columns)
+        if overlap:
+            raise ValueError(
+                "snapshot must be a source-image (no changelog "
+                f"bookkeeping columns), found {sorted(overlap)}"
+            )
+        self.init_tables()
+        prior = {int(e) for e in self.table.committed_epochs()}
+        if prior - {BOOTSTRAP_EPOCH}:
+            raise ValueError(
+                "bootstrap requires a fresh table: epochs "
+                f"{sorted(prior - {BOOTSTRAP_EPOCH})[:5]} already committed"
+            )
+        existing = self._bootstrap_watermark()
+        if existing is not None and existing != snapshot_lsn:
+            raise ValueError(
+                f"table already bootstrapped at lsn {existing}; "
+                f"cannot re-bootstrap at {snapshot_lsn}"
+            )
+        events = snapshot.select(
+            "*",
+            F.lit(int(snapshot_lsn)).cast("long").alias("lsn"),
+            F.lit("I").alias("op"),
+        )
+        # is_repair=True: the epoch write must not advance the source
+        # cursor — the watermark save below IS the cursor update.
+        rec = self.process_epoch(events, BOOTSTRAP_EPOCH, is_repair=True)
+        self._bootstrap_lsn = int(snapshot_lsn)
+        cp = self.checkpoint()
+        self._save_checkpoint(
+            cp.get("last_epoch", -1),
+            max(cp.get("lsn_hi") or -1, int(snapshot_lsn)),
+        )
+        rec["bootstrap_lsn"] = int(snapshot_lsn)
+        return rec
 
     def _apply_schema_change_all(self, change: dict) -> None:
         """Schema events evolve EVERY destination table (the main
@@ -473,6 +569,19 @@ class CDCPipeline:
                 rec["sidecars"] = sc
             self.metrics.append(rec)
             return rec
+
+        # 1a. bootstrap tail gate: after an initial-snapshot load,
+        #     events at or before the snapshot watermark are already
+        #     reflected in (or intentionally absent from) the table —
+        #     replaying them would resurrect pre-snapshot deletes.
+        #     Pushed-down scan predicate; repairs are exempt (their
+        #     rows legitimately carry old LSNs, incl. lsn == W for
+        #     quarantined bootstrap rows).
+        blsn = None if is_repair else self._bootstrap_watermark()
+        if blsn is not None:
+            batch = batch.where(F.col("lsn") > F.lit(int(blsn)))
+            if schema_events is not None:
+                schema_events = [(l, c) for (l, c) in schema_events if l > blsn]
 
         # 1. schema-evolution events (tiny — driver-side apply).
         if "schema_change" in batch.columns:
@@ -1027,6 +1136,10 @@ class CDCPipeline:
                 "repair_epoch must be negative (reserved repair namespace), "
                 f"got {repair_epoch}"
             )
+        if repair_epoch == BOOTSTRAP_EPOCH:
+            raise ValueError(
+                "repair_epoch collides with the reserved BOOTSTRAP_EPOCH"
+            )
         cur = self.table.read_raw()
         payload = [c for c in cur.columns if c not in ("_lsn", "_deleted")]
         batch = cur.select(
@@ -1505,6 +1618,10 @@ class CDCPipeline:
                 "repair_epoch must be negative (reserved repair "
                 "namespace): non-negative epoch ids belong to source "
                 f"batches and streaming micro-batches, got {repair_epoch}"
+            )
+        if repair_epoch == BOOTSTRAP_EPOCH:
+            raise ValueError(
+                "repair_epoch collides with the reserved BOOTSTRAP_EPOCH"
             )
         qdir = os.path.join(self.quarantine_dir, f"epoch={source_epoch}")
         rows = self.spark.read.parquet(qdir)

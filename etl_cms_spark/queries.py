@@ -384,6 +384,55 @@ def debezium_adapter(spark, sf_dir):
 
 
 @q(
+    "debezium_keychange",
+    """
+    SELECT user_id, CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS DOUBLE) AS value, event_id AS lsn, 'D' AS op
+    FROM events WHERE event_id % 17 = 0
+    UNION ALL
+    SELECT user_id, NULL, NULL, event_id, 'D'
+    FROM events WHERE event_id % 17 <> 0 AND event_id % 7 = 0
+    UNION ALL
+    SELECT user_id + 1000000, event_type, value, event_id, 'I'
+    FROM events WHERE event_id % 17 <> 0 AND event_id % 7 = 0
+    UNION ALL
+    SELECT user_id, event_type, value, event_id, 'U'
+    FROM events WHERE event_id % 17 <> 0 AND event_id % 7 <> 0
+    """,
+)
+def debezium_keychange(spark, sf_dir):
+    """S-adapter+ — PRIMARY-KEY-CHANGING updates in the envelope
+    feed.  An ``u`` whose before/after keys differ moves the row to
+    a new identity; the adapter (``on_key_change="split"``, the
+    default) emits a ``D`` tombstone at the old key plus an ``I`` at
+    the new key — the delete+create pair Debezium's own connectors
+    produce — instead of stranding the old row.  Envelopes are
+    synthesized deterministically from ``events`` (every 17th a
+    delete; every remaining 7th a key-change ``u`` relocating
+    ``user_id`` by +1,000,000) and the flattened changelog is
+    checked ROW-FOR-ROW against the explicit split.  The split path
+    is one narrow Generate — no shuffle (asserted in
+    tests/test_sources.py)."""
+    from etl_cms_spark.sources.envelopes import from_debezium
+
+    e = _t(spark, sf_dir, "events")
+    is_d = F.col("event_id") % 17 == 0
+    is_ku = ~is_d & (F.col("event_id") % 7 == 0)
+    after_key = F.col("user_id") + F.when(is_ku, F.lit(1000000)).otherwise(F.lit(0))
+    after = F.struct(
+        after_key.alias("user_id"), F.col("event_type"), F.col("value")
+    )
+    before = F.struct("user_id", "event_type", "value")
+    env = e.select(
+        F.when(is_d, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+        F.when(~is_d, after).alias("after"),
+        before.alias("before"),
+        F.struct(F.col("event_id").alias("lsn")).alias("source"),
+    )
+    return from_debezium(env, ["user_id"])
+
+
+@q(
     "first_write_wins",
     """
     SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
@@ -1649,6 +1698,54 @@ def media_frame_sample(spark, sf_dir):
     return frame_sample(media, every_nth=30).select(
         "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
     )
+
+
+@q(
+    "cdc_bootstrap_handoff",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT l.repo, l.path, l.commit, l.lang, l.content,
+           dim.concept_id, dim.domain, sha256(l.content) AS content_sha
+    FROM latest l JOIN {_concept_dim_sql()} ON l.lang = dim.lang
+    """,
+)
+def cdc_bootstrap_handoff(spark, sf_dir):
+    """Initial-snapshot bootstrap → OVERLAPPING changelog-tail handoff
+    (plans/pipeline.CDCPipeline.bootstrap — Debezium's
+    snapshot-then-stream cutover; the reference's one-shot full load
+    made resumable).  The engine loads a source-image snapshot
+    consistent as of watermark W (latest pre-W row per key, pre-W
+    deletes absent), then replays a tail that REACHES BACK BEFORE W —
+    the checkpointed watermark gate must drop the overlap (an ungated
+    replay would resurrect pre-snapshot deletes from their older
+    upserts).  The oracle is the same one-pass latest-wins SQL over
+    the WHOLE changelog: a correct handoff is indistinguishable from
+    a pure replay."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.operators.dedup import latest_by_lsn
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    w = int(changes.agg(F.max("lsn")).first()[0]) // 2
+    snap = (
+        latest_by_lsn(changes.where(F.col("lsn") <= w), ["repo", "path"], "lsn")
+        .where(F.col("op") != "D")
+        .drop("lsn", "op")
+    )
+    root = tempfile.mkdtemp(prefix="cdc_boot_")
+    try:
+        p = CDCPipeline(spark, root, n_buckets=8)
+        p.bootstrap(snap, w)
+        p.run(changes.where(F.col("lsn") > w // 2), n_epochs=2)
+        return p.current_state().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @q(
