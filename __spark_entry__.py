@@ -49,6 +49,7 @@ _PRIORITIZED = [
     "lake_drop_column",           # drop-column evolution: no resurrection on re-add (new r5)
     "lake_files_metadata",        # files metadata table: footer stats reconcile (new r5)
     "lake_tag_retention",         # tagged snapshot reads identically after vacuum (new r5)
+    "lake_tombstone_horizon",     # bounded delete-marker retention/expiry (new r5)
     "lake_zorder_state",          # z-order clustering invisible to state (new r5)
     "lake_stats_pruned_read",     # planning-time file pruning == filtered read (new r5)
     # round-4 deprioritized tail (never driver-checked)

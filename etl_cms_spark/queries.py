@@ -1701,6 +1701,54 @@ def media_frame_sample(spark, sf_dir):
 
 
 @q(
+    "lake_tombstone_horizon",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT l.repo, l.path, l.commit, l.lang, l.content,
+           dim.concept_id, dim.domain, sha256(l.content) AS content_sha
+    FROM latest l JOIN {_concept_dim_sql()} ON l.lang = dim.lang
+    """,
+)
+def lake_tombstone_horizon(spark, sf_dir):
+    """Bounded tombstone retention (sink/lake.LakeTable.compact
+    ``expire_tombstones_below=L`` — Kafka compaction's
+    delete.retention / Iceberg delete-file expiry): delete markers
+    below the replay horizon are physically dropped during
+    compaction, younger ones kept to guard out-of-order sources.
+    The query runs the flagship pipeline, expires at a mid-stream
+    horizon (asserting markers actually fell on BOTH sides of it),
+    and returns the state — retention must be invisible to the
+    latest-wins oracle."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_tsgc_")
+    try:
+        p = CDCPipeline(spark, root, n_buckets=8, merge_mode="mor")
+        p.run(changes, n_epochs=2)
+        ts = p.table.tombstone_stats().collect()
+        assert ts, "fixture produces deletes"
+        lo = min(r["min_lsn"] for r in ts)
+        hi = max(r["max_lsn"] for r in ts)
+        horizon = (lo + hi) // 2 + 1
+        assert lo < horizon <= hi, (lo, horizon, hi)
+        p.table.compact(expire_tombstones_below=horizon)
+        raw = p.table.read_raw().where(F.col("_deleted"))
+        assert raw.where(F.col("_lsn") < horizon).count() == 0
+        assert raw.where(F.col("_lsn") >= horizon).count() > 0
+        return p.current_state().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "cdc_bootstrap_handoff",
     f"""
     WITH ch AS ({_oracle_changelog_sql()}),

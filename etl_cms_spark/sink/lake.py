@@ -570,6 +570,25 @@ class LakeTable:
         m = self._load_manifest()
         return self._read_buckets(m, bucket_ids).drop(_BUCKET_COL)
 
+    def tombstone_stats(self) -> DataFrame:
+        """Per-bucket tombstone census — (``_bucket``, ``n_tombstones``,
+        ``min_lsn``, ``max_lsn``) — the input to choosing a bounded
+        expiry horizon for ``compact(expire_tombstones_below=L)``:
+        rows below every consumer's replay horizon are pure retention
+        cost.  One aggregation over the resolved snapshot; output is
+        at most ``n_buckets`` rows."""
+        m = self._load_manifest()
+        return (
+            self._read_buckets(m, None)
+            .where(F.col(_DELETED_COL))
+            .groupBy(_BUCKET_COL)
+            .agg(
+                F.count(F.lit(1)).alias("n_tombstones"),
+                F.min(_LSN_COL).alias("min_lsn"),
+                F.max(_LSN_COL).alias("max_lsn"),
+            )
+        )
+
     def read_at(self, version: int, bucket_ids: list[int] | None = None) -> DataFrame:
         """Time travel: read an older snapshot (optionally bucket-pruned)."""
         m = self._load_manifest(version)
@@ -1820,6 +1839,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         cluster_layout: str = "linear",
         target_file_rows: int | None = None,
+        expire_tombstones_below: int | None = None,
     ) -> dict:
         """Fold merge-on-read deltas back into one base file set per
         bucket (Iceberg-style maintenance).  Winners are resolved with
@@ -1829,6 +1849,22 @@ class LakeTable:
         Tombstones are kept by default (they guard replays of older
         epochs); pass ``expire_tombstones=True`` once the replay
         horizon has passed them.
+
+        ``expire_tombstones_below=L`` is the BOUNDED form — the
+        production retention rule (Kafka compaction's
+        delete.retention, Iceberg's delete-file expiry): drop only
+        tombstones whose ``_lsn < L``, keep every younger one.  A
+        delete-heavy changelog otherwise grows the table with one
+        marker row per ever-deleted key forever; full expiry
+        (``expire_tombstones=True``) is only safe once NO out-of-order
+        source remains anywhere.  The safe horizon L is the minimum
+        LSN that can still arrive out of order: the oldest chained
+        consumer's pacing floor, the quarantine repair horizon
+        (quarantined rows re-offer at their ORIGINAL LSNs — take the
+        min over undrained quarantine epochs), and any columnar
+        out-of-order window.  A tombstone at ``_lsn >= L`` still
+        guards those; one below L can no longer be outranked into a
+        resurrection by anything the horizon admits.
 
         ``cluster_by``: optional VALUE-COLUMN clustering (the Z-order/
         sort-cluster maintenance knob).  Buckets hash-partition by
@@ -1898,15 +1934,14 @@ class LakeTable:
                 manifest["columnar_compact_lsn_watermark"] = max(
                     int(h) for h in his
                 )
+        expiring = expire_tombstones or expire_tombstones_below is not None
         delta_buckets = [
             b for b in manifest["buckets"] if len(self._bucket_dirs(manifest, b)) > 1
         ]
-        # expire_tombstones must visit EVERY bucket (tombstones live in
+        # tombstone expiry must visit EVERY bucket (tombstones live in
         # delta-free buckets too — CoW tables have no deltas at all);
         # plain compaction only folds the buckets that carry deltas.
-        target_buckets = (
-            sorted(manifest["buckets"]) if expire_tombstones else delta_buckets
-        )
+        target_buckets = sorted(manifest["buckets"]) if expiring else delta_buckets
         if buckets is not None:
             # SELECTIVE compaction: fold only the requested buckets —
             # the O(hot data) maintenance path (delta_depths() picks
@@ -1924,6 +1959,11 @@ class LakeTable:
         resolved = self._read_buckets(manifest, [int(b) for b in target_buckets])
         if expire_tombstones:
             resolved = resolved.where(~F.col(_DELETED_COL))
+        elif expire_tombstones_below is not None:
+            resolved = resolved.where(
+                ~F.col(_DELETED_COL)
+                | (F.col(_LSN_COL) >= F.lit(int(expire_tombstones_below)))
+            )
         if cluster_layout == "zorder":
             from etl_cms_spark.functions.zorder import zorder_key
 

@@ -58,6 +58,7 @@ def plan_maintenance(
     min_small_files: int | None = 8,
     keep_last_snapshots: int | None = None,
     stats_cols: list[str] | None = None,
+    expire_tombstones_below: int | None = None,
 ) -> dict:
     """Build a maintenance plan from the table's metadata layer.
 
@@ -67,13 +68,42 @@ def plan_maintenance(
     rewritten whole at every merge — there is never a delta stack to
     fold); retention applies to both modes.
 
+    ``expire_tombstones_below=L`` adds a TOMBSTONE-RETENTION policy
+    (both modes): buckets holding tombstones with ``_lsn < L`` get an
+    ``expire_tombstones`` action — a compaction that also drops those
+    markers (``LakeTable.compact(expire_tombstones_below=L)``).  The
+    caller owns choosing a safe L (the oldest LSN any out-of-order
+    source — chained consumer, quarantine repair, columnar window —
+    can still deliver); the planner only finds where retention is
+    being paid.  Buckets already chosen for expiry are excluded from
+    the plain compact action (the expiry rewrite folds their deltas
+    too — one rewrite, not two).
+
     Returns ``{"actions": [...], "stats": {...}}`` where each action
     is ``{"action": "compact", "buckets": [...], "reasons": {bucket:
-    [reason...]}}`` or ``{"action": "vacuum", "keep_last": N}``.
+    [reason...]}}``, ``{"action": "expire_tombstones", "below": L,
+    "buckets": [...]}``, or ``{"action": "vacuum", "keep_last": N}``.
     """
     actions: list[dict[str, Any]] = []
     reasons: dict[int, list[str]] = {}
     stats: dict[str, Any] = {"merge_mode": table.merge_mode}
+
+    expiry_buckets: list[int] = []
+    if expire_tombstones_below is not None:
+        expiry_buckets = sorted(
+            int(r["_bucket"])
+            for r in table.tombstone_stats().collect()
+            if r["min_lsn"] < expire_tombstones_below
+        )
+        stats["tombstone_expiry_buckets"] = len(expiry_buckets)
+        if expiry_buckets:
+            actions.append(
+                {
+                    "action": "expire_tombstones",
+                    "below": int(expire_tombstones_below),
+                    "buckets": expiry_buckets,
+                }
+            )
 
     wants_compact = table.merge_mode == "mor" and (
         max_depth is not None or min_small_files is not None
@@ -96,7 +126,7 @@ def plan_maintenance(
                 and r["depth"] > 1
             ):
                 why.append("small_files")
-            if why:
+            if why and b not in expiry_buckets:
                 reasons[b] = why
         if reasons:
             actions.append(
@@ -161,6 +191,11 @@ def run_maintenance(table: LakeTable, plan: dict, retries: int = 1) -> list[dict
             try:
                 if kind == "compact":
                     rec = table.compact(buckets=[int(b) for b in spec["buckets"]])
+                elif kind == "expire_tombstones":
+                    rec = table.compact(
+                        buckets=[int(b) for b in spec["buckets"]],
+                        expire_tombstones_below=int(spec["below"]),
+                    )
                 elif kind == "vacuum":
                     rec = table.vacuum(keep_last=spec["keep_last"])
                 elif kind == "refresh_stats":
@@ -186,5 +221,22 @@ def run_maintenance(table: LakeTable, plan: dict, retries: int = 1) -> list[dict
                         rec = {"compacted_buckets": 0, "seconds": 0.0}
                         break
                     spec = {"action": "compact", "buckets": still}
+                elif kind == "expire_tombstones":
+                    # re-derive against the new snapshot: which buckets
+                    # still hold tombstones below the horizon
+                    below = int(spec["below"])
+                    still = sorted(
+                        int(r["_bucket"])
+                        for r in table.tombstone_stats().collect()
+                        if r["min_lsn"] < below
+                    )
+                    if not still:
+                        rec = {"compacted_buckets": 0, "seconds": 0.0}
+                        break
+                    spec = {
+                        "action": "expire_tombstones",
+                        "below": below,
+                        "buckets": still,
+                    }
         results.append({"action": kind, **rec})
     return results

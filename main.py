@@ -181,6 +181,16 @@ def main() -> None:
         action="store_true",
         help="with --maintain: print the plan, execute nothing",
     )
+    ap.add_argument(
+        "--expire-tombstones-below",
+        type=int,
+        default=None,
+        metavar="LSN",
+        help="with --maintain: tombstone-retention policy — plan an "
+        "expiry compaction for buckets holding delete markers with "
+        "_lsn below this horizon (choose the oldest LSN any "
+        "out-of-order source can still deliver)",
+    )
     args = ap.parse_args()
     if not args.maintain:
         if not args.changelog and not args.bucketed_table and not args.source_table:
@@ -205,6 +215,7 @@ def main() -> None:
             max_depth=args.compact_depth or 4,
             keep_last_snapshots=args.vacuum_keep_last,
             stats_cols=(args.stats_cols.split(",") if args.stats_cols else None),
+            expire_tombstones_below=args.expire_tombstones_below,
         )
         print(json.dumps({"plan": plan}))
         if not args.dry_run and plan["actions"]:

@@ -490,3 +490,85 @@ def test_compact_cluster_by_enables_rowgroup_pruning(spark, tmp_root):
             hconf.unset("parquet.block.size")
         else:
             hconf.set("parquet.block.size", old_block)
+
+
+def test_bounded_tombstone_expiry_keeps_young_markers(spark, tmp_root):
+    """expire_tombstones_below=L drops only markers with _lsn < L —
+    the production retention rule.  Current state is invariant; a kept
+    (young) tombstone still defeats an out-of-order older upsert,
+    which is the whole reason the bound exists."""
+    ch = gen_source_changes(spark, n_events=800, n_keys=200, n_repos=5)
+    p = CDCPipeline(spark, os.path.join(tmp_root, "bts"), n_buckets=8, merge_mode="mor")
+    p.run(ch, n_epochs=2)
+    before = sorted(map(str, p.current_state().collect()))
+    stats = p.table.tombstone_stats().collect()
+    assert stats, "fixture must produce deletes"
+    lo = min(r["min_lsn"] for r in stats)
+    hi = max(r["max_lsn"] for r in stats)
+    assert lo < hi, "need tombstones on both sides of a horizon"
+    horizon = (lo + hi) // 2 + 1
+
+    raw = p.table.read_raw().where(F.col("_deleted"))
+    n_old = raw.where(F.col("_lsn") < horizon).count()
+    n_young = raw.where(F.col("_lsn") >= horizon).count()
+    assert n_old > 0 and n_young > 0
+
+    rec = p.table.compact(expire_tombstones_below=horizon)
+    assert rec["compacted_buckets"] > 0
+    after = p.table.read_raw().where(F.col("_deleted"))
+    assert after.where(F.col("_lsn") < horizon).count() == 0
+    assert after.where(F.col("_lsn") >= horizon).count() == n_young
+    assert sorted(map(str, p.current_state().collect())) == before
+
+    # a kept tombstone still wins against an out-of-order OLDER upsert
+    victim = after.orderBy(F.col("_lsn").desc()).first()
+    stale = spark.createDataFrame(
+        [(victim["repo"], victim["path"], "cX", "sql", "stale body",
+          int(victim["_lsn"]) - 1, "U")],
+        "repo string, path string, commit string, lang string, "
+        "content string, lsn long, op string",
+    )
+    p.table.merge_epoch(
+        stale.withColumn("concept_id", F.lit(1))
+        .withColumn("domain", F.lit("script"))
+        .withColumn("content_sha", F.sha2(F.col("content"), 256)),
+        9000,
+    )
+    assert (
+        p.table.read()
+        .where((F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"]))
+        .count()
+        == 0
+    ), "young tombstone must still suppress the stale upsert"
+
+
+def test_maintenance_plans_tombstone_expiry(spark, tmp_root):
+    """plan_maintenance(expire_tombstones_below=L) finds the buckets
+    paying retention for old markers, folds their deltas in the SAME
+    rewrite (no double compaction), and run_maintenance executes it."""
+    from etl_cms_spark.sink.maintenance import plan_maintenance, run_maintenance
+
+    ch = gen_source_changes(spark, n_events=800, n_keys=200, n_repos=5)
+    p = CDCPipeline(spark, os.path.join(tmp_root, "mts"), n_buckets=8, merge_mode="mor")
+    p.run(ch, n_epochs=3)
+    before = sorted(map(str, p.current_state().collect()))
+    hi = max(r["max_lsn"] for r in p.table.tombstone_stats().collect())
+    horizon = int(hi) + 1  # everything is old -> expire all
+
+    plan = plan_maintenance(
+        p.table, max_depth=1, expire_tombstones_below=horizon
+    )
+    kinds = [a["action"] for a in plan["actions"]]
+    assert "expire_tombstones" in kinds
+    exp = next(a for a in plan["actions"] if a["action"] == "expire_tombstones")
+    comp = [a for a in plan["actions"] if a["action"] == "compact"]
+    if comp:  # expiry buckets must not be compacted twice
+        assert not set(comp[0]["buckets"]) & set(exp["buckets"])
+
+    results = run_maintenance(p.table, plan)
+    assert any(r["action"] == "expire_tombstones" for r in results)
+    assert p.table.read_raw().where(F.col("_deleted")).count() == 0
+    assert sorted(map(str, p.current_state().collect())) == before
+    # idempotent: a fresh plan finds nothing left to expire
+    plan2 = plan_maintenance(p.table, max_depth=1, expire_tombstones_below=horizon)
+    assert "expire_tombstones" not in [a["action"] for a in plan2["actions"]]
