@@ -34,6 +34,7 @@ def from_debezium(
     after_col: str = "after",
     lsn_expr: str = "source.lsn",
     on_key_change: str = "split",
+    passthrough_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Flatten Debezium-style envelopes into the engine's changelog.
 
@@ -65,9 +66,13 @@ def from_debezium(
       - ``"ignore"`` — the old behaviour (after-key only), for
         feeds whose before-images are unreliable.
 
-    Returns columns ``[*key_cols, *payload_cols, lsn, op]`` — ready
-    for ``fold_partial_updates`` / ``latest_by_lsn`` and
-    ``LakeTable.merge_epoch``.
+    ``passthrough_cols``: top-level envelope columns copied verbatim
+    onto every emitted event — BOTH halves of a key-change split
+    (e.g. ``ts`` for a downstream event-time watermark).
+
+    Returns columns ``[*key_cols, *payload_cols, lsn, op,
+    *passthrough_cols]`` — ready for ``fold_partial_updates`` /
+    ``latest_by_lsn`` and ``LakeTable.merge_epoch``.
 
     Plan shape: ``"ignore"``/``"error"`` stay a pure narrow
     projection; ``"split"`` adds one Generate (explode of a 1-or-2
@@ -127,6 +132,7 @@ def from_debezium(
                 *after_payload,
                 lsn,
                 guard.alias("op"),
+                *[F.col(c) for c in passthrough_cols],
             )
 
         # split: 1-or-2 event structs per envelope, exploded.  The
@@ -154,11 +160,16 @@ def from_debezium(
         events = F.when(
             key_changed, F.array(tombstone_t, event_t)
         ).otherwise(F.array(plain_t))
-        return df.select(F.explode(events).alias("_e"), lsn).select(
+        return df.select(
+            F.explode(events).alias("_e"),
+            lsn,
+            *[F.col(c) for c in passthrough_cols],
+        ).select(
             *[F.col(f"_e.{k}").alias(k) for k in key_cols],
             *[F.col(f"_e.{c}").alias(c) for c in payload_cols],
             "lsn",
             F.col("_e.op").alias("op"),
+            *passthrough_cols,
         )
 
     return df.select(
@@ -166,6 +177,7 @@ def from_debezium(
         *after_payload,
         lsn,
         op_mapped.alias("op"),
+        *[F.col(c) for c in passthrough_cols],
     )
 
 

@@ -30,6 +30,17 @@ CHANGELOG_SCHEMA = (
     "commit string, lang string, content string, schema_change string"
 )
 
+# Debezium-style wire shape of the same changelog (see
+# sources/envelopes.py): op c/r/u/d, before/after row images, the log
+# position under source.lsn.  ``start_stream(envelope_format=
+# "debezium")`` tails this shape directly.
+ENVELOPE_SCHEMA = (
+    "op string, "
+    "before struct<repo:string,path:string,commit:string,lang:string,content:string>, "
+    "after struct<repo:string,path:string,commit:string,lang:string,content:string>, "
+    "source struct<lsn:bigint>, ts timestamp"
+)
+
 
 def start_stream(
     spark: SparkSession,
@@ -53,6 +64,8 @@ def start_stream(
     max_versions_per_batch: int | None = None,
     consumer_id: str | None = None,
     processing_time: str | None = None,
+    envelope_format: str = "flat",
+    on_key_change: str = "split",
 ) -> tuple[StreamingQuery, CDCPipeline]:
     """Tail a changelog directory (file source — swap for Kafka/
     binlog reader by changing only this readStream) and upsert each
@@ -73,9 +86,23 @@ def start_stream(
     epoch's batch is already one row per (key, lsn), so the
     watermarked duplicate-drop stage is skipped; if the upstream
     schema carries ``ts``, the observe() metrics still report the
-    batch's event-time reach."""
+    batch's event-time reach.
+
+    ``envelope_format="debezium"`` tails a WIRE-FORMAT changelog
+    directory (ENVELOPE_SCHEMA: op c/r/u/d + before/after images +
+    source.lsn — what a Debezium/connect sink actually lands) and
+    flattens it in-stream through ``sources.envelopes.from_debezium``
+    before the watermark stage; key-changing updates split per
+    ``on_key_change`` (default ``"split"``), so a WAL tail needs no
+    pre-flattening batch job.  The stateful duplicate-drop then keys
+    on the flattened (lsn, repo, path) — a split pair shares its LSN
+    but not its key, so both halves survive."""
     if (changelog_dir is None) == (source_table is None):
         raise ValueError("pass exactly one of changelog_dir / source_table")
+    if envelope_format not in ("flat", "debezium"):
+        raise ValueError(f"envelope_format must be flat|debezium, got {envelope_format!r}")
+    if envelope_format != "flat" and source_table is not None:
+        raise ValueError("envelope_format applies to changelog_dir tailing only")
     if max_versions_per_batch is not None and source_table is None:
         raise ValueError("max_versions_per_batch applies to source_table chaining only")
     if max_versions_per_batch is not None and processing_time is None:
@@ -164,6 +191,24 @@ def start_stream(
             stream = stream.unionByName(s)
         if "ts" not in stream.columns:
             stream = stream.withColumn("ts", F.lit(None).cast("timestamp"))
+    elif envelope_format == "debezium":
+        from etl_cms_spark.sources.envelopes import from_debezium
+
+        raw = (
+            spark.readStream.schema(ENVELOPE_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(changelog_dir)
+        )
+        stream = (
+            from_debezium(
+                raw,
+                ["repo", "path"],
+                on_key_change=on_key_change,
+                passthrough_cols=["ts"],
+            )
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["lsn", "repo", "path"])
+        )
     else:
         stream = (
             spark.readStream.schema(CHANGELOG_SCHEMA)

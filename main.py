@@ -35,6 +35,15 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--stream", action="store_true", help="Structured Streaming tail")
+    ap.add_argument(
+        "--envelope-format",
+        choices=["flat", "debezium"],
+        default="flat",
+        help="with --stream --changelog: wire shape of the tailed "
+        "directory — 'debezium' flattens op/before/after/source.lsn "
+        "envelopes in-stream (key-changing updates split into "
+        "delete+insert)",
+    )
     ap.add_argument("--salt", action="store_true", help="salted dedup for hot keys")
     ap.add_argument(
         "--salt-task-row-budget", type=int, default=32_000_000,
@@ -259,6 +268,7 @@ def main() -> None:
             vacuum_keep_last=args.vacuum_keep_last,
             max_versions_per_batch=args.max_versions_per_batch,
             processing_time=args.processing_time,
+            envelope_format=args.envelope_format,
         )
         q.awaitTermination()
     else:

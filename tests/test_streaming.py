@@ -479,3 +479,99 @@ def test_stream_sidecar_index_tracks_state_through_restart(spark, tmp_root):
     assert len(p2.table.lineage()) == n_epochs_1  # no re-merge
     assert sorted(ix2.meta["applied_epochs"]) == sorted(ix.meta["applied_epochs"])
     assert {r["doc_id"] for r in ix2.live_sigs().collect()} == expect
+
+
+def _as_envelopes(changes, key_moves=0):
+    """Wrap a flat changelog into Debezium-style envelopes (op c/u/d,
+    before/after images, source.lsn).  ``key_moves`` > 0 additionally
+    rewrites that many UPDATE envelopes into KEY-CHANGING updates
+    (before-key != after-key, path moved to a '.moved' twin) — the
+    wire shape a renaming commit produces."""
+    payload = F.struct("repo", "path", "commit", "lang", "content")
+    is_d = F.col("op") == "D"
+    env = changes.select(
+        F.when(is_d, "d").when(F.col("op") == "I", "c").otherwise("u").alias("op"),
+        F.when(is_d, payload).alias("before"),
+        F.when(~is_d, payload).alias("after"),
+        F.struct(F.col("lsn").alias("lsn")).alias("source"),
+        "ts",
+    )
+    if key_moves:
+        # deterministically pick the key_moves highest-lsn updates
+        from pyspark.sql import Window
+
+        ranked = env.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(F.col("source.lsn").desc())
+            ),
+        )
+        moved_after = F.col("after").withField(
+            "path", F.concat(F.col("after.path"), F.lit(".moved"))
+        )
+        env = ranked.withColumn(
+            "_mv", (F.col("op") == "u") & (F.col("_rk") <= key_moves)
+        ).select(
+            "op",
+            F.when(F.col("_mv"), F.col("after")).otherwise(F.col("before")).alias("before"),
+            F.when(F.col("_mv"), moved_after).otherwise(F.col("after")).alias("after"),
+            "source",
+            "ts",
+        )
+    return env
+
+
+def test_streaming_debezium_envelopes_match_batch(spark, tmp_root):
+    """WAL tail in wire format: envelope_format='debezium' flattens
+    in-stream (key-changing updates split into delete+insert) and the
+    final state equals the batch pipeline over the batch-flattened
+    changelog."""
+    from etl_cms_spark.sources.envelopes import from_debezium
+
+    changes = gen_source_changes(spark, n_events=1500, n_keys=250, n_repos=8)
+    env = _as_envelopes(changes, key_moves=10)
+    log_dir = os.path.join(tmp_root, "env_changelog")
+    env.repartition(4).write.parquet(log_dir)
+
+    q, pipeline = start_stream(
+        spark,
+        log_dir,
+        os.path.join(tmp_root, "env_lake"),
+        max_files_per_trigger=2,
+        envelope_format="debezium",
+    )
+    q.awaitTermination(300)
+    assert len(pipeline.table.lineage()) >= 2  # really incremental
+
+    # batch reference: flatten the SAME envelopes in batch mode
+    flat = from_debezium(spark.read.parquet(log_dir), ["repo", "path"])
+    # the split must actually have fired: moved keys exist
+    assert flat.where(F.col("path").endswith(".moved")).count() > 0
+    batch_p = CDCPipeline(spark, os.path.join(tmp_root, "env_lake_batch"))
+    batch_p.run(flat, n_epochs=3)
+    cols = ["repo", "path", "commit", "content_sha"]
+    assert_df_equal(
+        pipeline.current_state().select(cols),
+        batch_p.current_state().select(cols),
+        "envelope stream == batch flatten",
+    )
+    # a moved key's OLD identity must be gone from the streamed state
+    moved = flat.where(F.col("op") == "D").select("repo", "path").distinct()
+    old_still_live = (
+        pipeline.current_state()
+        .join(moved, ["repo", "path"], "inner")
+        .join(  # unless a LATER event re-created it
+            flat.where(F.col("op") != "D")
+            .groupBy("repo", "path")
+            .agg(F.max("lsn").alias("mx")),
+            ["repo", "path"],
+        )
+        .join(
+            flat.where(F.col("op") == "D")
+            .groupBy("repo", "path")
+            .agg(F.max("lsn").alias("dx")),
+            ["repo", "path"],
+        )
+        .where(F.col("dx") > F.col("mx"))
+    )
+    assert old_still_live.count() == 0
