@@ -1,0 +1,269 @@
+"""Incremental materialized JOIN-view maintenance (delta join).
+
+``plans/rollup.py`` maintains continuous AGGREGATES from change
+epochs; this module maintains a denormalized JOIN — the reference's
+snowflake enrichment shape (fact rows joined to a concept/dimension
+table, e.g. its source-code→concept mapping applied to every claim
+line) kept current as BOTH sides change, without ever recomputing the
+full join.
+
+View = ``fact ⋈ dim`` on the dimension key (``dk_cols``), stored in a
+LakeTable keyed by the FACT key (``fk_cols``) with the dim payload
+denormalized alongside the fact payload.  Per epoch, after both base
+tables committed epoch ``e``, ``apply_epoch(e)`` folds:
+
+* **fact-side delta** — ``fact.changes_for_epoch(e)`` (bucket-pruned
+  CDC-out, O(changed fact buckets)).  Upserted facts re-join the
+  CURRENT dim, read pruned to exactly the buckets holding the delta's
+  dim keys (epoch-sized collect of distinct dks → bucket ids).
+  Deleted facts tombstone their view row.
+* **dim-side delta** — ``dim.changes_for_epoch(e)``.  The after-image
+  IS the new dim payload, so no dim read is needed; affected facts
+  are found by semi-joining the fact table against the (epoch-sized,
+  broadcast) changed-dim-key set.  Facts already touched by the
+  fact-side delta are EXCLUDED (the fact side joined the current dim,
+  which already reflects this epoch) — without that exclusion a row
+  changed on both sides would be applied twice with racing images.
+  A dim DELETE tombstones matched view rows (inner-join semantics);
+  with ``how="left"`` it instead nulls the dim columns.
+* Facts whose dim key has no match stay OUT of an inner view and
+  re-APPEAR when the dim row later arrives — the dim-side lookup
+  scans the fact table, not the view, precisely so late-arriving
+  dimensions resurrect previously-unmatched facts.
+
+Cost model at 100 TB: the common steady-state epoch changes facts
+only — the dim-side branch short-circuits to nothing and the epoch
+costs O(Δfact) + a dim read pruned to the delta's dim-key buckets.
+Dim-changing epochs pay one fact-table scan filtered to the changed
+dim keys; the filter is a broadcast semi-join (never a shuffle of the
+fact table), and a fact table clustered/z-ordered by ``dk`` lets the
+planning-time stats cache (sink/stats.py) prune that scan to the
+files that can match.
+
+Exactly-once: the view commits the SAME epoch id via the ordinary
+``merge_epoch`` manifest check; replays are no-ops, and a crash
+before the view commit recomputes the identical delta from the base
+tables' (already-committed, immutable) epoch diffs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_cms_spark.sink.lake import LakeTable
+
+
+class MaterializedJoinView:
+    """Maintains ``fact ⋈ dim`` incrementally from both tables' CDC-out
+    diffs.
+
+    ``fact`` and ``dim`` are committed LakeTables; ``dk_cols`` are the
+    join columns (the dim table's key; carried as payload on the
+    fact).  Dim payload columns must not collide with fact columns —
+    validated at construction.  ``how`` is ``"inner"`` (default: a
+    fact without a dim match is absent from the view) or ``"left"``
+    (present with NULL dim columns).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        fact: LakeTable,
+        dim: LakeTable,
+        dk_cols: list[str],
+        n_buckets: int = 8,
+        how: str = "inner",
+    ):
+        if how not in ("inner", "left"):
+            raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+        self.spark = spark
+        self.fact = fact
+        self.dim = dim
+        self.dk_cols = list(dk_cols)
+        self.how = how
+        self.table = LakeTable(spark, root, n_buckets)
+        # schema resolution is LAZY: as a pipeline sidecar the view is
+        # constructed before the pipeline's first run creates the fact
+        # table, so validate/create on first use instead.
+        self.fk_cols: list[str] | None = None
+        self.dim_payload: list[str] | None = None
+        if fact.exists():
+            self._ensure_init()
+
+    def _ensure_init(self) -> None:
+        if self.fk_cols is not None:
+            return
+        fact_m = self.fact._load_manifest()
+        dim_m = self.dim._load_manifest()
+        self.fk_cols = list(fact_m["key_cols"])
+        if set(dim_m["key_cols"]) != set(self.dk_cols):
+            raise ValueError(
+                f"dim table key {dim_m['key_cols']} != dk_cols {self.dk_cols}"
+            )
+        missing = [c for c in self.dk_cols if c not in fact_m["schema"]]
+        if missing:
+            raise ValueError(f"fact table lacks join columns {missing}")
+        self.dim_payload = [
+            c for c in dim_m["schema"] if c not in self.dk_cols
+        ]
+        clash = set(self.dim_payload) & set(fact_m["schema"])
+        if clash:
+            raise ValueError(
+                f"dim payload columns collide with fact columns: {sorted(clash)}"
+            )
+        schema = dict(fact_m["schema"]) | {
+            c: dim_m["schema"][c] for c in self.dim_payload
+        }
+        if not self.table.exists():
+            self.table.create(self.fk_cols, schema)
+
+    # ---------------- epoch fold ----------------
+
+    def _dim_current_pruned(self, dks: DataFrame) -> DataFrame:
+        """Current dim rows for the (epoch-sized) key set ``dks``,
+        reading only the buckets those keys hash to."""
+        bks = sorted(
+            r["b"]
+            for r in dks.select(
+                self.dim.bucket_expr(self.dk_cols).alias("b")
+            ).distinct().collect()
+        )
+        if not bks:
+            return self.dim.read().limit(0)
+        return self.dim.read(bucket_ids=[int(b) for b in bks]).join(
+            F.broadcast(dks), self.dk_cols, "inner"
+        )
+
+    def apply_epoch(self, epoch: int) -> dict:
+        """Fold epoch ``e`` of both base tables into the view, exactly
+        once.  Call after BOTH base tables committed the epoch (a
+        table that skipped the epoch contributes an empty diff)."""
+        self._ensure_init()
+        if epoch in self.table.committed_epochs():
+            return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        fk, dk = self.fk_cols, self.dk_cols
+        dpay = self.dim_payload
+        fact_pay = [
+            c for c in self.fact.schema() if c not in fk
+        ]
+
+        def _diff(t: LakeTable) -> DataFrame | None:
+            return (
+                t.changes_for_epoch(epoch)
+                if epoch in t.committed_epochs()
+                else None
+            )
+
+        df_f, df_d = _diff(self.fact), _diff(self.dim)
+        parts: list[DataFrame] = []
+        null_dim = [F.lit(None).cast(self.dim.schema()[c]).alias(c) for c in dpay]
+
+        # ---- fact-side delta ----
+        fact_upserts = None
+        if df_f is not None:
+            df_f = df_f.localCheckpoint(eager=False)
+            fact_upserts = df_f.where(F.col("op") != "D").select(
+                *fk, F.col("after.*")
+            )
+            dks_f = fact_upserts.select(*dk).distinct()
+            dim_cur = self._dim_current_pruned(dks_f)
+            joined = fact_upserts.join(dim_cur, dk, self.how)
+            if self.how == "inner":
+                # inner view: an upserted fact with NO dim match must
+                # also RETRACT any existing view row (e.g. the fact
+                # moved to a not-yet-arrived dim key).
+                unmatched = fact_upserts.join(dim_cur, dk, "left_anti").select(
+                    *fk,
+                    *[F.col(c) for c in fact_pay],
+                    *null_dim,
+                    F.lit("D").alias("op"),
+                )
+                parts.append(unmatched)
+            parts.append(
+                joined.select(
+                    *fk, *fact_pay, *dpay, F.lit("U").alias("op")
+                )
+            )
+            parts.append(
+                df_f.where(F.col("op") == "D").select(
+                    *fk,
+                    *[F.lit(None).cast(self.fact.schema()[c]).alias(c) for c in fact_pay],
+                    *null_dim,
+                    F.lit("D").alias("op"),
+                )
+            )
+
+        # ---- dim-side delta ----
+        if df_d is not None:
+            df_d = df_d.localCheckpoint(eager=False)
+            dkeys = df_d.select(*dk).distinct()
+            affected = self.fact.read().join(F.broadcast(dkeys), dk, "inner")
+            if fact_upserts is not None:
+                # fact-side already joined the current dim (which
+                # includes this epoch's dim state) — exclude.
+                affected = affected.join(
+                    F.broadcast(df_f.select(*fk)), fk, "left_anti"
+                )
+            new_dim = df_d.where(F.col("op") != "D").select(
+                *dk, F.col("after.*")
+            )
+            rejoined = affected.join(F.broadcast(new_dim), dk, self.how)
+            parts.append(
+                rejoined.select(*fk, *fact_pay, *dpay, F.lit("U").alias("op"))
+            )
+            if self.how == "inner":
+                dim_dead = df_d.where(F.col("op") == "D").select(*dk)
+                parts.append(
+                    affected.join(F.broadcast(dim_dead), dk, "inner").select(
+                        *fk,
+                        *[F.col(c) for c in fact_pay],
+                        *null_dim,
+                        F.lit("D").alias("op"),
+                    )
+                )
+
+        if not parts:
+            # neither base table committed this epoch — record an
+            # empty commit so replay bookkeeping stays aligned.
+            empty = self.table.read().limit(0).select(
+                "*", F.lit("U").alias("op")
+            )
+            return self.table.merge_epoch(
+                empty.withColumn("lsn", F.lit(0).cast("long")), epoch
+            )
+
+        batch = parts[0]
+        for p in parts[1:]:
+            batch = batch.unionByName(p)
+        # one view row per fact key: a key can appear in at most one
+        # branch per side, and cross-side overlap was excluded above;
+        # monotone epoch ordering comes from the epoch id itself.
+        batch = batch.withColumn("lsn", F.lit(int(epoch)).cast("long"))
+        return self.table.merge_epoch(batch, epoch)
+
+    def read(self) -> DataFrame:
+        self._ensure_init()
+        return self.table.read()
+
+    # ---------------- pipeline sidecar protocol ----------------
+
+    @property
+    def name(self) -> str:
+        return f"joinview:{self.table.root.rstrip('/').rsplit('/', 1)[-1]}"
+
+    def update_from_lake(self, lake: LakeTable, epoch: int) -> dict:
+        """CDCPipeline sidecar hook: ride the fact table's epoch loop.
+        The pipeline offers every committed epoch (and re-offers on
+        duplicate-epoch replays — the crash-window heal), and
+        ``apply_epoch``'s manifest check keeps the fold idempotent.
+        Dimension epochs merged out-of-band are picked up by the same
+        fold when their epoch ids align; a dim fed on a different
+        cadence is folded by calling ``apply_epoch`` directly."""
+        if lake.root != self.fact.root:
+            raise ValueError(
+                f"joinview sidecar is bound to fact table {self.fact.root}, "
+                f"offered {lake.root}"
+            )
+        return self.apply_epoch(epoch)

@@ -3769,3 +3769,224 @@ def lake_stats_pruned_read(spark, sf_dir):
         return out.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# =====================================================================
+# I. Round-5 additions: SCD2 history + materialized join view (IVM)
+# =====================================================================
+
+def _dim_changelog_rows():
+    """Deterministic 3-epoch dimension changelog over the lang key —
+    the SAME rows feed the Spark side (createDataFrame) and the
+    DuckDB oracle (VALUES), so both engines replay identical input.
+    Epoch 0 inserts even langs, epoch 1 updates every 4th and inserts
+    the odd ones, epoch 2 deletes every 5th."""
+    from etl_cms_spark.fixtures.generator import LANG_VOCAB
+
+    epochs = [[], [], []]
+    for i, lang in enumerate(LANG_VOCAB):
+        if i % 2 == 0:
+            epochs[0].append((100 + i, "U", lang, 1000 + 10 * i, f"dom{i % 3}"))
+        if i % 4 == 0:
+            epochs[1].append((200 + i, "U", lang, 2000 + 10 * i, f"dom{(i + 1) % 3}"))
+        if i % 2 == 1:
+            epochs[1].append((200 + i, "U", lang, 1500 + 10 * i, f"dom{i % 3}"))
+        if i % 5 == 0:
+            epochs[2].append((300 + i, "D", lang, None, None))
+    return epochs
+
+
+def _dim_changelog_values_sql():
+    rows = [r for ep in _dim_changelog_rows() for r in ep]
+    vals = ", ".join(
+        f"({lsn}, '{op}', '{lang}', "
+        + ("NULL" if cid is None else str(cid))
+        + ", "
+        + ("NULL" if dom is None else f"'{dom}'")
+        + ")"
+        for lsn, op, lang, cid, dom in rows
+    )
+    return f"(VALUES {vals}) AS dch(lsn, op, lang, concept_id, domain)"
+
+
+_SCD2_ORACLE_VERSIONS = f"""
+    ch AS ({_oracle_changelog_sql()}),
+    v AS (
+      SELECT repo, path, lsn AS valid_from_lsn,
+             LEAD(lsn) OVER (PARTITION BY repo, path ORDER BY lsn) AS valid_to_lsn,
+             op, commit, lang, content
+      FROM ch)
+"""
+
+
+@q(
+    "scd2_history",
+    f"""
+    WITH {_SCD2_ORACLE_VERSIONS}
+    SELECT repo, path, valid_from_lsn, valid_to_lsn,
+           (valid_to_lsn IS NULL) AS is_current, commit, lang, content
+    FROM v WHERE op <> 'D'
+    """,
+)
+def scd2_history(spark, sf_dir):
+    """SCD Type-2 dimension history maintained INCREMENTALLY across 3
+    change epochs (plans/scd.py: append-only closed-version table +
+    natural-key-bucketed open-version table, O(epoch) per fold) —
+    must equal the oracle's one-shot LEAD() over the whole changelog.
+    Reference analogue: the first-write-wins provider/care_site
+    dimensions (CMS_SynPuf_ETL_CDM_v5.py) keep only latest state;
+    this keeps every version queryable."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.scd import Scd2History
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="scd2_entry_")
+    try:
+        s = Scd2History(
+            spark, root, ["repo", "path"],
+            {"commit": "string", "lang": "string", "content": "string"},
+            n_buckets=4,
+        )
+        hi = changes.agg(F.max("lsn")).first()[0]
+        width = (hi + 3) // 3
+        for e in range(3):
+            s.apply_epoch(
+                changes.where(
+                    (F.col("lsn") >= e * width) & (F.col("lsn") < (e + 1) * width)
+                ),
+                e,
+            )
+        return s.history_df().select(
+            "repo", "path", "valid_from_lsn", "valid_to_lsn", "is_current",
+            "commit", "lang", "content",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "scd2_asof_enrich",
+    f"""
+    WITH {_SCD2_ORACLE_VERSIONS},
+    live AS (SELECT * FROM v WHERE op <> 'D'),
+    f AS (SELECT repo, path, lsn + 1 AS at_lsn FROM ch)
+    SELECT f.repo, f.path, f.at_lsn,
+           live.commit AS dim_commit, live.lang AS dim_lang,
+           live.content AS dim_content
+    FROM f JOIN live
+      ON f.repo = live.repo AND f.path = live.path
+     AND f.at_lsn >= live.valid_from_lsn
+     AND (live.valid_to_lsn IS NULL OR f.at_lsn < live.valid_to_lsn)
+    """,
+)
+def scd2_asof_enrich(spark, sf_dir):
+    """As-of enrichment against the maintained SCD2 history: each fact
+    (at lsn+1 of every change event) picks the dimension VERSION valid
+    at its LSN — an interval join over disjoint validity ranges, so no
+    fact fans out.  The oracle replays the interval join over the
+    LEAD()-derived versions."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.scd import Scd2History
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="scd2_asof_entry_")
+    try:
+        s = Scd2History(
+            spark, root, ["repo", "path"],
+            {"commit": "string", "lang": "string", "content": "string"},
+            n_buckets=4,
+        )
+        hi = changes.agg(F.max("lsn")).first()[0]
+        width = (hi + 3) // 3
+        for e in range(3):
+            s.apply_epoch(
+                changes.where(
+                    (F.col("lsn") >= e * width) & (F.col("lsn") < (e + 1) * width)
+                ),
+                e,
+            )
+        facts = changes.select("repo", "path", (F.col("lsn") + 1).alias("at_lsn"))
+        return s.asof(facts, "at_lsn").select(
+            "repo", "path", "at_lsn", "dim_commit", "dim_lang", "dim_content"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "joinview_incremental",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    fact_live AS (SELECT repo, path, commit, lang, content
+                  FROM ranked WHERE rn = 1 AND op <> 'D'),
+    dch AS (SELECT * FROM {_dim_changelog_values_sql()}),
+    dranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY lsn DESC) AS rn
+      FROM dch),
+    dim_live AS (SELECT lang, concept_id, domain
+                 FROM dranked WHERE rn = 1 AND op <> 'D')
+    SELECT f.repo, f.path, f.commit, f.lang, f.content,
+           d.concept_id, d.domain
+    FROM fact_live f JOIN dim_live d USING (lang)
+    """,
+)
+def joinview_incremental(spark, sf_dir):
+    """Materialized JOIN-view maintenance (plans/joinview.py): the
+    fact changelog and a 3-epoch dimension changelog are merged into
+    their LakeTables epoch by epoch, and the denormalized fact⋈dim
+    view is folded INCREMENTALLY from both tables' bucket-pruned
+    CDC-out diffs (delta join: Δfact ⋈ current dim ∪ affected facts ⋈
+    Δdim, exclusion rule against double-apply).  The oracle is the
+    one-shot latest-wins replay of BOTH changelogs joined — if any
+    delta path over- or under-applied (dim delete not retracted, late
+    dim not resurrecting unmatched facts, double apply), the hash
+    would differ."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.operators.dedup import latest_by_lsn
+    from etl_cms_spark.plans.joinview import MaterializedJoinView
+    from etl_cms_spark.sink.lake import LakeTable
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="joinview_entry_")
+    try:
+        fact = LakeTable(spark, f"{root}/fact", n_buckets=8)
+        fact.create(
+            ["repo", "path"],
+            {"repo": "string", "path": "string", "commit": "string",
+             "lang": "string", "content": "string"},
+        )
+        dim = LakeTable(spark, f"{root}/dim", n_buckets=4)
+        dim.create(
+            ["lang"],
+            {"lang": "string", "concept_id": "long", "domain": "string"},
+        )
+        view = MaterializedJoinView(
+            spark, f"{root}/view", fact, dim, ["lang"], n_buckets=8
+        )
+        d_schema = "lsn long, op string, lang string, concept_id long, domain string"
+        hi = changes.agg(F.max("lsn")).first()[0]
+        width = (hi + 3) // 3
+        for e, d_rows in enumerate(_dim_changelog_rows()):
+            batch = changes.where(
+                (F.col("lsn") >= e * width) & (F.col("lsn") < (e + 1) * width)
+            )
+            fact.merge_epoch(latest_by_lsn(batch, ["repo", "path"], "lsn"), e)
+            dim.merge_epoch(
+                latest_by_lsn(spark.createDataFrame(d_rows, d_schema), ["lang"], "lsn"),
+                e,
+            )
+            view.apply_epoch(e)
+        return view.read().select(
+            "repo", "path", "commit", "lang", "content", "concept_id", "domain"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

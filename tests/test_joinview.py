@@ -1,0 +1,227 @@
+"""Materialized join-view maintenance: per-epoch incremental fold
+equals the full fact⋈dim recompute after EVERY epoch (inner and
+left), dim-only and fact-only epochs work, late-arriving dims
+resurrect unmatched facts, dim-key moves relocate, deletes retract,
+and replays are no-ops."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_cms_spark.fixtures.generator import gen_source_changes
+from etl_cms_spark.operators.dedup import latest_by_lsn
+from etl_cms_spark.plans.joinview import MaterializedJoinView
+from etl_cms_spark.sink.lake import LakeTable
+from tests.conftest import assert_df_equal
+
+FACT_SCHEMA = {"repo": "string", "path": "string", "commit": "string",
+               "lang": "string", "content": "string"}
+DIM_SCHEMA = {"lang": "string", "concept_id": "long", "domain": "string"}
+
+
+def _dim_epochs(spark):
+    """Three deterministic dim epochs over the lang key: epoch 0
+    inserts even langs, epoch 1 updates half of those + inserts the
+    odd ones, epoch 2 deletes every 5th lang."""
+    from etl_cms_spark.fixtures.generator import LANG_VOCAB
+
+    def rows(pred, op, bump):
+        return [
+            (100 * bump + i, op, lang, 1000 + 10 * i + bump, f"dom{i % 3}")
+            for i, lang in enumerate(LANG_VOCAB)
+            if pred(i)
+        ]
+
+    schema = "lsn long, op string, lang string, concept_id long, domain string"
+    e0 = spark.createDataFrame(rows(lambda i: i % 2 == 0, "U", 1), schema)
+    e1 = spark.createDataFrame(
+        rows(lambda i: i % 4 == 0, "U", 2) + rows(lambda i: i % 2 == 1, "U", 2),
+        schema,
+    )
+    e2 = spark.createDataFrame(
+        [(300 + i, "D", lang, None, None)
+         for i, lang in enumerate(LANG_VOCAB) if i % 5 == 0],
+        schema,
+    )
+    return [e0, e1, e2]
+
+
+def _fact_epochs(spark, n_events=2500):
+    ch = gen_source_changes(spark, n_events=n_events, n_keys=400, n_repos=10)
+    hi = ch.agg(F.max("lsn")).first()[0]
+    width = (hi + 3) // 3
+    return [
+        ch.where((F.col("lsn") >= e * width) & (F.col("lsn") < (e + 1) * width))
+        .select("lsn", "op", "repo", "path", "commit", "lang", "content")
+        for e in range(3)
+    ]
+
+
+def _setup(spark, root, how="inner", n_buckets=8):
+    fact = LakeTable(spark, os.path.join(root, "fact"), n_buckets)
+    fact.create(["repo", "path"], FACT_SCHEMA)
+    dim = LakeTable(spark, os.path.join(root, "dim"), 4)
+    dim.create(["lang"], DIM_SCHEMA)
+    view = MaterializedJoinView(
+        spark, os.path.join(root, "view"), fact, dim, ["lang"],
+        n_buckets=n_buckets, how=how,
+    )
+    return fact, dim, view
+
+
+def _expected(fact, dim, how):
+    return fact.read().join(dim.read(), "lang", how).select(
+        "repo", "path", "commit", "lang", "content", "concept_id", "domain"
+    )
+
+
+def _run_epochs(spark, fact, dim, view, fact_batches, dim_batches, check=None):
+    for e in range(max(len(fact_batches), len(dim_batches))):
+        if e < len(fact_batches) and fact_batches[e] is not None:
+            fact.merge_epoch(
+                latest_by_lsn(fact_batches[e], ["repo", "path"], "lsn"), e
+            )
+        if e < len(dim_batches) and dim_batches[e] is not None:
+            dim.merge_epoch(latest_by_lsn(dim_batches[e], ["lang"], "lsn"), e)
+        view.apply_epoch(e)
+        if check:
+            check(e)
+
+
+def test_inner_view_tracks_full_recompute_every_epoch(spark, tmp_root):
+    fact, dim, view = _setup(spark, tmp_root, "inner")
+    def check(e):
+        assert_df_equal(
+            view.read().select("repo", "path", "commit", "lang", "content",
+                               "concept_id", "domain"),
+            _expected(fact, dim, "inner"),
+            f"inner view == full join after epoch {e}",
+        )
+    _run_epochs(spark, fact, dim, view,
+                _fact_epochs(spark), _dim_epochs(spark), check)
+
+
+def test_left_view_tracks_full_recompute_every_epoch(spark, tmp_root):
+    fact, dim, view = _setup(spark, tmp_root, "left")
+    def check(e):
+        assert_df_equal(
+            view.read().select("repo", "path", "commit", "lang", "content",
+                               "concept_id", "domain"),
+            _expected(fact, dim, "left"),
+            f"left view == full left join after epoch {e}",
+        )
+    _run_epochs(spark, fact, dim, view,
+                _fact_epochs(spark), _dim_epochs(spark), check)
+
+
+def test_replay_is_noop(spark, tmp_root):
+    fact, dim, view = _setup(spark, tmp_root)
+    _run_epochs(spark, fact, dim, view,
+                _fact_epochs(spark), _dim_epochs(spark))
+    before = view.read().collect()
+    rec = view.apply_epoch(1)
+    assert rec["skipped_duplicate_epoch"]
+    assert sorted(map(tuple, view.read().collect())) == sorted(map(tuple, before))
+
+
+def test_late_arriving_dim_resurrects_unmatched_facts(spark, tmp_root):
+    fact, dim, view = _setup(spark, tmp_root, "inner")
+    fe = _fact_epochs(spark)
+    de = _dim_epochs(spark)
+    # epoch 0: facts only — inner view must be EMPTY (no dims yet)
+    _run_epochs(spark, fact, dim, view, [fe[0]], [None])
+    assert view.read().count() == 0
+    # epoch 1: dims arrive, NO fact changes — previously-unmatched
+    # facts must appear via the dim-side fact-table lookup
+    fact_keys_before = fact.read().count()
+    _run_epochs(spark, fact, dim, view, [None, None], [None, de[0]])
+    assert_df_equal(
+        view.read().select("repo", "path", "commit", "lang", "content",
+                           "concept_id", "domain"),
+        _expected(fact, dim, "inner"),
+        "late dim resurrects unmatched facts",
+    )
+    assert fact.read().count() == fact_keys_before
+
+
+def test_dim_key_move_and_fact_delete(spark, tmp_root):
+    fact, dim, view = _setup(spark, tmp_root, "inner", n_buckets=4)
+    f_schema = "lsn long, op string, repo string, path string, commit string, lang string, content string"
+    d_schema = "lsn long, op string, lang string, concept_id long, domain string"
+    f0 = spark.createDataFrame(
+        [(1, "U", "r", "a", "c1", "py", "v1"),
+         (2, "U", "r", "b", "c2", "go", "v1")], f_schema)
+    d0 = spark.createDataFrame(
+        [(1, "U", "py", 10, "d0"), (2, "U", "go", 20, "d0")], d_schema)
+    # epoch 1: fact a MOVES py->go; fact b deleted; dim py updated
+    f1 = spark.createDataFrame(
+        [(11, "U", "r", "a", "c3", "go", "v2"),
+         (12, "D", "r", "b", None, None, None)], f_schema)
+    d1 = spark.createDataFrame([(11, "U", "py", 99, "d9")], d_schema)
+    def check(e):
+        assert_df_equal(
+            view.read().select("repo", "path", "commit", "lang", "content",
+                               "concept_id", "domain"),
+            _expected(fact, dim, "inner"),
+            f"move/delete epoch {e}",
+        )
+    _run_epochs(spark, fact, dim, view, [f0, f1], [d0, d1], check)
+    rows = {r["path"]: r for r in view.read().collect()}
+    assert set(rows) == {"a"}
+    assert rows["a"]["concept_id"] == 20  # moved to go's dim row
+
+
+def test_pipeline_sidecar_rides_epochs(spark, tmp_root):
+    """sidecars=[view] on CDCPipeline: the view folds every committed
+    fact epoch inside the exactly-once loop; a crashed (fresh) view
+    attached to a replay catches up without re-merging."""
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    # the pipeline's mapped table already carries concept_id/domain
+    # (broadcast concept enrichment), so the sidecar dim uses its own
+    # payload names.
+    dim = LakeTable(spark, os.path.join(tmp_root, "dim"), 4)
+    dim.create(["lang"], {"lang": "string", "lang_family": "string",
+                          "lang_rank": "long"})
+    dim.merge_epoch(
+        latest_by_lsn(
+            _dim_epochs(spark)[0].select(
+                "lsn", "op", "lang",
+                F.concat(F.lit("fam-"), F.col("domain")).alias("lang_family"),
+                F.col("concept_id").alias("lang_rank"),
+            ),
+            ["lang"], "lsn",
+        ),
+        0,
+    )
+    root = os.path.join(tmp_root, "lake")
+    changes = gen_source_changes(spark, n_events=1200, n_keys=200, n_repos=10)
+    p = CDCPipeline(spark, root)
+    view = MaterializedJoinView(
+        spark, os.path.join(tmp_root, "view"), p.table, dim, ["lang"]
+    )
+    p.sidecars.append(view)
+    recs = p.run(changes, n_epochs=3)
+    assert all("sidecars" in r for r in recs)
+
+    def expected():
+        return p.current_state().join(dim.read(), "lang", "inner").select(
+            "repo", "path", "lang", "content", "lang_family", "lang_rank"
+        )
+
+    sel = ["repo", "path", "lang", "content", "lang_family", "lang_rank"]
+    assert_df_equal(
+        view.read().select(*sel), expected(),
+        "sidecar-maintained view == full join",
+    )
+    # crash-window heal: a fresh view over the committed lake
+    view2 = MaterializedJoinView(
+        spark, os.path.join(tmp_root, "view2"), p.table, dim, ["lang"]
+    )
+    p2 = CDCPipeline(spark, root, sidecars=[view2])
+    recs2 = p2.run(changes, n_epochs=3)
+    assert all(r.get("skipped_duplicate_epoch") for r in recs2)
+    assert_df_equal(
+        view2.read().select(*sel), expected(),
+        "healed view == full join",
+    )
