@@ -703,6 +703,150 @@ def main_skew_ab(n_events: int) -> None:
     print(json.dumps(report))
 
 
+def main_ivm_ab(n_events: int) -> None:
+    """Incremental-view-maintenance scaling evidence (round-5): per-
+    epoch fold cost of the SCD2 history and the materialized join
+    view, measured at TWO base-table sizes (N and 4N) with the SAME
+    epoch, against the full recompute each replaces.
+
+    The claim under test is not a small-scale speedup — at sandbox
+    sizes a single warm scan+join beats any multi-job fold, and a
+    uniformly-spread epoch touches every bucket so the CDC-out diff
+    reads the whole (small) table anyway.  The claim is the SLOPE:
+    fold cost must stay ~flat as the base table grows 4x while the
+    full recompute grows ~4x, because the fold's inputs are the epoch
+    and the touched buckets, not the history.  Two epoch shapes:
+    - uniform: keys spread over all buckets (worst case for pruning —
+      the diff still reads every bucket; flatness here comes from the
+      epoch-sized fold work dominating only at scale);
+    - clustered: keys confined to 4/64 buckets (the realistic hot-
+      repo shape and the geometry 10^10-row tables live in, where
+      epoch keys << bucket count) — this path must be flat.
+    Interleaved in ONE warm session; writes BENCH/ivm_ab.json."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from etl_cms_spark.fixtures.generator import LANG_VOCAB, gen_source_changes
+    from etl_cms_spark.operators.dedup import latest_by_lsn
+    from etl_cms_spark.plans.joinview import MaterializedJoinView
+    from etl_cms_spark.plans.scd import Scd2History
+    from etl_cms_spark.sink.lake import LakeTable
+
+    spark = _tuned_session(8)
+    d_events = max(10_000, n_events // 50)
+    base_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    key = ["repo", "path"]
+    sel = ["lsn", "op", "repo", "path", "commit", "lang", "content"]
+    d_schema = "lsn long, op string, lang string, lang_family string, lang_rank long"
+    sizes = []
+
+    for mult in (1, 4):
+        n_base = n_events * mult
+        root = tempfile.mkdtemp(prefix=f"ivm_ab_{mult}x_", dir=base_dir)
+        try:
+            total = n_base + 2 * d_events
+            ev_dir = os.path.join(root, "events")
+            gen_source_changes(
+                spark, n_events=total, n_keys=total // 5, n_repos=100
+            ).repartition(16).write.parquet(ev_dir)
+            all_ev = spark.read.parquet(ev_dir)
+            c1, c2 = 2 * n_base, 2 * (n_base + d_events)
+            base = all_ev.where(F.col("lsn") < c1)
+            delta_u = all_ev.where((F.col("lsn") >= c1) & (F.col("lsn") < c2))
+
+            fact = LakeTable(spark, os.path.join(root, "fact"), n_buckets=64, merge_mode="mor")
+            fact.create(key, {"repo": "string", "path": "string", "commit": "string",
+                              "lang": "string", "content": "string"})
+            # clustered epoch: the SAME delta shape confined to 4/64
+            # buckets (hot-repo geometry) — same bucket fn as the lake.
+            delta_c = all_ev.where(F.col("lsn") >= c2).where(fact.bucket_expr(key) < 4)
+            n_clustered = delta_c.count()
+
+            fact.merge_epoch(latest_by_lsn(base.select(*sel), key, "lsn"), 0)
+            dim = LakeTable(spark, os.path.join(root, "dim"), n_buckets=4)
+            dim.create(["lang"], {"lang": "string", "lang_family": "string", "lang_rank": "long"})
+            dim.merge_epoch(
+                spark.createDataFrame(
+                    [(i + 1, "U", l, f"fam{i % 5}", 100 + i) for i, l in enumerate(LANG_VOCAB)],
+                    d_schema,
+                ),
+                0,
+            )
+            view = MaterializedJoinView(spark, os.path.join(root, "view"), fact, dim,
+                                        ["lang"], n_buckets=64, merge_mode="mor")
+            view.apply_epoch(0)  # bootstrap fold + warm-up
+
+            fact.merge_epoch(latest_by_lsn(delta_u.select(*sel), key, "lsn"), 1)
+            t0 = time.time()
+            view.apply_epoch(1)
+            jv_u = time.time() - t0
+            fact.merge_epoch(latest_by_lsn(delta_c.select(*sel), key, "lsn"), 2)
+            t0 = time.time()
+            view.apply_epoch(2)
+            jv_c = time.time() - t0
+            full_dir = os.path.join(root, "full_view")
+            t0 = time.time()
+            fact.read().join(dim.read(), "lang", "inner").write.mode("overwrite").parquet(full_dir)
+            jv_full = time.time() - t0
+
+            scd = Scd2History(
+                spark, os.path.join(root, "scd"), key,
+                {"commit": "string", "lang": "string", "content": "string"},
+                n_buckets=64, merge_mode="mor",
+            )
+            scd.apply_epoch(base.select(*sel), 0)  # bootstrap + warm-up
+            t0 = time.time()
+            scd.apply_epoch(delta_u.select(*sel), 1)
+            scd_u = time.time() - t0
+            t0 = time.time()
+            scd.apply_epoch(delta_c.select(*sel), 2)
+            scd_c = time.time() - t0
+            hist_dir = os.path.join(root, "full_hist")
+            w = Window.partitionBy(*key).orderBy("lsn")
+            t0 = time.time()
+            (all_ev.select(*sel)
+             .withColumn("valid_to_lsn", F.lead("lsn").over(w))
+             .where(F.col("op") != "D")
+             .write.mode("overwrite").parquet(hist_dir))
+            scd_full = time.time() - t0
+            sizes.append({
+                "base_events": n_base,
+                "epoch_events_uniform": d_events,
+                "epoch_events_clustered": n_clustered,
+                "joinview": {"fold_uniform_s": round(jv_u, 2),
+                             "fold_clustered_s": round(jv_c, 2),
+                             "full_rebuild_s": round(jv_full, 2)},
+                "scd2": {"fold_uniform_s": round(scd_u, 2),
+                         "fold_clustered_s": round(scd_c, 2),
+                         "full_recompute_s": round(scd_full, 2)},
+            })
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    a, b = sizes
+    def _r(x, y):
+        return round(y / x, 2) if x else None
+    report = {
+        "n_events": n_events, "epoch_events": d_events, "cpus": 8,
+        "sizes": sizes,
+        "growth_1x_to_4x": {
+            "joinview_fold_uniform": _r(a["joinview"]["fold_uniform_s"], b["joinview"]["fold_uniform_s"]),
+            "joinview_fold_clustered": _r(a["joinview"]["fold_clustered_s"], b["joinview"]["fold_clustered_s"]),
+            "joinview_full_rebuild": _r(a["joinview"]["full_rebuild_s"], b["joinview"]["full_rebuild_s"]),
+            "scd2_fold_uniform": _r(a["scd2"]["fold_uniform_s"], b["scd2"]["fold_uniform_s"]),
+            "scd2_fold_clustered": _r(a["scd2"]["fold_clustered_s"], b["scd2"]["fold_clustered_s"]),
+            "scd2_full_recompute": _r(a["scd2"]["full_recompute_s"], b["scd2"]["full_recompute_s"]),
+        },
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/ivm_ab.json", "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
 def shutil_which(name):
     import shutil as _sh
 
@@ -975,6 +1119,9 @@ if __name__ == "__main__":
     elif "--skew-ab" in sys.argv:
         n = int(os.environ.get("BENCH_SKEW_EVENTS", "4000000"))
         main_skew_ab(n)
+    elif "--ivm-ab" in sys.argv:
+        n = int(os.environ.get("BENCH_IVM_EVENTS", "2000000"))
+        main_ivm_ab(n)
     elif "--sustained" in sys.argv:
         n = int(os.environ.get("BENCH_SUSTAINED_EVENTS", "8000000"))
         e = int(os.environ.get("BENCH_SUSTAINED_EPOCHS", "12"))

@@ -12,8 +12,10 @@ LakeTable keyed by the FACT key (``fk_cols``) with the dim payload
 denormalized alongside the fact payload.  Per epoch, after both base
 tables committed epoch ``e``, ``apply_epoch(e)`` folds:
 
-* **fact-side delta** — ``fact.changes_for_epoch(e)`` (bucket-pruned
-  CDC-out, O(changed fact buckets)).  Upserted facts re-join the
+* **fact-side delta** — the epoch's own MoR delta files
+  (``fact.epoch_batch(e)``, O(epoch rows) — no snapshot diff at
+  all), falling back to ``fact.changes_for_epoch(e)`` (bucket-pruned
+  CDC-out) for CoW epochs.  Upserted facts re-join the
   CURRENT dim, read pruned to exactly the buckets holding the delta's
   dim keys (epoch-sized collect of distinct dks → bucket ids).
   Deleted facts tombstone their view row.
@@ -75,6 +77,7 @@ class MaterializedJoinView:
         dk_cols: list[str],
         n_buckets: int = 8,
         how: str = "inner",
+        merge_mode: str = "cow",
     ):
         if how not in ("inner", "left"):
             raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -83,7 +86,7 @@ class MaterializedJoinView:
         self.dim = dim
         self.dk_cols = list(dk_cols)
         self.how = how
-        self.table = LakeTable(spark, root, n_buckets)
+        self.table = LakeTable(spark, root, n_buckets, merge_mode=merge_mode)
         # schema resolution is LAZY: as a pipeline sidecar the view is
         # constructed before the pipeline's first run creates the fact
         # table, so validate/create on first use instead.
@@ -149,14 +152,34 @@ class MaterializedJoinView:
             c for c in self.fact.schema() if c not in fk
         ]
 
-        def _diff(t: LakeTable) -> DataFrame | None:
-            return (
-                t.changes_for_epoch(epoch)
-                if epoch in t.committed_epochs()
-                else None
+        def _feed(t: LakeTable) -> DataFrame | None:
+            """The epoch's change rows in FLAT form: key…, ``op``
+            ('U'/'D'), payload (NULL on deletes).  MoR epochs read
+            their own delta files (``epoch_batch`` — O(epoch rows),
+            no snapshot diff); CoW epochs (and MoR epochs whose
+            deltas were vacuumed) fall back to the bucket-pruned
+            snapshot diff.  The MoR batch may contain no-op rows the
+            diff would exclude (an upsert equal to the live row, a
+            delete of an absent key) — both fold idempotently here,
+            so the cheaper feed is semantics-preserving."""
+            if epoch not in t.committed_epochs():
+                return None
+            m = t._load_manifest()
+            if m["epochs"][str(epoch)].get("mode", "mor") == "mor":
+                try:
+                    return t.epoch_batch(epoch).drop("lsn")
+                except ValueError:
+                    pass  # vacuumed deltas — diff the snapshots
+            key_cols = m["key_cols"]
+            return t.changes_for_epoch(epoch).select(
+                *key_cols,
+                F.when(F.col("op") == "D", F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                F.col("after.*"),
             )
 
-        df_f, df_d = _diff(self.fact), _diff(self.dim)
+        df_f, df_d = _feed(self.fact), _feed(self.dim)
         parts: list[DataFrame] = []
         null_dim = [F.lit(None).cast(self.dim.schema()[c]).alias(c) for c in dpay]
 
@@ -165,7 +188,7 @@ class MaterializedJoinView:
         if df_f is not None:
             df_f = df_f.localCheckpoint(eager=False)
             fact_upserts = df_f.where(F.col("op") != "D").select(
-                *fk, F.col("after.*")
+                *fk, *fact_pay
             )
             dks_f = fact_upserts.select(*dk).distinct()
             dim_cur = self._dim_current_pruned(dks_f)
@@ -206,9 +229,7 @@ class MaterializedJoinView:
                 affected = affected.join(
                     F.broadcast(df_f.select(*fk)), fk, "left_anti"
                 )
-            new_dim = df_d.where(F.col("op") != "D").select(
-                *dk, F.col("after.*")
-            )
+            new_dim = df_d.where(F.col("op") != "D").select(*dk, *dpay)
             rejoined = affected.join(F.broadcast(new_dim), dk, self.how)
             parts.append(
                 rejoined.select(*fk, *fact_pay, *dpay, F.lit("U").alias("op"))

@@ -82,6 +82,7 @@ class Scd2History:
         key_cols: list[str],
         payload_schema: dict[str, str],
         n_buckets: int = 8,
+        merge_mode: str = "cow",
     ):
         self.spark = spark
         self.key_cols = list(key_cols)
@@ -90,7 +91,9 @@ class Scd2History:
             c: t for c, t in payload_schema.items() if c in self.key_cols
         } or {c: "string" for c in self.key_cols}
         pay = {c: payload_schema[c] for c in self.payload_cols}
-        self.history = LakeTable(spark, f"{root}/history", n_buckets)
+        self.history = LakeTable(
+            spark, f"{root}/history", n_buckets, merge_mode=merge_mode
+        )
         if not self.history.exists():
             self.history.create(
                 [*self.key_cols, "valid_from_lsn"],
@@ -98,7 +101,9 @@ class Scd2History:
                 | {"valid_from_lsn": "long", "valid_to_lsn": "long"}
                 | pay,
             )
-        self.current = LakeTable(spark, f"{root}/current", n_buckets)
+        self.current = LakeTable(
+            spark, f"{root}/current", n_buckets, merge_mode=merge_mode
+        )
         if not self.current.exists():
             self.current.create(
                 self.key_cols, key_schema | {"valid_from_lsn": "long"} | pay

@@ -3941,8 +3941,10 @@ def joinview_incremental(spark, sf_dir):
     """Materialized JOIN-view maintenance (plans/joinview.py): the
     fact changelog and a 3-epoch dimension changelog are merged into
     their LakeTables epoch by epoch, and the denormalized fact⋈dim
-    view is folded INCREMENTALLY from both tables' bucket-pruned
-    CDC-out diffs (delta join: Δfact ⋈ current dim ∪ affected facts ⋈
+    view is folded INCREMENTALLY from both tables' epoch feeds —
+    MoR tables here, so the fold reads each epoch's OWN delta files
+    (LakeTable.epoch_batch, O(epoch rows), no snapshot diff at all)
+    (delta join: Δfact ⋈ current dim ∪ affected facts ⋈
     Δdim, exclusion rule against double-apply).  The oracle is the
     one-shot latest-wins replay of BOTH changelogs joined — if any
     delta path over- or under-applied (dim delete not retracted, late
@@ -3958,19 +3960,20 @@ def joinview_incremental(spark, sf_dir):
     changes = _changelog_from_documents(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="joinview_entry_")
     try:
-        fact = LakeTable(spark, f"{root}/fact", n_buckets=8)
+        fact = LakeTable(spark, f"{root}/fact", n_buckets=8, merge_mode="mor")
         fact.create(
             ["repo", "path"],
             {"repo": "string", "path": "string", "commit": "string",
              "lang": "string", "content": "string"},
         )
-        dim = LakeTable(spark, f"{root}/dim", n_buckets=4)
+        dim = LakeTable(spark, f"{root}/dim", n_buckets=4, merge_mode="mor")
         dim.create(
             ["lang"],
             {"lang": "string", "concept_id": "long", "domain": "string"},
         )
         view = MaterializedJoinView(
-            spark, f"{root}/view", fact, dim, ["lang"], n_buckets=8
+            spark, f"{root}/view", fact, dim, ["lang"], n_buckets=8,
+            merge_mode="mor",
         )
         d_schema = "lsn long, op string, lang string, concept_id long, domain string"
         hi = changes.agg(F.max("lsn")).first()[0]

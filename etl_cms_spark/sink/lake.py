@@ -822,6 +822,70 @@ class LakeTable:
             .select(*key_cols, "op", "before", "after")
         )
 
+    def epoch_batch(self, epoch: int) -> DataFrame:
+        """The deduped change batch a committed MoR epoch merged, read
+        back from the epoch's OWN delta files — O(epoch rows), no
+        snapshot diff, no join.  Columns: key…, ``op`` ('U'/'D',
+        derived from the tombstone marker), ``lsn``, payload (NULL on
+        deletes), normalized to the current logical schema (renames /
+        added columns).  The cheap feed for consumers that only need
+        the AFTER image per key (e.g. plans/joinview.py) — consumers
+        that need the before image use ``changes_for_epoch``.
+
+        CoW epochs raise (their data dirs are bucket rewrites, not
+        deltas); vacuumed epochs raise rather than silently return a
+        partial batch (same contract as the lake_changelog stream
+        source)."""
+        m = self._load_manifest()
+        rec = m["epochs"].get(str(epoch))
+        if rec is None:
+            raise ValueError(f"epoch {epoch} is not committed")
+        if rec.get("mode", "mor") != "mor":
+            raise ValueError(
+                f"epoch {epoch} was committed mode={rec.get('mode')}; its "
+                "data dirs are bucket rewrites, not deltas — use "
+                "changes_for_epoch"
+            )
+        key_cols = m["key_cols"]
+        payload = [c for c in m["schema"] if c not in key_cols]
+        v = rec["snapshot_version"]
+        dirs, missing = [], []
+        for b in rec.get("changed_buckets", []):
+            d = os.path.join(self.root, "data", f"v{v}", f"_bucket={b}")
+            (dirs if os.path.isdir(d) else missing).append(d)
+        if missing:
+            raise ValueError(
+                f"epoch {epoch} delta files are gone (vacuumed): {missing[:3]}"
+            )
+        if not dirs:
+            schema = T.StructType(
+                [
+                    T.StructField(c, T._parse_datatype_string(m["schema"][c]))
+                    for c in key_cols
+                ]
+                + [
+                    T.StructField("op", T.StringType()),
+                    T.StructField("lsn", T.LongType()),
+                ]
+                + [
+                    T.StructField(c, T._parse_datatype_string(m["schema"][c]))
+                    for c in payload
+                ]
+            )
+            return self.spark.createDataFrame([], schema)
+        df = self._normalize(self.spark.read.parquet(*dirs), m)
+        return df.select(
+            *key_cols,
+            F.when(F.col(_DELETED_COL), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            F.col(_LSN_COL).cast("long").alias("lsn"),
+            *[
+                F.when(F.col(_DELETED_COL), F.lit(None).cast(m["schema"][c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in payload
+            ],
+        )
+
     def changes_for_epoch(self, epoch: int) -> DataFrame:
         """CDC OUT for ONE committed epoch, bucket-pruned: reads the
         epoch's lineage record for its snapshot version and changed

@@ -6,6 +6,7 @@ and replays are no-ops."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_cms_spark.fixtures.generator import gen_source_changes
@@ -57,14 +58,16 @@ def _fact_epochs(spark, n_events=2500):
     ]
 
 
-def _setup(spark, root, how="inner", n_buckets=8):
-    fact = LakeTable(spark, os.path.join(root, "fact"), n_buckets)
+def _setup(spark, root, how="inner", n_buckets=8, merge_mode="cow"):
+    fact = LakeTable(spark, os.path.join(root, "fact"), n_buckets,
+                     merge_mode=merge_mode)
     fact.create(["repo", "path"], FACT_SCHEMA)
-    dim = LakeTable(spark, os.path.join(root, "dim"), 4)
+    dim = LakeTable(spark, os.path.join(root, "dim"), 4,
+                    merge_mode=merge_mode)
     dim.create(["lang"], DIM_SCHEMA)
     view = MaterializedJoinView(
         spark, os.path.join(root, "view"), fact, dim, ["lang"],
-        n_buckets=n_buckets, how=how,
+        n_buckets=n_buckets, how=how, merge_mode=merge_mode,
     )
     return fact, dim, view
 
@@ -88,8 +91,13 @@ def _run_epochs(spark, fact, dim, view, fact_batches, dim_batches, check=None):
             check(e)
 
 
-def test_inner_view_tracks_full_recompute_every_epoch(spark, tmp_root):
-    fact, dim, view = _setup(spark, tmp_root, "inner")
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_inner_view_tracks_full_recompute_every_epoch(
+    spark, tmp_root, merge_mode
+):
+    # "mor" exercises the epoch_batch fast path (the fold reads the
+    # epoch's own delta files); "cow" the changes_for_epoch fallback.
+    fact, dim, view = _setup(spark, tmp_root, "inner", merge_mode=merge_mode)
     def check(e):
         assert_df_equal(
             view.read().select("repo", "path", "commit", "lang", "content",
@@ -102,7 +110,7 @@ def test_inner_view_tracks_full_recompute_every_epoch(spark, tmp_root):
 
 
 def test_left_view_tracks_full_recompute_every_epoch(spark, tmp_root):
-    fact, dim, view = _setup(spark, tmp_root, "left")
+    fact, dim, view = _setup(spark, tmp_root, "left", merge_mode="mor")
     def check(e):
         assert_df_equal(
             view.read().select("repo", "path", "commit", "lang", "content",

@@ -341,6 +341,64 @@ def test_changes_for_epoch_equals_full_diff(spark, tmp_root):
     assert d0.where(F.col("op") != "I").count() == 0
 
 
+def test_epoch_batch_reads_back_the_merged_batch(spark, tmp_root):
+    """MoR epoch_batch == the deduped batch the epoch merged (flat
+    op/lsn/payload, NULL payload on deletes), straight from the
+    epoch's own delta files — no snapshot diff; CoW epochs raise."""
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.operators.dedup import latest_by_lsn
+    from etl_cms_spark.sink.lake import LakeTable
+    from pyspark.sql import functions as F
+    from tests.conftest import assert_df_equal
+
+    ch = gen_source_changes(spark, n_events=2000, n_keys=300, n_repos=10)
+    sel = ["lsn", "op", "repo", "path", "commit", "lang", "content"]
+    t = LakeTable(spark, os.path.join(tmp_root, "eb"), n_buckets=16,
+                  merge_mode="mor")
+    t.create(["repo", "path"], {"repo": "string", "path": "string",
+                                "commit": "string", "lang": "string",
+                                "content": "string"})
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    b0 = latest_by_lsn(ch.where(F.col("lsn") <= mid).select(*sel),
+                       ["repo", "path"], "lsn")
+    b1 = latest_by_lsn(ch.where(F.col("lsn") > mid).select(*sel),
+                       ["repo", "path"], "lsn")
+    t.merge_epoch(b0, 0)
+    t.merge_epoch(b1, 1)
+    cols = ["repo", "path", "op", "lsn", "commit", "lang", "content"]
+    for e, b in ((0, b0), (1, b1)):
+        is_d = F.col("op") == "D"
+        expected = b.select(
+            "repo", "path",
+            F.when(is_d, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            F.col("lsn").cast("long").alias("lsn"),
+            *[F.when(is_d, F.lit(None).cast("string"))
+              .otherwise(F.col(c)).alias(c)
+              for c in ("commit", "lang", "content")],
+        )
+        assert_df_equal(t.epoch_batch(e).select(*cols), expected,
+                        f"epoch_batch({e}) == merged batch")
+
+    # empty commit: flat empty changelog with the right schema
+    t.merge_epoch(b1.limit(0), 2)
+    eb2 = t.epoch_batch(2)
+    assert eb2.count() == 0
+    assert set(eb2.columns) == set(cols)
+    assert eb2.columns[:4] == ["repo", "path", "op", "lsn"]
+
+    cow = LakeTable(spark, os.path.join(tmp_root, "ebc"), n_buckets=8)
+    cow.create(["repo", "path"], {"repo": "string", "path": "string",
+                                  "commit": "string", "lang": "string",
+                                  "content": "string"})
+    cow.merge_epoch(b0, 0)
+    import pytest
+    with pytest.raises(ValueError, match="mode"):
+        cow.epoch_batch(0)
+    with pytest.raises(ValueError, match="not committed"):
+        t.epoch_batch(99)
+
+
 def test_rebucket_grows_bucket_count_mid_history(spark, tmp_root):
     """Bucket-count evolution: epochs 0-1 land in 4 buckets, rebucket
     to 16, epoch 2 lands in the new layout — final state equals an

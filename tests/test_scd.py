@@ -18,9 +18,10 @@ COLS = ["repo", "path", "valid_from_lsn", "valid_to_lsn",
         "commit", "lang", "content", "is_current"]
 
 
-def _mk(spark, root, n_buckets=8):
+def _mk(spark, root, n_buckets=8, merge_mode="cow"):
     return Scd2History(
-        spark, root, ["repo", "path"], PAY, n_buckets=n_buckets
+        spark, root, ["repo", "path"], PAY, n_buckets=n_buckets,
+        merge_mode=merge_mode,
     )
 
 
@@ -48,8 +49,13 @@ def _epochs(changes, n):
     ]
 
 
-def test_incremental_history_equals_one_shot(spark, tmp_root, changes):
-    s = _mk(spark, os.path.join(tmp_root, "scd"))
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_incremental_history_equals_one_shot(
+    spark, tmp_root, changes, merge_mode
+):
+    # "mor" also covers version-closing updates resolved at read time
+    # through the (_lsn, _write_version) delta-stack tie-break.
+    s = _mk(spark, os.path.join(tmp_root, "scd"), merge_mode=merge_mode)
     for e, batch in enumerate(_epochs(changes, 3)):
         s.apply_epoch(batch, e)
     assert_df_equal(
