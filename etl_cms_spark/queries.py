@@ -3993,3 +3993,211 @@ def joinview_incremental(spark, sf_dir):
         ).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# =====================================================================
+# J. Round-5: CHAINED incremental maintenance — IVM operators compose
+# because every maintained object IS a LakeTable with per-epoch
+# CDC-out, so a view can be another view's base and a rollup can tail
+# a view, each stage O(its own epoch delta).
+# =====================================================================
+
+def _dim2_changelog_rows():
+    """Deterministic 3-epoch changelog for the SECOND dimension of the
+    snowflake (domain -> rank/region).  Exercises late arrival (dom2
+    missing until epoch 1 — its facts must resurrect), an update
+    (dom0 re-ranked), and a delete (dom1 at epoch 2 — its subtree
+    retracts from the chained view)."""
+    return [
+        [(400, "U", "dom0", 1, "amer"), (401, "U", "dom1", 2, "emea")],
+        [(500, "U", "dom2", 3, "apac"), (501, "U", "dom0", 10, "amer")],
+        [(600, "D", "dom1", None, None)],
+    ]
+
+
+def _dim2_changelog_values_sql():
+    rows = [r for ep in _dim2_changelog_rows() for r in ep]
+    vals = ", ".join(
+        f"({lsn}, '{op}', '{dom}', "
+        + ("NULL" if rank is None else str(rank))
+        + ", "
+        + ("NULL" if reg is None else f"'{reg}'")
+        + ")"
+        for lsn, op, dom, rank, reg in rows
+    )
+    return f"(VALUES {vals}) AS d2ch(lsn, op, domain, domain_rank, region)"
+
+
+_SNOWFLAKE_LIVE_SQL = f"""
+    ch AS ({{changelog}}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    fact_live AS (SELECT repo, path, commit, lang, content
+                  FROM ranked WHERE rn = 1 AND op <> 'D'),
+    dch AS (SELECT * FROM {_dim_changelog_values_sql()}),
+    dranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY lsn DESC) AS rn
+      FROM dch),
+    dim_live AS (SELECT lang, concept_id, domain
+                 FROM dranked WHERE rn = 1 AND op <> 'D')
+"""
+
+
+def _chain_tables(spark, root, changes):
+    """Build the MoR base tables + first-hop view shared by the
+    chained-IVM entries, and yield per-epoch after merging epoch e
+    into fact/dim1 and folding view1."""
+    from etl_cms_spark.plans.joinview import MaterializedJoinView
+    from etl_cms_spark.sink.lake import LakeTable
+
+    fact = LakeTable(spark, f"{root}/fact", n_buckets=8, merge_mode="mor")
+    fact.create(
+        ["repo", "path"],
+        {"repo": "string", "path": "string", "commit": "string",
+         "lang": "string", "content": "string"},
+    )
+    dim1 = LakeTable(spark, f"{root}/dim1", n_buckets=4, merge_mode="mor")
+    dim1.create(
+        ["lang"], {"lang": "string", "concept_id": "long", "domain": "string"}
+    )
+    v1 = MaterializedJoinView(
+        spark, f"{root}/v1", fact, dim1, ["lang"], n_buckets=8,
+        merge_mode="mor",
+    )
+    hi = changes.agg(F.max("lsn")).first()[0]
+    width = (hi + 3) // 3
+    d_schema = "lsn long, op string, lang string, concept_id long, domain string"
+
+    def epochs():
+        for e, d_rows in enumerate(_dim_changelog_rows()):
+            batch = changes.where(
+                (F.col("lsn") >= e * width) & (F.col("lsn") < (e + 1) * width)
+            )
+            fact.merge_epoch(latest_by_lsn(batch, ["repo", "path"], "lsn"), e)
+            dim1.merge_epoch(
+                latest_by_lsn(
+                    spark.createDataFrame(d_rows, d_schema), ["lang"], "lsn"
+                ),
+                e,
+            )
+            v1.apply_epoch(e)
+            yield e
+
+    return v1, epochs
+
+
+@q(
+    "joinview_snowflake_chain",
+    f"""
+    WITH {_SNOWFLAKE_LIVE_SQL.format(changelog=_oracle_changelog_sql())},
+    d2ch AS (SELECT * FROM {_dim2_changelog_values_sql()}),
+    d2ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY domain ORDER BY lsn DESC) AS rn
+      FROM d2ch),
+    dim2_live AS (SELECT domain, domain_rank, region
+                  FROM d2ranked WHERE rn = 1 AND op <> 'D')
+    SELECT f.repo, f.path, f.commit, f.lang, f.content,
+           d.concept_id, d.domain, d2.domain_rank, d2.region
+    FROM fact_live f
+    JOIN dim_live d USING (lang)
+    JOIN dim2_live d2 USING (domain)
+    """,
+)
+def joinview_snowflake_chain(spark, sf_dir):
+    """CHAINED view maintenance — the reference's snowflake shape
+    (claim -> concept -> domain, CMS_SynPuf_ETL_CDM_v5.py source-code
+    mapping chain) as two stacked MaterializedJoinViews: view1 =
+    fact⋈dim1 is itself the FACT of view2 = view1⋈dim2.  Composition
+    is free because a maintained view IS a LakeTable: view2 folds
+    view1's per-epoch MoR delta files (epoch_batch) exactly as view1
+    folds the base tables'.  Late-arriving dim2 rows resurrect the
+    whole subtree, a dim2 delete retracts it, and every epoch costs
+    O(Δ) at each hop — no stage ever re-joins its full inputs.  The
+    oracle replays all three changelogs latest-wins and takes the
+    one-shot 3-way join."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.joinview import MaterializedJoinView
+    from etl_cms_spark.sink.lake import LakeTable
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="snowflake_chain_entry_")
+    try:
+        v1, epochs = _chain_tables(spark, root, changes)
+        dim2 = LakeTable(spark, f"{root}/dim2", n_buckets=2, merge_mode="mor")
+        dim2.create(
+            ["domain"],
+            {"domain": "string", "domain_rank": "long", "region": "string"},
+        )
+        v2 = MaterializedJoinView(
+            spark, f"{root}/v2", v1.table, dim2, ["domain"], n_buckets=8,
+            merge_mode="mor",
+        )
+        d2_schema = "lsn long, op string, domain string, domain_rank long, region string"
+        d2_rows = _dim2_changelog_rows()
+        for e in epochs():
+            dim2.merge_epoch(
+                latest_by_lsn(
+                    spark.createDataFrame(d2_rows[e], d2_schema),
+                    ["domain"], "lsn",
+                ),
+                e,
+            )
+            v2.apply_epoch(e)
+        return v2.read().select(
+            "repo", "path", "commit", "lang", "content",
+            "concept_id", "domain", "domain_rank", "region",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "ivm_chain_rollup",
+    f"""
+    WITH {_SNOWFLAKE_LIVE_SQL.format(changelog=_oracle_changelog_sql())}
+    SELECT d.domain AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(LENGTH(f.content)) AS BIGINT) AS total_len
+    FROM fact_live f JOIN dim_live d USING (lang)
+    GROUP BY d.domain
+    """,
+)
+def ivm_chain_rollup(spark, sf_dir):
+    """Second-order IVM: a retraction-capable StateRollup keyed by a
+    DIMENSION attribute (domain) tails the MAINTAINED join view's own
+    per-epoch CDC-out — so a dim1 update that moves a lang between
+    domains retracts every affected file's contribution from the old
+    domain and adds it to the new, without the rollup ever seeing the
+    base tables.  Each refresh is O(changed view rows); the oracle is
+    the one-shot GROUP BY over the final joined state."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.rollup import StateRollup
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ivm_chain_entry_")
+    try:
+        v1, epochs = _chain_tables(spark, root, changes)
+        roll = StateRollup(
+            spark, f"{root}/roll",
+            key_exprs={"domain": F.col("domain")},
+            row_measures={
+                "n_files": F.lit(1),
+                "total_len": F.length("content"),
+            },
+            count_measure="n_files",
+            n_buckets=4,
+        )
+        for e in epochs():
+            roll.apply_diff(v1.table.changes_for_epoch(e), e)
+        return roll.read().select(
+            "domain",
+            F.col("n_files").cast("long").alias("n_files"),
+            F.col("total_len").cast("long").alias("total_len"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

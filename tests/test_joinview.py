@@ -233,3 +233,41 @@ def test_pipeline_sidecar_rides_epochs(spark, tmp_root):
         view2.read().select(*sel), expected(),
         "healed view == full join",
     )
+
+
+def test_snowflake_chain_tracks_full_recompute_every_epoch(spark, tmp_root):
+    """Two STACKED views (view1 = fact⋈dim1 is view2's fact, joined
+    to dim2 on a dim1 payload column) track the one-shot 3-way join
+    after every epoch — including a late-arriving dim2 row (its whole
+    subtree resurrects) and a dim2 delete (the subtree retracts)."""
+    fact, dim1, v1 = _setup(spark, tmp_root, "inner", merge_mode="mor")
+    dim2 = LakeTable(spark, os.path.join(tmp_root, "dim2"), 2,
+                     merge_mode="mor")
+    dim2.create(["domain"], {"domain": "string", "rank": "long"})
+    v2 = MaterializedJoinView(
+        spark, os.path.join(tmp_root, "v2"), v1.table, dim2, ["domain"],
+        n_buckets=8, merge_mode="mor",
+    )
+    d2_schema = "lsn long, op string, domain string, rank long"
+    d2 = [
+        spark.createDataFrame([(1, "U", "dom0", 10), (2, "U", "dom1", 20)],
+                              d2_schema),
+        spark.createDataFrame([(11, "U", "dom2", 30), (12, "U", "dom0", 99)],
+                              d2_schema),
+        spark.createDataFrame([(21, "D", "dom1", None)], d2_schema),
+    ]
+    fe, de = _fact_epochs(spark), _dim_epochs(spark)
+    for e in range(3):
+        fact.merge_epoch(latest_by_lsn(fe[e], ["repo", "path"], "lsn"), e)
+        dim1.merge_epoch(latest_by_lsn(de[e], ["lang"], "lsn"), e)
+        v1.apply_epoch(e)
+        dim2.merge_epoch(latest_by_lsn(d2[e], ["domain"], "lsn"), e)
+        v2.apply_epoch(e)
+        cols = ["repo", "path", "commit", "lang", "content",
+                "concept_id", "domain", "rank"]
+        assert_df_equal(
+            v2.read().select(*cols),
+            fact.read().join(dim1.read(), "lang", "inner")
+                .join(dim2.read(), "domain", "inner").select(*cols),
+            f"chained view == 3-way join after epoch {e}",
+        )
