@@ -630,3 +630,45 @@ def test_maintenance_plans_tombstone_expiry(spark, tmp_root):
     # idempotent: a fresh plan finds nothing left to expire
     plan2 = plan_maintenance(p.table, max_depth=1, expire_tombstones_below=horizon)
     assert "expire_tombstones" not in [a["action"] for a in plan2["actions"]]
+
+
+def test_epoch_batch_normalizes_across_rename_and_fails_loud_on_vacuum(
+    spark, tmp_root
+):
+    """epoch_batch reads old delta files through the CURRENT logical
+    schema (a pre-rename epoch comes back with the new column name),
+    and a vacuumed epoch raises instead of returning a partial batch."""
+    import pytest
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.operators.dedup import latest_by_lsn
+    from etl_cms_spark.sink.lake import LakeTable
+    from pyspark.sql import functions as F
+
+    ch = gen_source_changes(spark, n_events=900, n_keys=150, n_repos=5)
+    sel = ["lsn", "op", "repo", "path", "commit", "lang", "content"]
+    t = LakeTable(spark, os.path.join(tmp_root, "ebn"), n_buckets=4,
+                  merge_mode="mor")
+    t.create(["repo", "path"], {"repo": "string", "path": "string",
+                                "commit": "string", "lang": "string",
+                                "content": "string"})
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    t.merge_epoch(latest_by_lsn(ch.where(F.col("lsn") <= mid).select(*sel),
+                                ["repo", "path"], "lsn"), 0)
+    t.apply_schema_change({"rename": "lang:language"}, epoch=1)
+    # the PRE-rename epoch reads back under the CURRENT name
+    eb0 = t.epoch_batch(0)
+    assert "language" in eb0.columns and "lang" not in eb0.columns
+    assert eb0.where(F.col("op") == "U")\
+              .where(F.col("language").isNull()).count() == 0
+
+    t.merge_epoch(
+        latest_by_lsn(ch.where(F.col("lsn") > mid).select(*sel),
+                      ["repo", "path"], "lsn")
+        .withColumnRenamed("lang", "language"),
+        2,
+    )
+    t.compact()
+    t.vacuum(keep_last=1)
+    with pytest.raises(ValueError, match="vacuum"):
+        t.epoch_batch(0)
