@@ -1582,6 +1582,33 @@ class CDCPipeline:
         (``demux_domains=True`` mode)."""
         return self.domain_tables[domain].read()
 
+    def read_consistent(self, epoch: int | None = None) -> dict[str, DataFrame]:
+        """One atomic cut across ALL the pipeline's sinks: the main
+        table and every demux domain table, each pinned (``read_at``)
+        at the snapshot version recording its state after source
+        epochs <= ``epoch`` (``LakeTable.version_at_epoch``).  Within
+        an epoch the domain sinks merge BEFORE the main table, so the
+        main commit is the epoch's completion marker — defaulting
+        ``epoch`` to the main table's newest committed source epoch
+        means a crash (or in-flight merge) that tore a LATER epoch
+        across some sinks is invisible: the torn sinks are simply
+        read one version earlier.  This is the multi-table snapshot
+        isolation Iceberg needs a transactional catalog for,
+        recovered here from the shared epoch ids alone.  Returns
+        ``{"main": df, "<domain>": df, ...}``; readers needing the
+        routed union take ``unionByName`` over the domain entries.
+        Versions inside the vacuum horizon only — an expired boundary
+        fails loud in ``read_at``."""
+        if epoch is None:
+            src = [e for e in self.table.committed_epochs() if e >= 0]
+            if not src:
+                raise ValueError("no committed source epochs to align on")
+            epoch = max(src)
+        out = {"main": self.table.read_at(self.table.version_at_epoch(epoch))}
+        for d, t in sorted(getattr(self, "domain_tables", {}).items()):
+            out[d] = t.read_at(t.version_at_epoch(epoch))
+        return out
+
     def quarantine(self) -> DataFrame:
         return self.spark.read.parquet(self.quarantine_dir)
 

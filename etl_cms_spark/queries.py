@@ -4201,3 +4201,60 @@ def ivm_chain_rollup(spark, sf_dir):
         ).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "cdc_consistent_read",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT l.repo, l.path, l.commit, l.lang, l.content,
+           dim.concept_id, dim.domain, sha256(l.content) AS content_sha
+    FROM latest l JOIN {_concept_dim_sql()} ON l.lang = dim.lang
+    """,
+)
+def cdc_consistent_read(spark, sf_dir):
+    """CONSISTENT MULTI-TABLE SNAPSHOT (CDCPipeline.read_consistent):
+    after the 2-epoch demux run, an EXTRA epoch is merged into one
+    domain sink only — the torn write a mid-epoch crash or in-flight
+    merge leaves behind.  read_consistent() pins every sink at the
+    snapshot version recording the main table's newest COMPLETED
+    source epoch (LakeTable.version_at_epoch — the main commit is the
+    epoch's completion marker because domains merge first), so the
+    routed union equals the latest-wins replay of the REAL changelog;
+    the torn rows, visible to any naive per-table read, must be
+    absent.  Multi-table snapshot isolation from shared epoch ids
+    alone — no transactional catalog."""
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_consistent_")
+    try:
+        p = CDCPipeline(spark, root, n_buckets=8, demux_domains=True)
+        p.run(changes, n_epochs=2)
+        dom, t = sorted(p.domain_tables.items())[0]
+        torn = spark.createDataFrame(
+            [(10**9, "U", "torn-repo", f"f{i}", "c0", "python", "x",
+              9001, dom, "s") for i in range(7)],
+            "lsn long, op string, repo string, path string, commit string, "
+            "lang string, content string, concept_id long, domain string, "
+            "content_sha string",
+        )
+        t.merge_epoch(torn, 2)
+        cut = p.read_consistent()
+        union = reduce(
+            lambda a, b: a.unionByName(b),
+            [cut[d] for d in sorted(p.domain_tables)],
+        )
+        cols = ["repo", "path", "commit", "lang", "content",
+                "concept_id", "domain", "content_sha"]
+        return union.select(*cols).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

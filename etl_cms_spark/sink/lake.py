@@ -595,6 +595,29 @@ class LakeTable:
         df = self._read_buckets(m, bucket_ids)
         return df.where(~F.col(_DELETED_COL)).drop(_LSN_COL, _BUCKET_COL, _DELETED_COL)
 
+    def version_at_epoch(self, epoch: int) -> int:
+        """The snapshot version holding this table's state AFTER
+        applying source epochs <= ``epoch``: the largest committed
+        SOURCE epoch id (>= 0; the negative repair namespace commits
+        later in wall time and is deliberately outside the boundary)
+        at most ``epoch``, mapped to its recorded snapshot version —
+        or 0 (the empty created table) when no such epoch exists.
+        Driver-side manifest arithmetic only.  The returned version
+        stays readable until ``vacuum`` expires it; ``read_at`` then
+        fails loud rather than approximating.
+
+        This is the alignment primitive for CONSISTENT MULTI-TABLE
+        reads (CDCPipeline.read_consistent): tables sharing source
+        epoch ids each pin their own version for the same boundary,
+        giving one atomic cut across sinks without multi-table
+        transactions."""
+        cands = [
+            (int(e), int(r["snapshot_version"]))
+            for e, r in self._load_manifest()["epochs"].items()
+            if 0 <= int(e) <= epoch
+        ]
+        return max(cands)[1] if cands else 0
+
     def rollback(self, version: int) -> int:
         """Restore an older snapshot as a NEW commit (write-side time
         travel).  The target version's bucket map and epoch set become

@@ -796,3 +796,50 @@ def test_catch_up_domains_backfills_late_enabled_demux(spark, tmp_root):
         p.catch_up_domains(3)
     with pytest.raises(ValueError, match="demux_domains"):
         p0.catch_up_domains(-8)
+
+
+def test_read_consistent_hides_torn_later_epoch(spark, changes, tmp_root):
+    """Epoch-aligned multi-table cut: after an extra epoch is merged
+    into ONE domain sink only (a mid-epoch crash / in-flight merge),
+    read_consistent() pins every table at the main table's newest
+    completed source epoch — the torn rows are invisible and the
+    routed union still equals the main state."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    p = CDCPipeline(spark, tmp_root, n_buckets=8, demux_domains=True)
+    p.run(changes, n_epochs=2)
+    cols = ["repo", "path", "commit", "lang", "content",
+            "concept_id", "domain", "content_sha"]
+    dom, t = sorted(p.domain_tables.items())[0]
+    n_before = t.read().count()
+    v_before = t.version_at_epoch(1)
+
+    torn = spark.createDataFrame(
+        [(10**9, "U", "torn-repo", f"f{i}", "c0", "python", "x",
+          9001, dom, "s") for i in range(5)],
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, concept_id long, domain string, "
+        "content_sha string",
+    )
+    t.merge_epoch(torn, 2)
+    # naive read sees the tear; the pinned version does not move
+    assert t.read().count() == n_before + 5
+    assert t.version_at_epoch(1) == v_before
+    assert t.version_at_epoch(2) > v_before
+
+    cut = p.read_consistent()  # defaults to main's newest epoch (1)
+    assert set(cut) == {"main", *p.domain_tables}
+    union = reduce(
+        lambda a, b: a.unionByName(b),
+        [cut[d] for d in sorted(p.domain_tables)],
+    )
+    assert union.where(F.col("repo") == "torn-repo").count() == 0
+    assert_df_equal(union.select(*cols), p.current_state().select(*cols),
+                    "consistent routed union == main state")
+    assert_df_equal(cut["main"].select(*cols), p.current_state().select(*cols),
+                    "consistent main == current (main was not torn)")
+    # explicit later boundary includes the tear
+    cut2 = p.read_consistent(epoch=2)
+    assert cut2[dom].where(F.col("repo") == "torn-repo").count() == 5
