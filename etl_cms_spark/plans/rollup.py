@@ -246,3 +246,21 @@ class StateRollup:
 
     def read(self) -> DataFrame:
         return self.table.read().select(*self.key_cols, *self.row_measures)
+
+    # ---------------- pipeline sidecar protocol ----------------
+
+    @property
+    def name(self) -> str:
+        return f"state_rollup:{self.table.root.rstrip('/').rsplit('/', 1)[-1]}"
+
+    def update_from_lake(self, lake, epoch: int) -> dict:
+        """CDCPipeline sidecar hook: fold the lake's own per-epoch
+        CDC-out diff (before/after images — retractions need the
+        before side, so this stays on ``changes_for_epoch`` rather
+        than the flat ``epoch_batch``).  Idempotent via the rollup
+        table's manifest check, performed BEFORE reading the lake so
+        replays of long-vacuumed epochs it already applied stay
+        no-ops."""
+        if str(epoch) in {str(e) for e in self.table.committed_epochs()}:
+            return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        return self.apply_diff(lake.changes_for_epoch(epoch), epoch)

@@ -263,3 +263,37 @@ class Scd2History:
         return facts.join(dim, cond, how).drop(
             *[dim[c] for c in self.key_cols]
         )
+
+    # ---------------- pipeline sidecar protocol ----------------
+
+    @property
+    def name(self) -> str:
+        return f"scd2:{self.history.root.rstrip('/').rsplit('/', 2)[-2]}"
+
+    def update_from_lake(self, lake, epoch: int) -> dict:
+        """CDCPipeline sidecar hook: maintain the version history of
+        the LAKE's own state.  A committed MoR epoch's deduped batch
+        (``lake.epoch_batch`` — one event per key with its winning
+        LSN, read from the epoch's delta files) is exactly the
+        (lsn, op, key, payload) shape ``apply_epoch`` folds, so the
+        history tracks the lake's per-epoch versions — the post-dedup
+        contract, not the raw wire stream.  Idempotent via the two
+        tables' manifest checks (checked BEFORE touching the lake, so
+        a late catch-up never re-reads vacuumed epochs it already
+        applied); per-key LSN monotonicity stays enforced, including
+        for repair epochs re-offering quarantined keys' original
+        LSNs."""
+        if (
+            epoch in self.history.committed_epochs()
+            and epoch in self.current.committed_epochs()
+        ):
+            return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        try:
+            batch = lake.epoch_batch(epoch)
+        except ValueError as e:
+            raise ValueError(
+                "scd2 sidecar needs the epoch's own change batch "
+                "(merge_mode='mor' lake with un-vacuumed deltas): "
+                f"{e}"
+            ) from e
+        return self.apply_epoch(batch, epoch)

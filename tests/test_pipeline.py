@@ -843,3 +843,79 @@ def test_read_consistent_hides_torn_later_epoch(spark, changes, tmp_root):
     # explicit later boundary includes the tear
     cut2 = p.read_consistent(epoch=2)
     assert cut2[dom].where(F.col("repo") == "torn-repo").count() == 5
+
+
+def test_scd_and_rollup_sidecars_ride_pipeline(spark, changes, tmp_root):
+    """Scd2History and StateRollup ride the exactly-once epoch loop as
+    sidecars: the SCD current table converges to the lake's live
+    state, the rollup equals the one-shot GROUP BY over it, and a
+    LATE-ATTACHED sidecar catches up through replays (crash-window
+    heal) to the same state as one attached from the start."""
+    from pyspark.sql import functions as F
+
+    from etl_cms_spark.plans.rollup import StateRollup
+    from etl_cms_spark.plans.scd import Scd2History
+
+    def mk_sidecars(root):
+        scd = Scd2History(
+            spark, os.path.join(root, "scd"), ["repo", "path"],
+            {"commit": "string", "domain": "string"},
+            n_buckets=8, merge_mode="mor",
+        )
+        roll = StateRollup(
+            spark, os.path.join(root, "roll"),
+            key_exprs={"domain": F.col("domain")},
+            row_measures={"n_files": F.lit(1)},
+            count_measure="n_files", n_buckets=4,
+        )
+        return scd, roll
+
+    scd, roll = mk_sidecars(tmp_root)
+    p = CDCPipeline(spark, os.path.join(tmp_root, "lake"), n_buckets=8,
+                    merge_mode="mor", sidecars=[scd, roll])
+    p.run(changes, n_epochs=3)
+
+    live = p.current_state()
+    assert_df_equal(
+        scd.current.read().select("repo", "path", "commit", "domain"),
+        live.select("repo", "path", "commit", "domain"),
+        "scd2 sidecar current == lake live state",
+    )
+    assert_df_equal(
+        roll.read(),
+        live.groupBy("domain").agg(
+            F.count("*").cast("long").alias("n_files")
+        ),
+        "rollup sidecar == one-shot GROUP BY over live state",
+    )
+    # history versions are disjoint per key: every closed version ends
+    # at or before its successor's start (a delete-then-recreate gap
+    # is legitimate — the delete closes a version with no history row
+    # of its own), and only the LAST version may be open
+    h = scd.history_df()
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("repo", "path").orderBy("valid_from_lsn")
+    bad = h.select(
+        "*", F.lead("valid_from_lsn").over(w).alias("_next")
+    ).where(
+        (F.col("_next").isNotNull()
+         & (F.col("valid_to_lsn").isNull()
+            | (F.col("valid_to_lsn") > F.col("_next"))))
+    )
+    assert bad.count() == 0
+
+    # late attach: pipeline ran 3 epochs WITHOUT sidecars; attaching
+    # them and replaying converges to the same state
+    root2 = os.path.join(tmp_root, "late")
+    p2 = CDCPipeline(spark, os.path.join(root2, "lake"), n_buckets=8,
+                     merge_mode="mor")
+    p2.run(changes, n_epochs=3)
+    scd2, roll2 = mk_sidecars(root2)
+    p3 = CDCPipeline(spark, os.path.join(root2, "lake"), n_buckets=8,
+                     merge_mode="mor", sidecars=[scd2, roll2])
+    recs = p3.run(changes, n_epochs=3)
+    assert all(r.get("skipped_duplicate_epoch") for r in recs)
+    assert_df_equal(scd2.history_df(), scd.history_df(),
+                    "late-attached scd == from-start scd")
+    assert_df_equal(roll2.read(), roll.read(),
+                    "late-attached rollup == from-start rollup")
