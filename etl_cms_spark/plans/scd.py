@@ -272,17 +272,27 @@ class Scd2History:
 
     def update_from_lake(self, lake, epoch: int) -> dict:
         """CDCPipeline sidecar hook: maintain the version history of
-        the LAKE's own state.  A committed MoR epoch's deduped batch
-        (``lake.epoch_batch`` — one event per key with its winning
-        LSN, read from the epoch's delta files) is exactly the
-        (lsn, op, key, payload) shape ``apply_epoch`` folds, so the
-        history tracks the lake's per-epoch versions — the post-dedup
-        contract, not the raw wire stream.  Idempotent via the two
-        tables' manifest checks (checked BEFORE touching the lake, so
-        a late catch-up never re-reads vacuumed epochs it already
-        applied); per-key LSN monotonicity stays enforced, including
-        for repair epochs re-offering quarantined keys' original
-        LSNs."""
+        the LAKE's own state.  The fold input is the epoch's
+        EFFECTIVE changes: the committed MoR epoch's deduped batch
+        (``lake.epoch_batch`` — one event per key with its LSN, read
+        from the epoch's delta files; exactly the (lsn, op, key,
+        payload) shape ``apply_epoch`` folds) semi-joined to the keys
+        the epoch's CDC-out diff says actually CHANGED.  The filter
+        matters under out-of-order epochs (a file-split streaming
+        micro-batch can carry an event OLDER than the key's live row):
+        such an event loses the lake's last-writer-wins merge and
+        never appears in any lake state, so it must not mint a
+        history version either — and for every key the diff does
+        include, the epoch's batch row IS the new winner, so its LSN
+        is the version boundary.  History therefore tracks the lake's
+        per-epoch visible versions, not the raw wire stream.
+        Idempotent via the two tables' manifest checks (checked
+        BEFORE touching the lake, so a late catch-up never re-reads
+        vacuumed epochs it already applied).  Equal-LSN re-wins (a
+        repair upsert beating a same-LSN row by write version) change
+        the lake but are not representable in an LSN-keyed history —
+        the monotonicity guard raises loud rather than corrupting
+        intervals."""
         if (
             epoch in self.history.committed_epochs()
             and epoch in self.current.committed_epochs()
@@ -296,4 +306,7 @@ class Scd2History:
                 "(merge_mode='mor' lake with un-vacuumed deltas): "
                 f"{e}"
             ) from e
-        return self.apply_epoch(batch, epoch)
+        changed = lake.changes_for_epoch(epoch).select(*self.key_cols)
+        return self.apply_epoch(
+            batch.join(changed, self.key_cols, "semi"), epoch
+        )

@@ -618,6 +618,14 @@ class LakeTable:
         ]
         return max(cands)[1] if cands else 0
 
+    def read_at_epoch(self, epoch: int) -> DataFrame:
+        """The table's state after source epochs <= ``epoch``
+        (``read_at`` of ``version_at_epoch``).  Aligning several
+        tables that share epoch ids — the lake, its demux sinks, SCD2
+        / join-view / rollup sidecar tables — on the same ``epoch``
+        yields one consistent cross-table cut."""
+        return self.read_at(self.version_at_epoch(epoch))
+
     def rollback(self, version: int) -> int:
         """Restore an older snapshot as a NEW commit (write-side time
         travel).  The target version's bucket map and epoch set become

@@ -575,3 +575,64 @@ def test_streaming_debezium_envelopes_match_batch(spark, tmp_root):
         .where(F.col("dx") > F.col("mx"))
     )
     assert old_still_live.count() == 0
+
+
+def test_stream_restart_through_scd_and_rollup_sidecars(spark, tmp_root):
+    """The IVM sidecars (SCD2 history, StateRollup) ride the streaming
+    epoch loop: after the drain the SCD current table equals the lake
+    live state and the rollup equals the one-shot GROUP BY; a restart
+    over the SAME changelog with FRESH sidecars (the crash window)
+    catches up through duplicate-epoch skips without re-merging."""
+    from etl_cms_spark.plans.rollup import StateRollup
+    from etl_cms_spark.plans.scd import Scd2History
+    from tests.conftest import assert_df_equal
+
+    changes = gen_source_changes(spark, n_events=1000, n_keys=200, n_repos=10)
+    log_dir = os.path.join(tmp_root, "changelog")
+    changes.repartition(4).write.parquet(log_dir)
+    lake = os.path.join(tmp_root, "lake")
+
+    def mk(root):
+        scd = Scd2History(
+            spark, os.path.join(root, "scd"), ["repo", "path"],
+            {"commit": "string", "domain": "string"},
+            n_buckets=8, merge_mode="mor",
+        )
+        roll = StateRollup(
+            spark, os.path.join(root, "roll"),
+            key_exprs={"domain": F.col("domain")},
+            row_measures={"n_files": F.lit(1)},
+            count_measure="n_files", n_buckets=4,
+        )
+        return scd, roll
+
+    scd, roll = mk(os.path.join(tmp_root, "sc1"))
+    q1, p1 = start_stream(
+        spark, log_dir, lake, max_files_per_trigger=2,
+        merge_mode="mor", sidecars=[scd, roll],
+    )
+    q1.awaitTermination(300)
+    live = p1.current_state()
+    assert_df_equal(
+        scd.current.read().select("repo", "path", "commit", "domain"),
+        live.select("repo", "path", "commit", "domain"),
+        "streamed scd sidecar == lake live state",
+    )
+    assert_df_equal(
+        roll.read(),
+        live.groupBy("domain").agg(F.count("*").cast("long").alias("n_files")),
+        "streamed rollup sidecar == one-shot GROUP BY",
+    )
+    n_epochs_1 = len(p1.table.lineage())
+
+    scd2, roll2 = mk(os.path.join(tmp_root, "sc2"))
+    q2, p2 = start_stream(
+        spark, log_dir, lake, max_files_per_trigger=2,
+        merge_mode="mor", sidecars=[scd2, roll2],
+    )
+    q2.awaitTermination(300)
+    assert len(p2.table.lineage()) == n_epochs_1  # no re-merge
+    assert_df_equal(scd2.history_df(), scd.history_df(),
+                    "fresh scd caught up through replays")
+    assert_df_equal(roll2.read(), roll.read(),
+                    "fresh rollup caught up through replays")
