@@ -139,11 +139,82 @@ class MaterializedJoinView:
             F.broadcast(dks), self.dk_cols, "inner"
         )
 
+    def _sync_schema(self) -> list[dict]:
+        """Propagate base-table schema evolution into the view table
+        BEFORE folding — without this, a fact rename would silently
+        NULL-fill the view's old column on merge (merge_epoch
+        null-fills batch-absent columns by design, for add-column
+        producers).  Resolution uses the base manifests' bookkeeping:
+        ``renames`` maps every historical spelling to the current
+        logical name (chained), ``dropped`` records drops — so a view
+        column missing from the bases is renamed, dropped, or loudly
+        unresolvable; base columns the view lacks are added; lossless
+        type widenings follow.  Join columns (fk/dk) must be stable —
+        the lake refuses key renames, and a dk rename would need a
+        coordinated dim+fact evolution this fold does not infer.
+        Returns the changes applied (empty in the steady state, at
+        two driver-side manifest reads of cost)."""
+        fact_m = self.fact._load_manifest()
+        dim_m = self.dim._load_manifest()
+        fact_cols = dict(fact_m["schema"])
+        dim_pay = {
+            c: t for c, t in dim_m["schema"].items() if c not in self.dk_cols
+        }
+        missing_join = [
+            c for c in self.dk_cols
+            if c not in fact_cols or c not in dim_m["schema"]
+        ] + [c for c in self.fk_cols if c not in fact_cols]
+        if missing_join:
+            raise ValueError(
+                f"join/key columns {missing_join} disappeared from the "
+                "base tables; evolve the view explicitly"
+            )
+        expected = fact_cols | dim_pay
+        view_cols = dict(self.table._load_manifest()["schema"])
+        changes: list[dict] = []
+        for v, vt in list(view_cols.items()):
+            if v in expected:
+                bt = expected[v]
+                if bt != vt:
+                    changes.append({"widen": f"{v}:{bt}"})
+                continue
+            tf = fact_m["renames"].get(v)
+            td = dim_m["renames"].get(v)
+            if tf and td and tf != td:
+                raise ValueError(
+                    f"view column {v!r} resolves to both fact rename "
+                    f"{tf!r} and dim rename {td!r}"
+                )
+            tgt = tf or td
+            if tgt and tgt in expected and tgt not in view_cols:
+                changes.append({"rename": f"{v}:{tgt}"})
+                view_cols[tgt] = view_cols.pop(v)
+            elif v in fact_m.get("dropped", {}) or v in dim_m.get("dropped", {}):
+                changes.append({"drop": v})
+                view_cols.pop(v)
+            else:
+                raise ValueError(
+                    f"view column {v!r} matches nothing in the base "
+                    "tables (neither current schema, rename history, "
+                    "nor drop record); evolve the view explicitly"
+                )
+        for c, t in expected.items():
+            if c not in view_cols:
+                changes.append({"add": f"{c}:{t}"})
+        for ch in changes:
+            self.table.apply_schema_change(ch)
+        if changes:
+            self.dim_payload = list(dim_pay)
+        return changes
+
     def apply_epoch(self, epoch: int) -> dict:
         """Fold epoch ``e`` of both base tables into the view, exactly
         once.  Call after BOTH base tables committed the epoch (a
-        table that skipped the epoch contributes an empty diff)."""
+        table that skipped the epoch contributes an empty diff).
+        Base-table schema evolution since the last fold is propagated
+        into the view first (``_sync_schema``)."""
         self._ensure_init()
+        self._sync_schema()
         if epoch in self.table.committed_epochs():
             return {"epoch": epoch, "skipped_duplicate_epoch": True}
         fk, dk = self.fk_cols, self.dk_cols

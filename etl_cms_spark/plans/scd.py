@@ -298,6 +298,7 @@ class Scd2History:
             and epoch in self.current.committed_epochs()
         ):
             return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        self._sync_schema(lake)
         try:
             batch = lake.epoch_batch(epoch)
         except ValueError as e:
@@ -310,3 +311,31 @@ class Scd2History:
         return self.apply_epoch(
             batch.join(changed, self.key_cols, "semi"), epoch
         )
+
+    def _sync_schema(self, lake) -> list[dict]:
+        """Propagate lake renames of tracked payload columns into both
+        SCD tables before folding (the lake's epoch batches arrive
+        normalized to its CURRENT logical names; without the rename
+        the fold would select a vanished column).  Renames resolve
+        via the lake manifest's chained physical→logical map; a
+        tracked column that was DROPPED from the lake (or is
+        otherwise unresolvable) raises — a history cannot silently
+        stop versioning a column it promised to track."""
+        lm = lake._load_manifest()
+        changes: list[dict] = []
+        for i, c in enumerate(list(self.payload_cols)):
+            if c in lm["schema"]:
+                continue
+            tgt = lm["renames"].get(c)
+            if not tgt or tgt not in lm["schema"]:
+                raise ValueError(
+                    f"scd2 tracked payload column {c!r} no longer exists "
+                    "in the lake (dropped or unresolvable rename); evolve "
+                    "the history explicitly"
+                )
+            ch = {"rename": f"{c}:{tgt}"}
+            self.history.apply_schema_change(ch)
+            self.current.apply_schema_change(ch)
+            self.payload_cols[i] = tgt
+            changes.append(ch)
+        return changes

@@ -1871,6 +1871,18 @@ class LakeTable:
                 manifest["schema"][name] = typ
         elif "rename" in change:
             old, new = change["rename"].split(":", 1)
+            if old in manifest["key_cols"]:
+                # key_cols, bucket hashing and every consumer's join
+                # logic are keyed by name; a silent schema-only rename
+                # would desynchronize them (schema would say `new`
+                # while key_cols still said `old`).
+                raise ValueError(f"rename: {old!r} is a key column")
+            if (
+                old in manifest["schema"]
+                and new in manifest["schema"]
+                and new != old
+            ):
+                raise ValueError(f"rename: target {new!r} already exists")
             if old in manifest["schema"]:
                 manifest["schema"] = {
                     (new if k == old else k): v for k, v in manifest["schema"].items()

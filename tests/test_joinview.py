@@ -271,3 +271,77 @@ def test_snowflake_chain_tracks_full_recompute_every_epoch(spark, tmp_root):
                 .join(dim2.read(), "domain", "inner").select(*cols),
             f"chained view == 3-way join after epoch {e}",
         )
+
+
+def test_view_follows_base_schema_evolution(spark, tmp_root):
+    """Base-table evolution propagates into the view before each fold:
+    a fact RENAME renames the view column (no silent NULL-fill — the
+    round-5 bug class _sync_schema exists for), a fact ADD appears, a
+    fact DROP disappears, and a dim RENAME follows too; the long-lived
+    view object keeps tracking the full recompute throughout."""
+    f_schema = "lsn long, op string, repo string, path string, commit string, lang string, content string"
+    d_schema = "lsn long, op string, lang string, concept_id long, domain string"
+    fact, dim, view = _setup(spark, tmp_root, "inner", merge_mode="mor")
+    f0 = spark.createDataFrame(
+        [(1, "U", "r", "a", "c1", "py", "v1"),
+         (2, "U", "r", "b", "c2", "go", "v1")], f_schema)
+    d0 = spark.createDataFrame(
+        [(1, "U", "py", 10, "d0"), (2, "U", "go", 20, "d1")], d_schema)
+    fact.merge_epoch(f0, 0)
+    dim.merge_epoch(d0, 0)
+    view.apply_epoch(0)
+
+    # epoch 1: fact renames content->body and adds stars; dim renames
+    # domain->realm
+    fact.apply_schema_change({"rename": "content:body"})
+    fact.apply_schema_change({"add": "stars:bigint"})
+    dim.apply_schema_change({"rename": "domain:realm"})
+    f1 = spark.createDataFrame(
+        [(11, "U", "r", "a", "c3", "py", "v2", 7)],
+        f_schema.replace("content string", "body string") + ", stars bigint",
+    )
+    d1 = spark.createDataFrame(
+        [(11, "U", "py", 99, "d9")],
+        d_schema.replace("domain", "realm"),
+    )
+    fact.merge_epoch(f1, 1)
+    dim.merge_epoch(d1, 1)
+    view.apply_epoch(1)  # long-lived object, post-evolution
+    cols = ["repo", "path", "commit", "lang", "body", "stars",
+            "concept_id", "realm"]
+    assert set(view.read().columns) == set(cols)
+    assert_df_equal(
+        view.read().select(*cols),
+        fact.read().join(dim.read(), "lang", "inner").select(*cols),
+        "view tracks recompute across rename/add",
+    )
+    # pre-evolution rows kept their payload under the NEW name
+    row_b = view.read().where(F.col("path") == "b").first()
+    assert row_b["body"] == "v1" and row_b["stars"] is None
+
+    # epoch 2: fact drops commit — the view drops it too
+    fact.apply_schema_change({"drop": "commit"})
+    f2 = spark.createDataFrame(
+        [(21, "U", "r", "b", "go", "v3", 1)],
+        "lsn long, op string, repo string, path string, lang string, "
+        "body string, stars bigint",
+    )
+    fact.merge_epoch(f2, 2)
+    dim.merge_epoch(d1.limit(0), 2)
+    view.apply_epoch(2)
+    assert "commit" not in view.read().columns
+    cols2 = ["repo", "path", "lang", "body", "stars", "concept_id", "realm"]
+    assert_df_equal(
+        view.read().select(*cols2),
+        fact.read().join(dim.read(), "lang", "inner").select(*cols2),
+        "view tracks recompute across drop",
+    )
+
+
+def test_lake_refuses_key_column_rename(spark, tmp_root):
+    import pytest
+
+    t = LakeTable(spark, os.path.join(tmp_root, "k"), 4)
+    t.create(["repo", "path"], FACT_SCHEMA)
+    with pytest.raises(ValueError, match="key column"):
+        t.apply_schema_change({"rename": "repo:repository"})

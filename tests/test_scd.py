@@ -168,3 +168,34 @@ def test_asof_enrichment(spark, tmp_root, changes):
     assert_df_equal(got, exp, "as-of enrichment == interval-join recompute")
     # interval disjointness: no fact row fans out
     assert got.count() == got.select("repo", "path", "at_lsn").distinct().count()
+
+
+def test_scd_sidecar_follows_lake_rename(spark, tmp_root):
+    """A lake rename mid-stream propagates into both SCD tables before
+    the fold (the lake's epoch batches arrive under its CURRENT
+    names); tracked history survives under the new name."""
+    from etl_cms_spark.fixtures.generator import gen_schema_events
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    base = gen_source_changes(spark, n_events=900, n_keys=150, n_repos=5)
+    sev = gen_schema_events(spark, {899: '{"rename": "lang:language"}'})
+    scd = Scd2History(
+        spark, os.path.join(tmp_root, "scd"), ["repo", "path"],
+        {"commit": "string", "lang": "string"},
+        n_buckets=8, merge_mode="mor",
+    )
+    p = CDCPipeline(spark, os.path.join(tmp_root, "lake"), n_buckets=8,
+                    merge_mode="mor", sidecars=[scd])
+    p.run(base.unionByName(sev), n_epochs=2)
+    assert scd.payload_cols == ["commit", "language"]
+    cur = scd.current.read()
+    assert "language" in cur.columns and "lang" not in cur.columns
+    assert_df_equal(
+        cur.select("repo", "path", "commit", "language"),
+        p.current_state().select("repo", "path", "commit", "language"),
+        "scd current == lake live state across the rename",
+    )
+    # history columns renamed too; pre-rename versions kept their data
+    h = scd.history_df()
+    assert "language" in h.columns
+    assert h.where(F.col("language").isNull()).count() == 0
