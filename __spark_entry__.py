@@ -28,6 +28,7 @@ from etl_cms_spark.queries import ORACLES, QUERIES
 _PRIORITIZED = [
     # round-5 additions (never driver-checked)
     "cdc_consistent_read",        # epoch-aligned multi-table snapshot cut (new r5)
+    "joinview_evolution",         # base rename propagates into the live view (new r5)
     "joinview_snowflake_chain",   # two stacked views: view1 is view2's fact (new r5)
     "ivm_chain_rollup",           # StateRollup tails the maintained view's CDC-out (new r5)
     "scd2_history",               # SCD Type-2 version history, O(epoch) incremental fold (new r5)

@@ -4258,3 +4258,83 @@ def cdc_consistent_read(spark, sf_dir):
         return union.select(*cols).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "joinview_evolution",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    fact_live AS (SELECT repo, path, commit, lang, content
+                  FROM ranked WHERE rn = 1 AND op <> 'D'),
+    dch AS (SELECT * FROM {_dim_changelog_values_sql()}),
+    dranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY lsn DESC) AS rn
+      FROM dch),
+    dim_live AS (SELECT lang, concept_id, domain
+                 FROM dranked WHERE rn = 1 AND op <> 'D')
+    SELECT f.repo, f.path, f.commit, f.lang,
+           f.content AS body, d.concept_id, d.domain
+    FROM fact_live f JOIN dim_live d USING (lang)
+    """,
+)
+def joinview_evolution(spark, sf_dir):
+    """SCHEMA EVOLUTION UNDER A LIVE VIEW: the fact table renames
+    content->body between epochs 1 and 2, with the SAME long-lived
+    view object folding throughout.  The view's _sync_schema
+    propagates the rename through the base manifest's chained
+    physical->logical map before the fold — pre-rename view rows keep
+    their payload under the NEW name, post-rename epochs keep folding
+    (without propagation the view's old column would silently
+    NULL-fill, because merge_epoch null-fills batch-absent columns by
+    design).  The oracle replays both changelogs latest-wins and
+    labels the payload with the post-evolution name — any NULLed or
+    stale cell breaks the hash."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.joinview import MaterializedJoinView
+    from etl_cms_spark.sink.lake import LakeTable
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="joinview_evo_")
+    try:
+        fact = LakeTable(spark, f"{root}/fact", n_buckets=8, merge_mode="mor")
+        fact.create(
+            ["repo", "path"],
+            {"repo": "string", "path": "string", "commit": "string",
+             "lang": "string", "content": "string"},
+        )
+        dim = LakeTable(spark, f"{root}/dim", n_buckets=4, merge_mode="mor")
+        dim.create(
+            ["lang"],
+            {"lang": "string", "concept_id": "long", "domain": "string"},
+        )
+        view = MaterializedJoinView(
+            spark, f"{root}/view", fact, dim, ["lang"], n_buckets=8,
+            merge_mode="mor",
+        )
+        d_schema = "lsn long, op string, lang string, concept_id long, domain string"
+        hi = changes.agg(F.max("lsn")).first()[0]
+        width = (hi + 3) // 3
+        for e, d_rows in enumerate(_dim_changelog_rows()):
+            if e == 2:
+                fact.apply_schema_change({"rename": "content:body"})
+            batch = changes.where(
+                (F.col("lsn") >= e * width) & (F.col("lsn") < (e + 1) * width)
+            )
+            if e == 2:
+                batch = batch.withColumnRenamed("content", "body")
+            fact.merge_epoch(latest_by_lsn(batch, ["repo", "path"], "lsn"), e)
+            dim.merge_epoch(
+                latest_by_lsn(spark.createDataFrame(d_rows, d_schema), ["lang"], "lsn"),
+                e,
+            )
+            view.apply_epoch(e)
+        return view.read().select(
+            "repo", "path", "commit", "lang", "body", "concept_id", "domain"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
