@@ -224,21 +224,25 @@ class MaterializedJoinView:
         ]
 
         def _feed(t: LakeTable) -> DataFrame | None:
-            """The epoch's change rows in FLAT form: key…, ``op``
-            ('U'/'D'), payload (NULL on deletes).  MoR epochs read
-            their own delta files (``epoch_batch`` — O(epoch rows),
-            no snapshot diff); CoW epochs (and MoR epochs whose
-            deltas were vacuumed) fall back to the bucket-pruned
-            snapshot diff.  The MoR batch may contain no-op rows the
-            diff would exclude (an upsert equal to the live row, a
-            delete of an absent key) — both fold idempotently here,
-            so the cheaper feed is semantics-preserving."""
+            """The epoch's EFFECTIVE change rows in FLAT form: key…,
+            ``op`` ('U'/'D'), payload (NULL on deletes).  MoR epochs
+            read their own delta files (``epoch_effective_batch`` —
+            O(epoch rows) when the epoch is provably LSN-monotone, a
+            bucket-pruned diff-key semi-join otherwise: a STALE batch
+            row that lost the lake's LWW merge must never overwrite
+            the view, and file-split streaming micro-batches are not
+            LSN-ordered); CoW epochs (and MoR epochs whose deltas
+            were vacuumed) fall back to the bucket-pruned snapshot
+            diff, which is effective-only by construction.  The
+            monotone MoR batch may still contain no-op rows the diff
+            would exclude (an upsert equal to the live row, a delete
+            of an absent key) — both fold idempotently here."""
             if epoch not in t.committed_epochs():
                 return None
             m = t._load_manifest()
             if m["epochs"][str(epoch)].get("mode", "mor") == "mor":
                 try:
-                    return t.epoch_batch(epoch).drop("lsn")
+                    return t.epoch_effective_batch(epoch).drop("lsn")
                 except ValueError:
                     pass  # vacuumed deltas — diff the snapshots
             key_cols = m["key_cols"]

@@ -273,11 +273,12 @@ class Scd2History:
     def update_from_lake(self, lake, epoch: int) -> dict:
         """CDCPipeline sidecar hook: maintain the version history of
         the LAKE's own state.  The fold input is the epoch's
-        EFFECTIVE changes: the committed MoR epoch's deduped batch
-        (``lake.epoch_batch`` — one event per key with its LSN, read
-        from the epoch's delta files; exactly the (lsn, op, key,
-        payload) shape ``apply_epoch`` folds) semi-joined to the keys
-        the epoch's CDC-out diff says actually CHANGED.  The filter
+        EFFECTIVE changes (``lake.epoch_effective_batch`` — the
+        committed MoR epoch's deduped batch, one event per key with
+        its LSN in exactly the (lsn, op, key, payload) shape
+        ``apply_epoch`` folds, filtered to the keys the epoch's
+        CDC-out diff says actually CHANGED; the filter is FREE for
+        provably LSN-monotone epochs).  The filter
         matters under out-of-order epochs (a file-split streaming
         micro-batch can carry an event OLDER than the key's live row):
         such an event loses the lake's last-writer-wins merge and
@@ -300,17 +301,14 @@ class Scd2History:
             return {"epoch": epoch, "skipped_duplicate_epoch": True}
         self._sync_schema(lake)
         try:
-            batch = lake.epoch_batch(epoch)
+            batch = lake.epoch_effective_batch(epoch)
         except ValueError as e:
             raise ValueError(
                 "scd2 sidecar needs the epoch's own change batch "
                 "(merge_mode='mor' lake with un-vacuumed deltas): "
                 f"{e}"
             ) from e
-        changed = lake.changes_for_epoch(epoch).select(*self.key_cols)
-        return self.apply_epoch(
-            batch.join(changed, self.key_cols, "semi"), epoch
-        )
+        return self.apply_epoch(batch, epoch)
 
     def _sync_schema(self, lake) -> list[dict]:
         """Propagate lake renames of tracked payload columns into both

@@ -917,6 +917,38 @@ class LakeTable:
             ],
         )
 
+    def epoch_effective_batch(self, epoch: int) -> DataFrame:
+        """``epoch_batch`` filtered to the keys the epoch actually
+        CHANGED — the feed for consumers that must never see a STALE
+        event (one that lost the last-writer-wins merge because an
+        earlier-committed epoch already carried a higher LSN for its
+        key; file-split streaming micro-batches are not LSN-ordered,
+        so this is a real shape, not an edge case).  For every key
+        the epoch's diff includes, the epoch's (deduped) batch row IS
+        the new winner, so the filtered batch is exactly the epoch's
+        visible effect with true LSNs attached.
+
+        Cost: FREE when the epoch is provably LSN-monotone vs every
+        earlier epoch (its recorded lsn_min strictly above all prior
+        lsn_max — driver-side lineage arithmetic, no extra job; the
+        batch-mode pipeline's contiguous LSN slices always pass);
+        otherwise one bucket-pruned ``changes_for_epoch`` diff feeds
+        a key semi-join.  Repair epochs (negative ids) re-offer OLD
+        LSNs by design and always take the diff path."""
+        batch = self.epoch_batch(epoch)
+        m = self._load_manifest()
+        rec = m["epochs"][str(epoch)]
+        lo = rec.get("lsn_min")
+        prior = [
+            r.get("lsn_max")
+            for e, r in m["epochs"].items()
+            if int(e) < int(epoch) and r.get("lsn_max") is not None
+        ]
+        if int(epoch) >= 0 and lo is not None and (not prior or lo > max(prior)):
+            return batch
+        changed = self.changes_for_epoch(epoch).select(*m["key_cols"])
+        return batch.join(changed, m["key_cols"], "semi")
+
     def changes_for_epoch(self, epoch: int) -> DataFrame:
         """CDC OUT for ONE committed epoch, bucket-pruned: reads the
         epoch's lineage record for its snapshot version and changed

@@ -632,3 +632,80 @@ def test_read_where_always_equals_filtered_read(
         else:
             exp = exp.where(F.col(c).isin(*v))
     assert_df_equal(got, exp, f"pred={pred} compact={compact} {layout}/{cap}")
+
+
+jv_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),            # key (path id)
+        st.sampled_from(["U", "U", "U", "D"]),
+        st.integers(0, 2),            # lang id (join key)
+        st.integers(0, 5),            # payload value
+        st.integers(0, 2),            # epoch ASSIGNMENT (arbitrary: not lsn-ordered!)
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(**_SETTINGS)
+@given(evts=jv_events)
+def test_joinview_tracks_join_under_arbitrary_epoch_assignment(
+    spark, evts, tmp_path_factory
+):
+    """The maintained view equals fact⋈dim after folding epochs whose
+    event→epoch assignment is ARBITRARY (hypothesis-chosen), i.e. a
+    later epoch may carry earlier LSNs for a key — the file-split
+    streaming shape.  A stale batch row that lost the lake's LWW
+    merge must never overwrite the view (epoch_effective_batch's
+    diff-key filter); LSNs are the global event index, so winners are
+    well-defined."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_cms_spark.plans.joinview import MaterializedJoinView
+    from etl_cms_spark.sink.lake import LakeTable
+
+    root = str(tmp_path_factory.mktemp("jv_prop"))
+    try:
+        fact = LakeTable(spark, os.path.join(root, "fact"), 4,
+                         merge_mode="mor")
+        fact.create(["path"], {"path": "string", "lang": "string",
+                               "val": "long"})
+        dim = LakeTable(spark, os.path.join(root, "dim"), 2,
+                        merge_mode="mor")
+        dim.create(["lang"], {"lang": "string", "rank": "long"})
+        dim.merge_epoch(
+            spark.createDataFrame(
+                [(i + 1, "U", f"l{i}", 10 + i) for i in range(3)],
+                "lsn long, op string, lang string, rank long",
+            ),
+            0,
+        )
+        view = MaterializedJoinView(
+            spark, os.path.join(root, "view"), fact, dim, ["lang"],
+            n_buckets=4, merge_mode="mor",
+        )
+        schema = "lsn long, op string, path string, lang string, val long"
+        for e in range(3):
+            rows = [
+                (i, op, f"k{k}",
+                 None if op == "D" else f"l{lng}",
+                 None if op == "D" else v)
+                for i, (k, op, lng, v, ep) in enumerate(evts)
+                if ep == e
+            ]
+            batch = spark.createDataFrame(rows, schema)
+            # one winner per (key) within the epoch: max lsn
+            from etl_cms_spark.operators.dedup import latest_by_lsn
+            fact.merge_epoch(latest_by_lsn(batch, ["path"], "lsn"), e)
+            view.apply_epoch(e)
+        cols = ["path", "lang", "val", "rank"]
+        got = sorted(map(tuple, view.read().select(*cols).collect()))
+        exp = sorted(map(tuple,
+                         fact.read().join(dim.read(), "lang", "inner")
+                         .select(*cols).collect()))
+        assert got == exp, f"view diverged: {got} != {exp}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -592,6 +592,20 @@ def test_stream_restart_through_scd_and_rollup_sidecars(spark, tmp_root):
     changes.repartition(4).write.parquet(log_dir)
     lake = os.path.join(tmp_root, "lake")
 
+    from etl_cms_spark.plans.joinview import MaterializedJoinView
+    from etl_cms_spark.sink.lake import LakeTable
+
+    dim = LakeTable(spark, os.path.join(tmp_root, "dim"), 2,
+                    merge_mode="mor")
+    dim.create(["domain"], {"domain": "string", "d_rank": "long"})
+    dim.merge_epoch(
+        spark.createDataFrame(
+            [(i + 1, "U", f"dom{i}", 100 + i) for i in range(3)],
+            "lsn long, op string, domain string, d_rank long",
+        ),
+        0,
+    )
+
     def mk(root):
         scd = Scd2History(
             spark, os.path.join(root, "scd"), ["repo", "path"],
@@ -604,15 +618,30 @@ def test_stream_restart_through_scd_and_rollup_sidecars(spark, tmp_root):
             row_measures={"n_files": F.lit(1)},
             count_measure="n_files", n_buckets=4,
         )
-        return scd, roll
+        # the view binds to the pipeline's (not-yet-created) fact
+        # table by path; file-split micro-batches are NOT LSN-ordered,
+        # so this drives epoch_effective_batch's stale-row filter.
+        fact = LakeTable(spark, os.path.join(lake, "tables", "files"),
+                         32, merge_mode="mor")
+        view = MaterializedJoinView(
+            spark, os.path.join(root, "view"), fact, dim, ["domain"],
+            n_buckets=8, merge_mode="mor",
+        )
+        return scd, roll, view
 
-    scd, roll = mk(os.path.join(tmp_root, "sc1"))
+    scd, roll, view = mk(os.path.join(tmp_root, "sc1"))
     q1, p1 = start_stream(
         spark, log_dir, lake, max_files_per_trigger=2,
-        merge_mode="mor", sidecars=[scd, roll],
+        merge_mode="mor", sidecars=[scd, roll, view],
     )
     q1.awaitTermination(300)
     live = p1.current_state()
+    vw_cols = [c for c in live.columns] + ["d_rank"]
+    assert_df_equal(
+        view.read().select(*vw_cols),
+        live.join(dim.read(), "domain", "inner").select(*vw_cols),
+        "streamed join-view sidecar == full join over live state",
+    )
     assert_df_equal(
         scd.current.read().select("repo", "path", "commit", "domain"),
         live.select("repo", "path", "commit", "domain"),
@@ -625,10 +654,10 @@ def test_stream_restart_through_scd_and_rollup_sidecars(spark, tmp_root):
     )
     n_epochs_1 = len(p1.table.lineage())
 
-    scd2, roll2 = mk(os.path.join(tmp_root, "sc2"))
+    scd2, roll2, view2 = mk(os.path.join(tmp_root, "sc2"))
     q2, p2 = start_stream(
         spark, log_dir, lake, max_files_per_trigger=2,
-        merge_mode="mor", sidecars=[scd2, roll2],
+        merge_mode="mor", sidecars=[scd2, roll2, view2],
     )
     q2.awaitTermination(300)
     assert len(p2.table.lineage()) == n_epochs_1  # no re-merge
@@ -636,3 +665,5 @@ def test_stream_restart_through_scd_and_rollup_sidecars(spark, tmp_root):
                     "fresh scd caught up through replays")
     assert_df_equal(roll2.read(), roll.read(),
                     "fresh rollup caught up through replays")
+    assert_df_equal(view2.read(), view.read(),
+                    "fresh join-view caught up through replays")
