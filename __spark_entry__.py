@@ -34,6 +34,7 @@ _PRIORITIZED = [
     "scd2_history",               # SCD Type-2 version history, O(epoch) incremental fold (new r5)
     "scd2_asof_enrich",           # as-of join against maintained validity intervals (new r5)
     "joinview_incremental",       # materialized fact⋈dim view, delta-join maintenance (new r5)
+    "joinview_nonmonotone",       # view fold under non-LSN-ordered epochs: stale events skipped (new r5)
     "cdc_partial_fold",           # binlog row_image=MINIMAL partial-column fold
     "debezium_adapter",           # before/after envelope -> flat changelog
     "debezium_keychange",         # PK-changing update -> delete+insert split (new r5)

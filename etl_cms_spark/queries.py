@@ -3995,6 +3995,80 @@ def joinview_incremental(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@q(
+    "joinview_nonmonotone",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    fact_live AS (SELECT repo, path, commit, lang, content
+                  FROM ranked WHERE rn = 1 AND op <> 'D'),
+    dch AS (SELECT * FROM {_dim_changelog_values_sql()}),
+    dranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY lsn DESC) AS rn
+      FROM dch),
+    dim_live AS (SELECT lang, concept_id, domain
+                 FROM dranked WHERE rn = 1 AND op <> 'D')
+    SELECT f.repo, f.path, f.commit, f.lang, f.content,
+           d.concept_id, d.domain
+    FROM fact_live f JOIN dim_live d USING (lang)
+    """,
+)
+def joinview_nonmonotone(spark, sf_dir):
+    """Join-view maintenance under NON-MONOTONE epochs: events are
+    assigned to 3 epochs by pmod(xxhash64(lsn), 3) — a later epoch
+    carries OLDER LSNs for most keys, the file-split streaming shape.
+    Such a stale event loses the lake's last-writer-wins merge, so the
+    view fold must skip it (LakeTable.epoch_effective_batch — the
+    epoch's batch semi-joined to its CDC-out diff keys; the monotone
+    fast path never fires here).  Feeding the raw per-epoch batch
+    instead diverges (mutation-tested in
+    tests/test_properties.py::test_joinview_tracks_join_under_arbitrary_epoch_assignment).
+    The oracle is the one-shot latest-wins replay of both changelogs
+    joined — epoch assignment must be invisible in the final view."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.operators.dedup import latest_by_lsn
+    from etl_cms_spark.plans.joinview import MaterializedJoinView
+    from etl_cms_spark.sink.lake import LakeTable
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="joinview_nonmono_entry_")
+    try:
+        fact = LakeTable(spark, f"{root}/fact", n_buckets=8, merge_mode="mor")
+        fact.create(
+            ["repo", "path"],
+            {"repo": "string", "path": "string", "commit": "string",
+             "lang": "string", "content": "string"},
+        )
+        dim = LakeTable(spark, f"{root}/dim", n_buckets=4, merge_mode="mor")
+        dim.create(
+            ["lang"],
+            {"lang": "string", "concept_id": "long", "domain": "string"},
+        )
+        view = MaterializedJoinView(
+            spark, f"{root}/view", fact, dim, ["lang"], n_buckets=8,
+            merge_mode="mor",
+        )
+        d_schema = "lsn long, op string, lang string, concept_id long, domain string"
+        d_rows = [r for ep in _dim_changelog_rows() for r in ep]
+        dim.merge_epoch(
+            latest_by_lsn(spark.createDataFrame(d_rows, d_schema), ["lang"], "lsn"),
+            0,
+        )
+        for e in range(3):
+            batch = changes.where(F.expr("pmod(xxhash64(lsn), 3)") == e)
+            fact.merge_epoch(latest_by_lsn(batch, ["repo", "path"], "lsn"), e)
+            view.apply_epoch(e)
+        return view.read().select(
+            "repo", "path", "commit", "lang", "content", "concept_id", "domain"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # =====================================================================
 # J. Round-5: CHAINED incremental maintenance — IVM operators compose
 # because every maintained object IS a LakeTable with per-epoch
