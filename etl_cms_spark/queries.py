@@ -3771,6 +3771,72 @@ def lake_stats_pruned_read(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@q(
+    "lake_member_pruned_lookup",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT repo, path, commit, lang, content
+    FROM latest
+    WHERE commit IN (SELECT commit FROM latest
+                     WHERE path IN ('src/f7.txt', 'src/f42.txt', 'src/f99.txt'))
+    """,
+)
+def lake_member_pruned_lookup(spark, sf_dir):
+    """Membership-sketch (Bloom-style) file pruning for EQUALITY
+    probes on an unclustered high-cardinality column
+    (sink/stats.py refresh_member_stats): min/max stats cannot prune
+    a point lookup on random 40-char commit hashes (every file's
+    range admits every probe), so per-file sparse bit-position
+    sketches prove absence instead — the probed commits' files are
+    the only ones read.  A sketch can only prove absence, so false
+    positives cost a read, never a row: results are byte-identical
+    to the plain filtered read by construction.  The oracle replays
+    the same latest-wins state and probes the same three keys'
+    commits.  Pruning effectiveness and saturation semantics are
+    pinned in tests/test_statsprune.py."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.sink.lake import LakeTable
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).first()
+    width = max(1, (hi - lo + 1 + 1) // 2)
+    root = tempfile.mkdtemp(prefix="cdc_memberprune_")
+    try:
+        t = LakeTable(spark, root, n_buckets=8, merge_mode="mor")
+        t.create(
+            ["repo", "path"],
+            {"repo": "string", "path": "string", "commit": "string",
+             "lang": "string", "content": "string"},
+        )
+        t.merge_epoch(changes.where(F.col("lsn") < lo + width), 0)
+        t.merge_epoch(changes.where(F.col("lsn") >= lo + width), 1)
+        t.compact(target_file_rows=400)
+        t.refresh_member_stats(["commit"])
+        probes = sorted(
+            r["commit"]
+            for r in t.read()
+            .where(F.col("path").isin("src/f7.txt", "src/f42.txt", "src/f99.txt"))
+            .select("commit")
+            .collect()
+            if r["commit"] is not None
+        )
+        cols = ["repo", "path", "commit", "lang", "content"]
+        if not probes:  # all three keys deleted in latest state
+            return t.read().where(F.lit(False)).select(*cols).localCheckpoint()
+        plan = t.plan_where({"commit": probes})
+        if plan["files_total"] >= 4:
+            assert plan["files_read"] < plan["files_total"], plan
+        return t.read_where({"commit": probes}).select(*cols).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # =====================================================================
 # I. Round-5 additions: SCD2 history + materialized join view (IVM)
 # =====================================================================

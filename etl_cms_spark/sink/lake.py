@@ -531,6 +531,14 @@ class LakeTable:
 
         return _stats.refresh_stats(self, cols)
 
+    def refresh_member_stats(self, cols: list[str], bits: int = 4096) -> dict:
+        """Record per-file membership sketches (Bloom-style) of
+        ``cols`` for equality/IN pruning on unclustered
+        high-cardinality columns — see ``sink/stats.py``."""
+        from etl_cms_spark.sink import stats as _stats
+
+        return _stats.refresh_member_stats(self, cols, bits)
+
     def read_where(
         self, predicates: dict[str, tuple], version: int | None = None
     ) -> DataFrame:

@@ -58,6 +58,7 @@ def plan_maintenance(
     min_small_files: int | None = 8,
     keep_last_snapshots: int | None = None,
     stats_cols: list[str] | None = None,
+    member_cols: list[str] | None = None,
     expire_tombstones_below: int | None = None,
 ) -> dict:
     """Build a maintenance plan from the table's metadata layer.
@@ -165,6 +166,25 @@ def plan_maintenance(
             # new dirs get covered in the same maintenance window.
             actions.append({"action": "refresh_stats", "cols": cols})
 
+    # membership sketches keep current the same way: opt-in explicitly
+    # via ``member_cols`` or implicitly via any prior
+    # refresh_member_stats call; new dirs covered at plan execution
+    mcols = member_cols or sorted(
+        {c for d in cache["dirs"].values() for c in d.get("member_cols", [])}
+    )
+    if mcols:
+        m = table._load_manifest()
+        live = {d for b in m["buckets"] for d in table._bucket_dirs(m, b)}
+        mmissing = [
+            d
+            for d in live
+            if not set(mcols)
+            <= set(cache["dirs"].get(d, {}).get("member_cols", []))
+        ]
+        stats["member_dirs_missing"] = len(mmissing)
+        if mmissing:
+            actions.append({"action": "refresh_member_stats", "cols": mcols})
+
     return {"actions": actions, "stats": stats}
 
 
@@ -200,6 +220,8 @@ def run_maintenance(table: LakeTable, plan: dict, retries: int = 1) -> list[dict
                     rec = table.vacuum(keep_last=spec["keep_last"])
                 elif kind == "refresh_stats":
                     rec = table.refresh_stats(spec["cols"])
+                elif kind == "refresh_member_stats":
+                    rec = table.refresh_member_stats(spec["cols"])
                 else:
                     raise ValueError(f"unknown maintenance action {kind!r}")
                 break

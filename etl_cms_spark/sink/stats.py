@@ -49,6 +49,24 @@ default collation.
 Scale note: the sidecar is O(files x cols) JSON.  At 10^6+ files shard
 it per write dir (the Iceberg manifest-file shape) — the read path
 below only needs the union; kept single-file here for inspectability.
+
+MEMBERSHIP SKETCHES (Bloom-style, ``refresh_member_stats``): min/max
+pruning is useless for EQUALITY probes on an unclustered
+high-cardinality column (random commit hashes span the full range in
+every file, so every [min, max] admits every probe).  Iceberg solves
+this with parquet bloom filters written at file-write time; here the
+sketch is built post-hoc like the range stats — one distributed pass
+reading ONLY the sketched column of uncovered files — and stored in
+the same sidecar as per-file sparse bit-position sets (k=2 sha1-derived
+positions per distinct value, ``bits`` wide).  ``read_where`` then
+drops files whose sketch PROVES the probed value absent; a sketch can
+only prove absence, so false positives cost a read, never a row.
+Sketches that saturate past half the bit width are stored as ``FULL``
+(admit everything — no information).  Hashing is canonical-JSON +
+sha1, computed in plain Python on both the build (executor) and probe
+(driver) sides, so no Spark/Python hash parity is ever needed.
+Restricted to string/integer columns: float equality probes are a
+data-modeling smell and canonical float encoding is locale-trappy.
 """
 
 from __future__ import annotations
@@ -64,6 +82,27 @@ from pyspark.sql import functions as F
 _STATS_FILE = "_stats.json"
 _STATABLE = ("string", "int", "bigint", "long", "float", "double",
              "smallint", "tinyint")
+# membership sketches: equality semantics must be exact under the
+# canonical encoding, so floats are excluded on purpose
+_MEMBERABLE = ("string", "int", "bigint", "long", "smallint", "tinyint")
+_MEMBER_BITS_DEFAULT = 4096
+_MEMBER_K = 2  # hash positions per value (two sha1 halves)
+
+
+def _member_positions(value, bits: int) -> tuple[int, ...]:
+    """The k bit positions of ``value`` in a ``bits``-wide sketch.
+    Canonical encoding: json.dumps of the Python value (parquet int64
+    -> int, string -> str — the same types ``read_where`` probes carry),
+    hashed once with sha1; the two unsigned 64-bit halves mod ``bits``
+    are the positions.  Pure Python on purpose — identical arithmetic
+    executor-side (build) and driver-side (probe)."""
+    import hashlib
+
+    h = hashlib.sha1(json.dumps(value).encode("utf-8")).digest()
+    return (
+        int.from_bytes(h[:8], "big") % bits,
+        int.from_bytes(h[8:16], "big") % bits,
+    )
 
 
 def _stats_path(root: str) -> str:
@@ -209,6 +248,122 @@ def refresh_stats(table, cols: list[str]) -> dict:
     return {"files_scanned": len(scanned), "dirs_covered": len(final["dirs"])}
 
 
+def refresh_member_stats(
+    table, cols: list[str], bits: int = _MEMBER_BITS_DEFAULT
+) -> dict:
+    """Record per-file membership sketches of ``cols`` for every data
+    dir the cache doesn't cover yet (same incremental/immutable-dir
+    contract as :func:`refresh_stats`).  One distributed pass reads
+    ONLY the sketched columns of the uncovered files (column-pruned
+    parquet reads, executor-side); the driver collects one small row
+    per (file, col).  A sketch whose set-bit count exceeds half the
+    width carries no information and is stored as ``FULL`` (admits
+    every probe).  Returns ``{"files_scanned": n, "dirs_covered": n}``."""
+    m = table._load_manifest()
+    schema = m["schema"]
+    bad = [c for c in cols if c not in schema]
+    if bad:
+        raise ValueError(f"refresh_member_stats: no such columns {bad}")
+    untyped = [
+        c for c in cols
+        if not any(schema[c].startswith(t) for t in _MEMBERABLE)
+    ]
+    if untyped:
+        raise ValueError(
+            "refresh_member_stats: unsupported sketch types "
+            f"{{{', '.join(f'{c}: {schema[c]}' for c in untyped)}}} "
+            "(string/integer columns only)"
+        )
+    if bits < 64:
+        raise ValueError(f"refresh_member_stats: bits must be >= 64, got {bits}")
+    stats = load_stats(table.root)
+    live_dirs = {
+        d for b in m["buckets"] for d in table._bucket_dirs(m, b)
+    }
+    stats["dirs"] = {d: v for d, v in stats["dirs"].items() if d in live_dirs}
+    todo = []
+    for d in sorted(live_dirs):
+        cached = stats["dirs"].get(d, {})
+        need = [c for c in cols if c not in cached.get("member_cols", [])]
+        if not need:
+            continue
+        absdir = os.path.join(table.root, d)
+        if not os.path.isdir(absdir):
+            continue
+        for fn in os.listdir(absdir):
+            if fn.endswith(".parquet"):
+                todo.append((d, fn, os.path.join(absdir, fn)))
+    if not todo:
+        return {"files_scanned": 0, "dirs_covered": len(stats["dirs"])}
+
+    paths = table.spark.createDataFrame(
+        todo, "rel_dir string, file string, file_path string"
+    )
+    want, width, cap = list(cols), bits, bits // 2
+
+    def _sketches(batches):
+        import pandas as pd
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                pf = pq.ParquetFile(r.file_path)
+                names = set(pf.schema_arrow.names)
+                present = [c for c in want if c in names]
+                if not present:
+                    continue  # pre-rename / pre-add file: admit
+                tbl = pf.read(columns=present)
+                for c in present:
+                    vals = pc.unique(tbl.column(c)).to_pylist()
+                    pos: set[int] = set()
+                    for v in vals:
+                        if v is None:
+                            continue  # probes are null-rejecting
+                        pos.update(_member_positions(v, width))
+                        if len(pos) > cap:
+                            break
+                    if len(pos) > cap:
+                        out.append((r.rel_dir, r.file, c, None))
+                    else:
+                        out.append(
+                            (r.rel_dir, r.file, c, json.dumps(sorted(pos)))
+                        )
+            yield pd.DataFrame(
+                out, columns=["rel_dir", "file", "col", "pos"]
+            )
+
+    rows = paths.mapInPandas(
+        _sketches, "rel_dir string, file string, col string, pos string"
+    ).collect()
+    per_dir: dict[str, dict] = {}
+    for r in rows:
+        fent = per_dir.setdefault(r.rel_dir, {}).setdefault(r.file, {})
+        fent[r.col] = (
+            "FULL" if r.pos is None
+            else {"b": width, "s": json.loads(r.pos)}
+        )
+    # merge-on-save, same contract as refresh_stats
+    final = load_stats(table.root)
+    final["dirs"] = {
+        d: v for d, v in final["dirs"].items() if d in live_dirs
+    }
+    scanned = set()
+    for d, fn, _ in todo:
+        scanned.add((d, fn))
+        dent = final["dirs"].setdefault(d, {"cols": [], "files": {}})
+        ment = dent.setdefault("member", {})
+        ment.setdefault(fn, {}).update(per_dir.get(d, {}).get(fn, {}))
+    for d in {d for d, _, _ in todo}:
+        dent = final["dirs"][d]
+        dent["member_cols"] = sorted(
+            set(dent.get("member_cols", [])) | set(cols)
+        )
+    _save_stats(table.root, final)
+    return {"files_scanned": len(scanned), "dirs_covered": len(final["dirs"])}
+
+
 def _norm_predicates(predicates: dict) -> dict:
     """Validate + normalize: a TUPLE ``(lo, hi)`` is a closed range, a
     LIST/SET is value membership (IN).  The distinction is by Python
@@ -261,6 +416,46 @@ def _file_admits(fstats: dict | None, preds: dict) -> bool:
     return True
 
 
+def _member_probe_values(preds: dict) -> dict[str, list]:
+    """Per column, the equality probe set a membership sketch can act
+    on: IN lists as-is, a closed range (v, v) as the single value v.
+    True ranges (lo < hi) carry no equality information — min/max
+    stats handle those."""
+    out = {}
+    for c, (kind, v) in preds.items():
+        if kind == "in":
+            out[c] = list(v)
+        elif kind == "range" and v[0] == v[1]:
+            out[c] = [v[0]]
+    return out
+
+
+def _member_admits(ment: dict | None, probe_vals: dict[str, list]) -> bool:
+    """True if the file's membership sketches cannot PROVE every probe
+    value absent for some column.  Missing sketch / FULL sketch /
+    unencodable probe value -> conservatively true for that column."""
+    if ment is None or not probe_vals:
+        return True
+    for c, vals in probe_vals.items():
+        sk = ment.get(c)
+        if sk is None or sk == "FULL":
+            continue
+        bits, setpos = sk["b"], set(sk["s"])
+        admit_col = False
+        for x in vals:
+            try:
+                need = _member_positions(x, bits)
+            except TypeError:
+                admit_col = True  # unencodable probe: nothing provable
+                break
+            if all(p in setpos for p in need):
+                admit_col = True
+                break
+        if not admit_col:
+            return False
+    return True
+
+
 def plan_where(
     table, predicates: dict[str, tuple], version: int | None = None
 ) -> dict:
@@ -281,6 +476,7 @@ def plan_where(
         if c not in m["schema"]:
             raise ValueError(f"read_where: no such column {c}")
     preds = _norm_predicates(predicates)
+    probe_vals = _member_probe_values(preds)
     stats = load_stats(table.root)["dirs"]
     # key-equality fast path: when the predicates pin EVERY key column
     # to a single value, the row can only live in one hash bucket —
@@ -324,6 +520,7 @@ def plan_where(
         for d in dirs:
             dent = stats.get(d)
             fentries = (dent or {}).get("files", {})
+            mentries = (dent or {}).get("member", {})
             absdir = os.path.join(table.root, d)
             names = (
                 [fn for fn in os.listdir(absdir) if fn.endswith(".parquet")]
@@ -334,9 +531,14 @@ def plan_where(
             kept = []
             for fn in names:
                 fstats = fentries.get(fn)
-                if fstats is None:
+                ment = mentries.get(fn)
+                if fstats is None and ment is None:
+                    # no proof structure at all: the whole-bucket skip
+                    # (delta stacks) needs every file provably excluded
                     all_covered = False
-                if _file_admits(fstats, preds):
+                if _file_admits(fstats, preds) and _member_admits(
+                    ment, probe_vals
+                ):
                     kept.append(os.path.join(absdir, fn))
             per_dir[d] = kept
             if kept:
@@ -405,10 +607,14 @@ def stats_coverage(table) -> dict:
     live = sorted({d for b in m["buckets"] for d in table._bucket_dirs(m, b)})
     covered = [d for d in live if d in cache]
     cols = sorted({c for d in covered for c in cache[d].get("cols", [])})
+    member_cols = sorted(
+        {c for d in covered for c in cache[d].get("member_cols", [])}
+    )
     files_covered = sum(len(cache[d].get("files", {})) for d in covered)
     return {
         "dirs_total": len(live),
         "dirs_covered": len(covered),
         "files_covered": files_covered,
         "cols": cols,
+        "member_cols": member_cols,
     }

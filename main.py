@@ -71,6 +71,12 @@ def main() -> None:
         "the batch epoch loop, refreshes after scheduled compactions",
     )
     ap.add_argument(
+        "--member-cols", default=None, metavar="COL[,COL...]",
+        help="keep membership sketches (Bloom-style equality/IN file "
+        "pruning, sink/stats.py) covering these columns under "
+        "--maintain (default: whatever the cache tracks)",
+    )
+    ap.add_argument(
         "--compact-cluster-layout", default="linear",
         choices=["linear", "zorder"],
         help="linear = lexicographic (tight stats on the LEADING "
@@ -224,6 +230,7 @@ def main() -> None:
             max_depth=args.compact_depth or 4,
             keep_last_snapshots=args.vacuum_keep_last,
             stats_cols=(args.stats_cols.split(",") if args.stats_cols else None),
+            member_cols=(args.member_cols.split(",") if args.member_cols else None),
             expire_tombstones_below=args.expire_tombstones_below,
         )
         print(json.dumps({"plan": plan}))

@@ -592,9 +592,10 @@ prune_pred = st.one_of(
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(rows=prune_rows, pred=prune_pred, compact=st.booleans(),
        layout=st.sampled_from(["linear", "zorder"]),
-       cap=st.sampled_from([0, 7]))
+       cap=st.sampled_from([0, 7]),
+       member=st.sampled_from([0, 512, 64]))
 def test_read_where_always_equals_filtered_read(
-    spark, tmp_path_factory, rows, pred, compact, layout, cap
+    spark, tmp_path_factory, rows, pred, compact, layout, cap, member
 ):
     import os
 
@@ -622,6 +623,11 @@ def test_read_where_always_equals_filtered_read(
         t.compact(cluster_by=["num", "lang"], cluster_layout=layout,
                   target_file_rows=cap or None)
         t.refresh_stats(["num", "lang"])
+    if member:
+        # membership sketches too (64-bit width often saturates ->
+        # FULL path; 512 usually stays exact) — equality/IN probes on
+        # lang must prune identically under both
+        t.refresh_member_stats(["lang", "num"], bits=member)
     got = t.read_where(pred)
     exp = t.read()
     from pyspark.sql import functions as F

@@ -369,3 +369,154 @@ def test_drop_readd_stale_stats_stay_safe(spark, tmp_root):
     exp = t.read().where("num between 0 and 10000")
     assert_df_equal(got, exp, "drop/re-add read_where")
     assert [r.k for r in got.collect()] == ["knew"]
+
+
+# ---------------------------------------------------------------------
+# Membership sketches (Bloom-style): equality/IN pruning on unclustered
+# high-cardinality columns, where min/max stats are structurally
+# useless (random sha256 strings span ~the full range in EVERY file).
+# ---------------------------------------------------------------------
+
+
+def _some_v(t, k="k0000042"):
+    """A value actually present in the table, plus one provably absent."""
+    present = t.read().where(F.col("k") == k).first()["v"]
+    return present, "0" * 64  # sha256 hex never all-zeros here
+
+
+def test_member_sketch_prunes_equality_on_unclustered_column(spark, tmp_root):
+    """min/max on a random-hash column admits ~every file; the
+    membership sketch prunes the same probe to the files that actually
+    contain it — and proves an absent value reads ZERO files."""
+    t = _make(spark, os.path.join(tmp_root, "mb_eq"), compacted=True,
+              cluster_by=["num"], target_file_rows=1500)
+    t.refresh_stats(["v"])
+    present, absent = _some_v(t)
+    plan_minmax = t.plan_where({"v": (present, present)})
+    # random hashes: ranges overlap everywhere, minmax can't prune much
+    assert plan_minmax["files_read"] > plan_minmax["files_total"] // 2
+
+    t.refresh_member_stats(["v"])
+    plan = t.plan_where({"v": (present, present)})
+    assert 1 <= plan["files_read"] < plan_minmax["files_read"]
+    assert_df_equal(
+        t.read_where({"v": (present, present)}),
+        t.read().where(F.col("v") == present),
+        "member-pruned equality",
+    )
+    plan_absent = t.plan_where({"v": (absent, absent)})
+    assert plan_absent["files_read"] == 0
+    assert t.read_where({"v": (absent, absent)}).count() == 0
+    cov = t.stats_coverage()
+    assert cov["member_cols"] == ["v"]
+
+
+def test_member_sketch_in_list_composes_with_ranges(spark, tmp_root):
+    """IN over (present, absent) values plus a numeric range: the
+    sketch admits only the present value's files, the range applies as
+    residual — results identical to the plain filtered read."""
+    t = _make(spark, os.path.join(tmp_root, "mb_in"), compacted=True,
+              cluster_by=["num"], target_file_rows=1500)
+    t.refresh_member_stats(["v"])
+    present, absent = _some_v(t)
+    preds = {"v": [present, absent], "num": (0, 8191)}
+    assert_df_equal(
+        t.read_where(preds),
+        t.read().where(
+            F.col("v").isin(present, absent) & F.col("num").between(0, 8191)
+        ),
+        "IN + range composition",
+    )
+    # the absent value adds no files beyond the present value's
+    assert (
+        t.plan_where({"v": [present, absent]})["files_read"]
+        == t.plan_where({"v": (present, present)})["files_read"]
+    )
+
+
+def test_member_sketch_whole_bucket_skip_on_mor_stack(spark, tmp_root):
+    """Delta-stack buckets resolve winners across files, so they skip
+    only WHOLE — full sketch coverage proving every file excludes the
+    probe skips the bucket; a present probe reads its bucket whole."""
+    t = _make(spark, os.path.join(tmp_root, "mb_stack"))  # 2-epoch stack
+    # stacked files hold ~7.5k distinct values: size the sketch so it
+    # doesn't saturate (2 bits/value << 32768 cap at 2^16 width)
+    t.refresh_member_stats(["v"], bits=1 << 16)
+    present, absent = _some_v(t)
+    plan_absent = t.plan_where({"v": (absent, absent)})
+    assert plan_absent["buckets_read"] == 0
+    assert t.read_where({"v": (absent, absent)}).count() == 0
+    plan = t.plan_where({"v": (present, present)})
+    assert 1 <= plan["buckets_read"] < plan["buckets_total"]
+    assert_df_equal(
+        t.read_where({"v": (present, present)}),
+        t.read().where(F.col("v") == present),
+        "stacked bucket, member-pruned",
+    )
+
+
+def test_member_sketch_saturation_admits_everything(spark, tmp_root):
+    """A sketch too narrow for the file's distinct count saturates and
+    is stored as FULL — no information, no pruning, results intact."""
+    t = _make(spark, os.path.join(tmp_root, "mb_full"), compacted=True,
+              cluster_by=["num"], target_file_rows=1500)
+    t.refresh_member_stats(["v"], bits=64)  # ~1500 distinct >> 32 cap
+    # pin the mechanism: most sketches saturated to FULL (tiny tail
+    # slices under ~17 distinct values may legitimately stay exact)
+    from etl_cms_spark.sink import stats as stats_mod
+
+    sketches = [
+        sk
+        for d in stats_mod.load_stats(t.root)["dirs"].values()
+        for f in d.get("member", {}).values()
+        for sk in f.values()
+    ]
+    n_full = sum(1 for sk in sketches if sk == "FULL")
+    assert n_full > len(sketches) // 2
+    present, absent = _some_v(t)
+    plan = t.plan_where({"v": (absent, absent)})
+    # every FULL sketch admits; only the few exact tail sketches prune
+    assert plan["files_read"] >= n_full
+    assert_df_equal(
+        t.read_where({"v": (present, present)}),
+        t.read().where(F.col("v") == present),
+        "saturated sketch",
+    )
+
+
+def test_member_refresh_guards(spark, tmp_root):
+    t = _make(spark, os.path.join(tmp_root, "mb_guard"))
+    with pytest.raises(ValueError, match="no such columns"):
+        t.refresh_member_stats(["nope"])
+    with pytest.raises(ValueError, match="bits must be >= 64"):
+        t.refresh_member_stats(["v"], bits=8)
+    td = LakeTable(spark, os.path.join(tmp_root, "mb_dbl"), n_buckets=2)
+    td.create(["k"], {"k": "string", "score": "double"})
+    with pytest.raises(ValueError, match="unsupported sketch types"):
+        td.refresh_member_stats(["score"])
+
+
+def test_maintenance_keeps_member_sketches_current(spark, tmp_root):
+    """New epochs add uncovered dirs; the maintenance planner schedules
+    a refresh_member_stats action (prior opt-in), after which the probe
+    prunes the NEW dir's files too."""
+    from etl_cms_spark.sink.maintenance import plan_maintenance, run_maintenance
+
+    t = _make(spark, os.path.join(tmp_root, "mb_maint"))
+    t.refresh_member_stats(["v"])
+    fresh = spark.createDataFrame(
+        [("knew1", 1, "go", "vnew1", "U", 30_000_000),
+         ("knew2", 2, "py", "vnew2", "U", 30_000_001)],
+        "k string, num int, lang string, v string, op string, lsn long",
+    )
+    t.merge_epoch(fresh, 7)
+    plan = plan_maintenance(t)
+    kinds = [a["action"] for a in plan["actions"]]
+    assert "refresh_member_stats" in kinds
+    run_maintenance(t, plan)
+    assert plan_maintenance(t)["stats"].get("member_dirs_missing", 0) == 0
+    # the new row's value now prunes like any other
+    p = t.plan_where({"v": ("vnew1", "vnew1")})
+    assert p["files_read"] <= p["files_total"]
+    got = t.read_where({"v": ("vnew1", "vnew1")})
+    assert [r.k for r in got.collect()] == ["knew1"]
