@@ -57,8 +57,11 @@ every file, so every [min, max] admits every probe).  Iceberg solves
 this with parquet bloom filters written at file-write time; here the
 sketch is built post-hoc like the range stats — one distributed pass
 reading ONLY the sketched column of uncovered files — and stored in
-the same sidecar as per-file sparse bit-position sets (k=2 sha1-derived
-positions per distinct value, ``bits`` wide).  ``read_where`` then
+the same sidecar as per-file bit sets (k=2 sha1-derived positions per
+distinct value, ``bits`` wide; a sparse position list while cheap, a
+packed base64 bitmap past ``bits/32`` set positions — the bitmap is a
+fixed ``bits/8`` bytes where sparse costs ~8 B/position, so sidecar
+size stays bounded at any cardinality).  ``read_where`` then
 drops files whose sketch PROVES the probed value absent; a sketch can
 only prove absence, so false positives cost a read, never a row.
 Sketches that saturate past half the bit width are stored as ``FULL``
@@ -274,8 +277,10 @@ def refresh_member_stats(
             f"{{{', '.join(f'{c}: {schema[c]}' for c in untyped)}}} "
             "(string/integer columns only)"
         )
-    if bits < 64:
-        raise ValueError(f"refresh_member_stats: bits must be >= 64, got {bits}")
+    if bits < 64 or bits % 64:
+        raise ValueError(
+            f"refresh_member_stats: bits must be a multiple of 64 >= 64, got {bits}"
+        )
     stats = load_stats(table.root)
     live_dirs = {
         d for b in m["buckets"] for d in table._bucket_dirs(m, b)
@@ -326,10 +331,26 @@ def refresh_member_stats(
                             break
                     if len(pos) > cap:
                         out.append((r.rel_dir, r.file, c, None))
+                    elif len(pos) * 32 > width:
+                        # dense: a packed bitmap (width/8 bytes) beats
+                        # the sparse position list (~8 B/position)
+                        import base64
+
+                        buf = bytearray(width // 8)
+                        for p in pos:
+                            buf[p >> 3] |= 1 << (p & 7)
+                        out.append((
+                            r.rel_dir, r.file, c,
+                            json.dumps(
+                                {"b": width,
+                                 "p": base64.b64encode(bytes(buf)).decode()}
+                            ),
+                        ))
                     else:
-                        out.append(
-                            (r.rel_dir, r.file, c, json.dumps(sorted(pos)))
-                        )
+                        out.append((
+                            r.rel_dir, r.file, c,
+                            json.dumps({"b": width, "s": sorted(pos)}),
+                        ))
             yield pd.DataFrame(
                 out, columns=["rel_dir", "file", "col", "pos"]
             )
@@ -340,10 +361,7 @@ def refresh_member_stats(
     per_dir: dict[str, dict] = {}
     for r in rows:
         fent = per_dir.setdefault(r.rel_dir, {}).setdefault(r.file, {})
-        fent[r.col] = (
-            "FULL" if r.pos is None
-            else {"b": width, "s": json.loads(r.pos)}
-        )
+        fent[r.col] = "FULL" if r.pos is None else json.loads(r.pos)
     # merge-on-save, same contract as refresh_stats
     final = load_stats(table.root)
     final["dirs"] = {
@@ -440,7 +458,15 @@ def _member_admits(ment: dict | None, probe_vals: dict[str, list]) -> bool:
         sk = ment.get(c)
         if sk is None or sk == "FULL":
             continue
-        bits, setpos = sk["b"], set(sk["s"])
+        bits = sk["b"]
+        if "p" in sk:  # packed bitmap
+            import base64
+
+            buf = base64.b64decode(sk["p"])
+            has = lambda p: bool(buf[p >> 3] & (1 << (p & 7)))  # noqa: E731
+        else:  # sparse position list
+            setpos = set(sk["s"])
+            has = setpos.__contains__
         admit_col = False
         for x in vals:
             try:
@@ -448,7 +474,7 @@ def _member_admits(ment: dict | None, probe_vals: dict[str, list]) -> bool:
             except TypeError:
                 admit_col = True  # unencodable probe: nothing provable
                 break
-            if all(p in setpos for p in need):
+            if all(has(p) for p in need):
                 admit_col = True
                 break
         if not admit_col:

@@ -488,12 +488,45 @@ def test_member_refresh_guards(spark, tmp_root):
     t = _make(spark, os.path.join(tmp_root, "mb_guard"))
     with pytest.raises(ValueError, match="no such columns"):
         t.refresh_member_stats(["nope"])
-    with pytest.raises(ValueError, match="bits must be >= 64"):
+    with pytest.raises(ValueError, match="multiple of 64"):
         t.refresh_member_stats(["v"], bits=8)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        t.refresh_member_stats(["v"], bits=100)
     td = LakeTable(spark, os.path.join(tmp_root, "mb_dbl"), n_buckets=2)
     td.create(["k"], {"k": "string", "score": "double"})
     with pytest.raises(ValueError, match="unsupported sketch types"):
         td.refresh_member_stats(["score"])
+
+
+def test_member_sketch_encodings_agree():
+    """Sparse-list and packed-bitmap encodings of the SAME value set
+    admit and exclude identically (the build side picks by density;
+    the probe side must not care)."""
+    import base64
+
+    from etl_cms_spark.sink.stats import _member_admits, _member_positions
+
+    bits, values = 256, [f"val{i}" for i in range(7)]
+    pos = set()
+    for v in values:
+        pos.update(_member_positions(v, bits))
+    buf = bytearray(bits // 8)
+    for p in pos:
+        buf[p >> 3] |= 1 << (p & 7)
+    sparse = {"c": {"b": bits, "s": sorted(pos)}}
+    packed = {"c": {"b": bits, "p": base64.b64encode(bytes(buf)).decode()}}
+    for probe in values + ["absent-1", "absent-2", 42]:
+        pv = {"c": [probe]}
+        assert _member_admits(sparse, pv) == _member_admits(packed, pv)
+    for v in values:
+        assert _member_admits(packed, {"c": [v]})
+    # 20 random absent probes: at 7 values x 2 bits in 256, at least
+    # one must be provably absent under BOTH encodings
+    misses = [p for p in (f"miss{i}" for i in range(20))
+              if not _member_admits(packed, {"c": [p]})]
+    assert misses
+    for p in misses:
+        assert not _member_admits(sparse, {"c": [p]})
 
 
 def test_maintenance_keeps_member_sketches_current(spark, tmp_root):
