@@ -140,6 +140,7 @@ class CDCPipeline:
         compact_cluster_by: list[str] | None = None,
         compact_cluster_layout: str = "linear",
         stats_cols: list[str] | None = None,
+        member_cols: list[str] | None = None,
         vacuum_every: int | None = None,
         vacuum_keep_last: int = 8,
         demux_domains: bool = False,
@@ -354,6 +355,9 @@ class CDCPipeline:
         # scheduled compaction rewrites dirs, refresh their stats in
         # the same epoch so read_where stays covered.
         self.stats_cols = stats_cols
+        # membership sketches (equality/IN file pruning) ride the
+        # same upkeep hook
+        self.member_cols = member_cols
         self.quarantine_dir = os.path.join(root, "quarantine")
         self.duplicates_dir = os.path.join(root, "duplicates")
         self.checkpoint_path = os.path.join(root, "_checkpoint.json")
@@ -852,6 +856,10 @@ class CDCPipeline:
                 if self.stats_cols:
                     rec["stats_refresh"] = self.table.refresh_stats(
                         self.stats_cols
+                    )
+                if self.member_cols:
+                    rec["member_refresh"] = self.table.refresh_member_stats(
+                        self.member_cols
                     )
             elif self.compact_depth:
                 # depth-triggered compaction is SELECTIVE: fold only

@@ -298,6 +298,7 @@ def main() -> None:
             ),
             compact_cluster_layout=args.compact_cluster_layout,
             stats_cols=(args.stats_cols.split(",") if args.stats_cols else None),
+            member_cols=(args.member_cols.split(",") if args.member_cols else None),
             demux_domains=args.demux_domains,
             demux_tombstones=args.demux_tombstones,
             dedup_mode=args.dedup_mode,

@@ -283,11 +283,13 @@ def test_pipeline_refreshes_stats_after_scheduled_compaction(spark, tmp_root):
     p = CDCPipeline(spark, root, merge_mode="mor", compact_every=2,
                     compact_cluster_by=["lang"],
                     compact_cluster_layout="zorder",
-                    stats_cols=["lang"])
+                    stats_cols=["lang"], member_cols=["commit"])
     p.init_tables()
     recs = p.run(changes, n_epochs=4)
     refreshed = [r["stats_refresh"] for r in recs if "stats_refresh" in r]
     assert refreshed and any(r["files_scanned"] > 0 for r in refreshed)
+    mrefreshed = [r["member_refresh"] for r in recs if "member_refresh" in r]
+    assert mrefreshed and any(r["files_scanned"] > 0 for r in mrefreshed)
     t = p.table
     plan = t.plan_where({"lang": ("go", "go")})
     # compacted dirs are covered; later epochs' deltas admit conservatively
@@ -296,6 +298,14 @@ def test_pipeline_refreshes_stats_after_scheduled_compaction(spark, tmp_root):
         t.read_where({"lang": ("go", "go")}),
         t.read().where("lang = 'go'"),
         "pipeline-maintained cache",
+    )
+    # membership sketch maintained the same way: a live commit's point
+    # lookup equals the plain filtered read
+    probe = t.read().select("commit").first()["commit"]
+    assert_df_equal(
+        t.read_where({"commit": (probe, probe)}),
+        t.read().where(F.col("commit") == probe),
+        "pipeline-maintained member sketch",
     )
 
 
