@@ -60,6 +60,7 @@ _PRIORITIZED = [
     "lake_tombstone_horizon",     # bounded delete-marker retention/expiry (new r5)
     "lake_zorder_state",          # z-order clustering invisible to state (new r5)
     "lake_member_pruned_lookup",  # Bloom-style membership sketches prune point lookups (new r5)
+    "lake_count_pruned",          # metadata-only count(*) from sidecar row/tombstone counts (new r5)
     "lake_stats_pruned_read",     # planning-time file pruning == filtered read (new r5)
     # round-4 deprioritized tail (never driver-checked)
     "cdc_latest_by_key_salted",   # property-twin of cdc_latest_by_key

@@ -3837,6 +3837,77 @@ def lake_member_pruned_lookup(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@q(
+    "lake_count_pruned",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT probe, n FROM (
+      SELECT 'all' AS probe, COUNT(*) AS n FROM latest
+      UNION ALL
+      SELECT 'lang_go_java', COUNT(*) FROM latest
+      WHERE lang BETWEEN 'go' AND 'java'
+      UNION ALL
+      SELECT 'repo_in', COUNT(*) FROM latest
+      WHERE repo IN ('repo-003', 'repo-007')
+    ) ORDER BY probe
+    """,
+)
+def lake_count_pruned(spark, sf_dir):
+    """Metadata-only aggregates (Iceberg metadata scan, re-expressed —
+    sink/stats.py::count_where): per-file row + tombstone counts land
+    in the ``_stats.json`` sidecar during ``refresh_stats``, so a bare
+    ``count(*)`` over a compacted table is pure driver-side arithmetic
+    — ZERO scan jobs (asserted in-entry) — and filtered counts read
+    only files the stats can neither exclude nor fully prove.  At
+    100 TB this is the difference between a sub-second planner answer
+    and a full table scan.  The oracle computes the same three counts
+    over the replayed latest-wins state; proof-ladder edge cases
+    (delta stacks, cold cache, time travel, tombstone subtraction,
+    random-draw parity) are pinned in tests/test_statsprune.py and
+    test_properties.py."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.sink.lake import LakeTable
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).first()
+    width = max(1, (hi - lo + 1 + 1) // 2)
+    root = tempfile.mkdtemp(prefix="cdc_countprune_")
+    try:
+        t = LakeTable(spark, root, n_buckets=8, merge_mode="mor")
+        t.create(
+            ["repo", "path"],
+            {"repo": "string", "path": "string", "commit": "string",
+             "lang": "string", "content": "string"},
+        )
+        t.merge_epoch(changes.where(F.col("lsn") < lo + width), 0)
+        t.merge_epoch(changes.where(F.col("lsn") >= lo + width), 1)
+        t.compact(cluster_by=["lang"], target_file_rows=400)
+        t.refresh_stats(["lang", "repo"])
+        rep_all = t.count_where()
+        # the bare count must come entirely from the sidecar
+        assert rep_all["files_scanned"] == 0 and rep_all["files_meta"] > 0, (
+            rep_all
+        )
+        rep_lang = t.count_where({"lang": ("go", "java")})
+        rep_repo = t.count_where({"repo": ["repo-003", "repo-007"]})
+        rows = [
+            ("all", rep_all["count"]),
+            ("lang_go_java", rep_lang["count"]),
+            ("repo_in", rep_repo["count"]),
+        ]
+        return spark.createDataFrame(rows, "probe string, n long").orderBy(
+            "probe"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # =====================================================================
 # I. Round-5 additions: SCD2 history + materialized join view (IVM)
 # =====================================================================

@@ -561,6 +561,19 @@ class LakeTable:
 
         return _stats.plan_where(self, predicates, version)
 
+    def count_where(
+        self, predicates: dict | None = None, version: int | None = None
+    ) -> dict:
+        """``SELECT count(*)`` (optionally filtered) answered from the
+        stats sidecar wherever provable, scanning only the residue —
+        Iceberg's metadata-only scan.  ``["count"]`` equals
+        ``read_where(predicates).count()`` by construction; the report
+        also carries files_meta / files_scanned / files_pruned.  See
+        sink/stats.py::count_where for the proof ladder."""
+        from etl_cms_spark.sink import stats as _stats
+
+        return _stats.count_where(self, predicates, version)
+
     def stats_coverage(self) -> dict:
         """How much of the current snapshot the pruning cache covers
         (dirs/files/cols) — see sink/stats.py."""

@@ -157,14 +157,18 @@ def refresh_stats(table, cols: list[str]) -> dict:
     for d in sorted(live_dirs):
         cached = stats["dirs"].get(d, {})
         need = [c for c in cols if c not in cached.get("cols", [])]
-        if not need:
-            continue
         absdir = os.path.join(table.root, d)
         if not os.path.isdir(absdir):
             continue
-        for fn in os.listdir(absdir):
-            if fn.endswith(".parquet"):
-                todo.append((d, fn, os.path.join(absdir, fn)))
+        names = [fn for fn in os.listdir(absdir) if fn.endswith(".parquet")]
+        have_counts = cached.get("counts", {})
+        # a dir covered for these columns by an older (pre-counts)
+        # refresh still re-scans once if any file lacks its row/
+        # tombstone counts; cols=[] is a counts-only refresh
+        if not need and all(fn in have_counts for fn in names):
+            continue
+        for fn in names:
+            todo.append((d, fn, os.path.join(absdir, fn)))
     if not todo:
         return {"files_scanned": 0, "dirs_covered": len(stats["dirs"])}
 
@@ -175,14 +179,58 @@ def refresh_stats(table, cols: list[str]) -> dict:
 
     def _footers(batches):
         import pandas as pd
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         for pdf in batches:
             out = []
+            counts = []
             for r in pdf.itertuples(index=False):
-                md = pq.ParquetFile(r.file_path).metadata
+                pf = pq.ParquetFile(r.file_path)
+                md = pf.metadata
                 arrow = md.schema.to_arrow_schema()
                 names = set(arrow.names)
+                # per-file row/tombstone counts for metadata-only
+                # aggregates (count_where).  Tombstones: footer-only
+                # when every row group's boolean stats pin _deleted
+                # to one value; otherwise ONE cheap column read
+                # (RLE'd boolean) makes the count exact.
+                dels = None
+                if "_deleted" in names:
+                    didx = arrow.get_field_index("_deleted")
+                    dels, footer_ok = 0, True
+                    for g in range(md.num_row_groups):
+                        rg = md.row_group(g)
+                        st = rg.column(didx).statistics
+                        if st is not None and st.has_min_max and st.min == st.max:
+                            dels += rg.num_rows if st.min else 0
+                        else:
+                            footer_ok = False
+                            break
+                    if not footer_ok:
+                        col = pf.read(columns=["_deleted"]).column("_deleted")
+                        dels = int(
+                            pc.sum(col.cast("int8"), min_count=0).as_py() or 0
+                        )
+                nulls = {}
+                for c in want:
+                    if c not in names:
+                        continue
+                    cidx = arrow.get_field_index(c)
+                    tot, known = 0, True
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(cidx).statistics
+                        if st is not None and st.has_null_count:
+                            tot += st.null_count
+                        else:
+                            known = False
+                            break
+                    nulls[c] = tot if known else None
+                counts.append(
+                    (r.rel_dir, r.file, None, None, None,
+                     json.dumps({"rows": md.num_rows, "dels": dels,
+                                 "nulls": nulls}))
+                )
                 for c in want:
                     if c not in names:
                         # pre-rename / pre-add file: no stats, admit
@@ -208,21 +256,29 @@ def refresh_stats(table, cols: list[str]) -> dict:
                     if mins:
                         out.append(
                             (r.rel_dir, r.file, c,
-                             json.dumps(min(mins)), json.dumps(max(maxs)))
+                             json.dumps(min(mins)), json.dumps(max(maxs)),
+                             None)
                         )
                     elif proven_all_null:
                         # every row group proves null-only: range
                         # predicates (null-rejecting) exclude the file
-                        out.append((r.rel_dir, r.file, c, None, None))
+                        out.append((r.rel_dir, r.file, c, None, None, None))
             yield pd.DataFrame(
-                out, columns=["rel_dir", "file", "col", "mn", "mx"]
+                out + counts,
+                columns=["rel_dir", "file", "col", "mn", "mx", "cnt"],
             )
 
     rows = paths.mapInPandas(
-        _footers, "rel_dir string, file string, col string, mn string, mx string"
+        _footers,
+        "rel_dir string, file string, col string, mn string, mx string, "
+        "cnt string",
     ).collect()
     per_dir: dict[str, dict] = {}
+    per_dir_counts: dict[str, dict] = {}
     for r in rows:
+        if r.cnt is not None:
+            per_dir_counts.setdefault(r.rel_dir, {})[r.file] = json.loads(r.cnt)
+            continue
         ent = per_dir.setdefault(r.rel_dir, {})
         fent = ent.setdefault(r.file, {})
         if r.mn is not None:
@@ -244,6 +300,14 @@ def refresh_stats(table, cols: list[str]) -> dict:
         scanned.add((d, fn))
         dent = final["dirs"].setdefault(d, {"cols": [], "files": {}})
         dent["files"].setdefault(fn, {}).update(per_dir.get(d, {}).get(fn, {}))
+        new_cnt = per_dir_counts.get(d, {}).get(fn)
+        if new_cnt is not None:
+            cent = dent.setdefault("counts", {}).setdefault(fn, {})
+            # rows/dels are per-file immutable facts; null counts merge
+            # per column across refreshes of different column sets
+            nulls = cent.setdefault("nulls", {})
+            nulls.update(new_cnt.pop("nulls", {}))
+            cent.update(new_cnt)
     for d in {d for d, _, _ in todo}:
         dent = final["dirs"][d]
         dent["cols"] = sorted(set(dent.get("cols", [])) | set(cols))
@@ -622,6 +686,172 @@ def read_where(
         else:
             df = df.where(F.col(c).isin(*v))
     return df
+
+
+def _file_all_match(fstats: dict | None, cnt: dict | None, preds: dict) -> bool:
+    """True only if the sidecar PROVES every physical row in the file
+    satisfies ALL predicates: for each predicate column the file must
+    carry [min, max] fully inside the predicate and a recorded null
+    count of zero (range/IN predicates are null-rejecting, so one
+    unprovable null forces a scan).  No predicates -> trivially true.
+    IN lists prove containment only via min == max ∈ list (constant
+    column)."""
+    if not preds:
+        return True
+    if fstats is None or cnt is None:
+        return False
+    nulls = cnt.get("nulls", {})
+    for c, (kind, v) in preds.items():
+        rng = fstats.get(c)
+        if rng is None:  # absent or proven-all-null: nothing provable
+            return False
+        if nulls.get(c) != 0:
+            return False
+        mn, mx = rng
+        try:
+            if kind == "range":
+                lo, hi = v
+                if not (lo <= mn and mx <= hi):
+                    return False
+            else:
+                if not (mn == mx and mn in v):
+                    return False
+        except TypeError:
+            return False  # incomparable (type-widened history)
+    return True
+
+
+def count_where(
+    table, predicates: dict | None = None, version: int | None = None
+) -> dict:
+    """``SELECT count(*)`` (optionally under ``read_where``-style
+    predicates) answered from the stats sidecar wherever it can be
+    PROVEN, scanning only the residue — the Iceberg metadata-only-scan
+    shape.  At 100 TB a bare count over a compacted table is pure
+    driver-side arithmetic: per-file row/tombstone counts were recorded
+    once by ``refresh_stats`` (any column list, including ``[]``).
+
+    Proof ladder, per file of a SINGLE-DIR bucket (one physical row
+    per key — the resolution-granularity rule of this module):
+
+    * stats exclude the file (``_file_admits`` false / sketch-absent)
+      -> contributes 0, never read;
+    * stats prove EVERY row matches (full range containment + zero
+      recorded nulls) and its tombstone count is recorded
+      -> contributes ``rows - dels`` from metadata, never read;
+    * otherwise -> the file joins ONE residual scan job with the
+      predicate applied.
+
+    Buckets with a delta stack resolve winners across files, so they
+    are counted by scan unless the stats prove the WHOLE bucket empty
+    of matches (same rule as ``plan_where``).  Tombstone rows may
+    carry null payloads, so files containing deletes typically fail
+    the all-match proof on payload predicates and fall back to the
+    scan — conservative, never wrong; key-column predicates and the
+    bare count are unaffected (keys are never null).
+
+    Returns ``{"count", "files_meta", "files_scanned", "files_pruned",
+    "buckets_scanned"}``; ``count`` equals
+    ``read_where(predicates).count()`` by construction."""
+    m = table._load_manifest(version)
+    if m.get("partial_columnar"):
+        raise ValueError(
+            "count_where: partial_columnar tables assemble rows from many "
+            "physical rows (per-column LWW); per-file counting is unsafe — "
+            "compact + read().count() instead"
+        )
+    for c in predicates or {}:
+        if c not in m["schema"]:
+            raise ValueError(f"count_where: no such column {c}")
+    preds = _norm_predicates(predicates or {})
+    probe_vals = _member_probe_values(preds)
+    stats = load_stats(table.root)["dirs"]
+    meta_count = files_meta = files_scanned = files_pruned = 0
+    scan_buckets: list[int] = []
+    scan_admit: dict[str, list[str]] = {}
+    for b in m["buckets"]:
+        dirs = table._bucket_dirs(m, b)
+        names_by_dir = {}
+        for d in dirs:
+            absdir = os.path.join(table.root, d)
+            names_by_dir[d] = (
+                [fn for fn in os.listdir(absdir) if fn.endswith(".parquet")]
+                if os.path.isdir(absdir)
+                else []
+            )
+        if len(dirs) > 1:
+            # delta stack: per-file counts can't see cross-file winner
+            # resolution — scan the bucket unless every file is
+            # provably match-free (then every resolved winner is too)
+            any_admitted = False
+            all_covered = True
+            n_files = 0
+            for d in dirs:
+                dent = stats.get(d) or {}
+                for fn in names_by_dir[d]:
+                    n_files += 1
+                    fstats = dent.get("files", {}).get(fn)
+                    ment = dent.get("member", {}).get(fn)
+                    if fstats is None and ment is None:
+                        all_covered = False
+                    if _file_admits(fstats, preds) and _member_admits(
+                        ment, probe_vals
+                    ):
+                        any_admitted = True
+            if any_admitted or not all_covered:
+                scan_buckets.append(int(b))
+                files_scanned += n_files
+            else:
+                files_pruned += n_files
+            continue
+        d = dirs[0]
+        dent = stats.get(d) or {}
+        fentries = dent.get("files", {})
+        mentries = dent.get("member", {})
+        centries = dent.get("counts", {})
+        kept: list[str] = []
+        for fn in names_by_dir[d]:
+            fstats = fentries.get(fn)
+            ment = mentries.get(fn)
+            if not (
+                _file_admits(fstats, preds)
+                and _member_admits(ment, probe_vals)
+            ):
+                files_pruned += 1
+                continue
+            cnt = centries.get(fn)
+            if (
+                cnt is not None
+                and cnt.get("dels") is not None
+                and _file_all_match(fstats, cnt, preds)
+            ):
+                meta_count += cnt["rows"] - cnt["dels"]
+                files_meta += 1
+            else:
+                kept.append(os.path.join(table.root, d, fn))
+                files_scanned += 1
+        if kept:
+            scan_buckets.append(int(b))
+            scan_admit[d] = kept
+    scanned_count = 0
+    if scan_buckets:
+        df = table._read_buckets(m, scan_buckets, admit_files=scan_admit)
+        from etl_cms_spark.sink.lake import _DELETED_COL
+
+        df = df.where(~F.col(_DELETED_COL))
+        for c, (kind, v) in preds.items():
+            if kind == "range":
+                df = df.where(F.col(c).between(F.lit(v[0]), F.lit(v[1])))
+            else:
+                df = df.where(F.col(c).isin(*v))
+        scanned_count = df.count()
+    return {
+        "count": meta_count + scanned_count,
+        "files_meta": files_meta,
+        "files_scanned": files_scanned,
+        "files_pruned": files_pruned,
+        "buckets_scanned": len(scan_buckets),
+    }
 
 
 def stats_coverage(table) -> dict:

@@ -638,6 +638,12 @@ def test_read_where_always_equals_filtered_read(
         else:
             exp = exp.where(F.col(c).isin(*v))
     assert_df_equal(got, exp, f"pred={pred} compact={compact} {layout}/{cap}")
+    # metadata-assisted counting must agree under every random
+    # data/maintenance/predicate draw (proof ladder never over- or
+    # under-counts, with or without stats coverage)
+    assert t.count_where(pred)["count"] == exp.count(), (
+        f"count_where pred={pred} compact={compact} {layout}/{cap}"
+    )
 
 
 jv_events = st.lists(

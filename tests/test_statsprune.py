@@ -563,3 +563,103 @@ def test_maintenance_keeps_member_sketches_current(spark, tmp_root):
     assert p["files_read"] <= p["files_total"]
     got = t.read_where({"v": ("vnew1", "vnew1")})
     assert [r.k for r in got.collect()] == ["knew1"]
+
+
+# ---------------------------------------------------------------- count_where
+
+
+def test_count_where_bare_count_is_metadata_only(spark, tmp_root):
+    """After compaction + a counts refresh (cols=[] suffices), a bare
+    count(*) runs ZERO scan jobs: every single-dir file contributes
+    rows - tombstones from the sidecar."""
+    t = _make(spark, os.path.join(tmp_root, "cw_meta"), compacted=True,
+              target_file_rows=4000)
+    t.refresh_stats([])  # counts-only refresh
+    rep = t.count_where()
+    assert rep["count"] == t.read().count()
+    assert rep["files_scanned"] == 0 and rep["buckets_scanned"] == 0
+    assert rep["files_meta"] > 0
+
+
+def test_count_where_predicates_prove_and_scan_boundaries(spark, tmp_root):
+    """Range predicate over a lang-clustered layout: interior files
+    prove all-match (metadata count), boundary/mixed files scan, the
+    total always equals the filtered read."""
+    t = _make(spark, os.path.join(tmp_root, "cw_pred"), compacted=True,
+              cluster_by=["lang", "num"], target_file_rows=600)
+    t.refresh_stats(["lang", "num"])
+    expect = t.read().where("lang = 'go'").count()
+    rep = t.count_where({"lang": ("go", "go")})
+    assert rep["count"] == expect
+    assert rep["files_meta"] > 0, rep          # proofs fired
+    assert rep["files_pruned"] > 0, rep        # and pruning fired
+    # IN-list over the clustered column: single-value files prove
+    rep_in = t.count_where({"lang": ["go", "py"]})
+    assert rep_in["count"] == t.read().where("lang in ('go','py')").count()
+    # composed with a numeric range that forces residual scans
+    preds = {"lang": ("go", "go"), "num": (0, 4000)}
+    rep_mix = t.count_where(preds)
+    assert rep_mix["count"] == t.read().where(
+        "lang = 'go' and num between 0 and 4000"
+    ).count()
+
+
+def test_count_where_delta_stack_falls_back_to_scan(spark, tmp_root):
+    """Stacked buckets count by scan (winner resolution is cross-file),
+    but a fully-covered out-of-range predicate still whole-skips."""
+    t = _make(spark, os.path.join(tmp_root, "cw_stack"))
+    rep = t.count_where()
+    assert rep["count"] == t.read().count()
+    assert rep["files_meta"] == 0 and rep["buckets_scanned"] > 0
+    t.refresh_stats(["num"])
+    rep2 = t.count_where({"num": (9000, 9999)})  # num < 8192 everywhere
+    assert rep2 == {
+        "count": 0, "files_meta": 0, "files_scanned": 0,
+        "files_pruned": rep2["files_pruned"], "buckets_scanned": 0,
+    }
+    assert rep2["files_pruned"] > 0
+
+
+def test_count_where_cold_cache_equals_plain_count(spark, tmp_root):
+    t = _make(spark, os.path.join(tmp_root, "cw_cold"), compacted=True)
+    rep = t.count_where({"lang": ("go", "py")})
+    assert rep["files_meta"] == 0
+    assert rep["count"] == t.read().where("lang >= 'go' and lang <= 'py'").count()
+
+
+def test_count_where_time_travel_and_guards(spark, tmp_root):
+    t = _make(spark, os.path.join(tmp_root, "cw_tt"))
+    v_before = t._load_manifest()["version"]
+    t.compact(target_file_rows=4000)
+    t.refresh_stats([])
+    assert t.count_where()["count"] == t.read().count()
+    assert (
+        t.count_where(version=v_before)["count"]
+        == t.read_at(v_before).count()
+    )
+    with pytest.raises(ValueError, match="no such column"):
+        t.count_where({"nope": (0, 1)})
+    t2 = LakeTable(
+        spark, os.path.join(tmp_root, "cw_pc"), n_buckets=4, merge_mode="mor"
+    )
+    t2.create(["k"], {"k": "string", "a": "int"}, partial_columnar=True)
+    with pytest.raises(ValueError, match="partial_columnar"):
+        t2.count_where()
+
+
+def test_count_where_after_more_deletes_and_refresh(spark, tmp_root):
+    """Counts stay exact across a later epoch of pure deletes +
+    compaction + incremental refresh: tombstones subtract."""
+    t = _make(spark, os.path.join(tmp_root, "cw_del"), compacted=True,
+              target_file_rows=4000)
+    t.refresh_stats([])
+    before = t.count_where()["count"]
+    dels = _base(spark).where("id % 5 = 0").withColumn(
+        "op", F.lit("D")
+    ).withColumn("lsn", F.col("lsn") + 100_000)
+    t.merge_epoch(dels, 2)
+    t.compact(target_file_rows=4000)
+    t.refresh_stats([])
+    rep = t.count_where()
+    assert rep["count"] == t.read().count() < before
+    assert rep["files_scanned"] == 0, rep
