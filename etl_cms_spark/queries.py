@@ -1749,6 +1749,57 @@ def lake_tombstone_horizon(spark, sf_dir):
 
 
 @q(
+    "lake_dml_epoch",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT l.repo, l.path, l.commit, l.lang, l.content, dim.concept_id,
+           CASE WHEN l.lang = 'rust' THEN 'redacted' ELSE dim.domain END AS domain,
+           sha256(l.content) AS content_sha
+    FROM latest l JOIN {_concept_dim_sql()} ON l.lang = dim.lang
+    WHERE l.lang <> 'go'
+    """,
+)
+def lake_dml_epoch(spark, sf_dir):
+    """Ad-hoc bulk DML as one more change epoch (sink/lake.LakeTable
+    .delete_where / .update_where — the `DELETE FROM ... WHERE` /
+    `UPDATE ... SET ... WHERE` admin surface: retention, GDPR erasure,
+    backfill corrections).  Victims are found through the stats-pruned
+    read plan, stamped with an LSN above every committed change, and
+    merged through the ordinary idempotent epoch commit — so DML
+    replays exactly-once, flows into CDC-out for downstream views, and
+    respects time travel.  The query runs the flagship pipeline, then
+    `DELETE WHERE lang='go'` and `UPDATE SET domain='redacted' WHERE
+    lang='rust'`; the oracle applies the same filter/rewrite on top of
+    the one-pass latest-wins SQL."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_dml_")
+    try:
+        p = CDCPipeline(spark, root, n_buckets=8)
+        p.run(changes, n_epochs=2)
+        rec = p.table.delete_where({"lang": ("go", "go")})
+        assert rec["rows_deleted"] > 0, "fixture maps go rows"
+        p.table.update_where(
+            {"domain": "redacted"}, {"lang": ("rust", "rust")}
+        )
+        cols = [
+            "repo", "path", "commit", "lang", "content",
+            "concept_id", "domain", "content_sha",
+        ]
+        return p.table.read().select(*cols).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "cdc_bootstrap_handoff",
     f"""
     WITH ch AS ({_oracle_changelog_sql()}),

@@ -581,6 +581,120 @@ class LakeTable:
 
         return _stats.stats_coverage(self)
 
+    # ------------------------------------------------------------- DML
+    # Ad-hoc bulk DELETE / UPDATE (the `DELETE FROM ... WHERE` /
+    # `UPDATE ... SET ... WHERE` admin surface — retention, GDPR
+    # erasure, backfill corrections).  Both are expressed as ONE MORE
+    # CHANGE EPOCH: victims are found through the stats-pruned
+    # read_where plan, stamped with an LSN above every committed
+    # change, and merged through the ordinary idempotent epoch commit —
+    # so DML replays exactly-once, appears in CDC-out / changes_for_
+    # epoch (downstream views and chained pipelines absorb it like any
+    # source change), respects time travel, and a later source event
+    # with a higher LSN overwrites it, exactly like any competing
+    # writer.  No new write path, no special-cased state.
+
+    def _dml_context(self, epoch: "int | None") -> tuple[dict, int, int]:
+        m = self._load_manifest()
+        if m.get("partial_columnar"):
+            raise ValueError(
+                "DML: partial_columnar tables assemble rows per column — "
+                "apply a partial change epoch (merge_epoch_partial) instead"
+            )
+        if epoch is None:
+            ids = [int(e) for e in m["epochs"]]
+            epoch = max((i for i in ids if i >= 0), default=-1) + 1
+        his = [
+            rec.get("lsn_max")
+            for rec in m["epochs"].values()
+            if rec.get("lsn_max") is not None
+        ]
+        return m, int(epoch), int(max(his, default=0)) + 1
+
+    @staticmethod
+    def _json_preds(predicates: dict | None) -> dict:
+        return {
+            c: list(v) if isinstance(v, (tuple, set, frozenset)) else v
+            for c, v in (predicates or {}).items()
+        }
+
+    def delete_where(
+        self, predicates: dict | None = None, epoch: int | None = None
+    ) -> dict:
+        """Tombstone every current live row matching ``predicates``
+        (``read_where`` forms; ``None`` = all rows, i.e. a logical
+        TRUNCATE that history/time-travel still sees through).  The
+        victim scan is stats-pruned; the deletes commit as epoch
+        ``epoch`` (default: next sequential id) at an LSN above every
+        committed change.  Idempotent: a committed epoch replays as a
+        no-op.  Returns the lineage record."""
+        m, epoch, lsn = self._dml_context(epoch)
+        if str(epoch) in m["epochs"]:
+            rec = dict(m["epochs"][str(epoch)])
+            rec["skipped_duplicate_epoch"] = True
+            return rec
+        victims = self.read_where(predicates or {})
+        batch = (
+            victims.select(*m["key_cols"])
+            .withColumn("op", F.lit("D"))
+            .withColumn("lsn", F.lit(lsn).cast("long"))
+        )
+        return self.merge_epoch(
+            batch,
+            epoch,
+            extra_lineage={
+                "dml": {"kind": "delete",
+                        "predicates": self._json_preds(predicates)}
+            },
+        )
+
+    def update_where(
+        self,
+        assignments: dict,
+        predicates: dict | None = None,
+        epoch: int | None = None,
+    ) -> dict:
+        """Rewrite every current live row matching ``predicates`` with
+        ``assignments`` (``{col: Column-expression-or-literal}``) and
+        commit the new images as epoch ``epoch`` at an LSN above every
+        committed change.  Key columns cannot be assigned (a
+        key-changing update is a delete+insert pair — emit those as
+        source events instead, see sources/debezium key-change
+        handling).  Same pruned-scan / idempotent-epoch contract as
+        :meth:`delete_where`."""
+        from pyspark.sql import Column
+
+        m, epoch, lsn = self._dml_context(epoch)
+        bad = [c for c in assignments if c not in m["schema"]]
+        if bad:
+            raise ValueError(f"update_where: no such columns {bad}")
+        keyed = [c for c in assignments if c in m["key_cols"]]
+        if keyed:
+            raise ValueError(
+                f"update_where: cannot assign key columns {keyed} — a "
+                "key-changing update is a delete+insert pair of change events"
+            )
+        if str(epoch) in m["epochs"]:
+            rec = dict(m["epochs"][str(epoch)])
+            rec["skipped_duplicate_epoch"] = True
+            return rec
+        batch = self.read_where(predicates or {})
+        for c, v in assignments.items():
+            expr = v if isinstance(v, Column) else F.lit(v)
+            batch = batch.withColumn(c, expr.cast(m["schema"][c]))
+        batch = batch.withColumn("op", F.lit("U")).withColumn(
+            "lsn", F.lit(lsn).cast("long")
+        )
+        return self.merge_epoch(
+            batch,
+            epoch,
+            extra_lineage={
+                "dml": {"kind": "update",
+                        "set_cols": sorted(assignments),
+                        "predicates": self._json_preds(predicates)}
+            },
+        )
+
     def read_raw(self, bucket_ids: list[int] | None = None) -> DataFrame:
         """Current snapshot INCLUDING tombstone rows and the ``_lsn``
         / ``_deleted`` system columns (MoR stacks resolved).  For

@@ -1,0 +1,114 @@
+"""Ad-hoc bulk DML (DELETE FROM / UPDATE ... WHERE) expressed as one
+more idempotent change epoch: flows through CDC-out, time travel, and
+later source events overwrite it like any competing writer."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cms_spark.sink.lake import LakeTable
+from tests.conftest import assert_df_equal
+
+LANGS = ["ada", "c", "go", "js", "py", "rs"]
+
+
+def _make(spark, root, n=4000):
+    t = LakeTable(spark, root, n_buckets=4, merge_mode="mor")
+    t.create(
+        ["k"], {"k": "string", "num": "int", "lang": "string", "v": "string"}
+    )
+    base = spark.range(n).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(1000)).cast("int").alias("num"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in LANGS]),
+            (F.pmod(F.col("id"), F.lit(len(LANGS))) + 1).cast("int"),
+        ).alias("lang"),
+        F.sha2(F.col("id").cast("string"), 256).alias("v"),
+        (F.col("id") + 1).alias("lsn"),
+        F.lit("U").alias("op"),
+    )
+    t.merge_epoch(base.where("id % 2 = 0"), 0)
+    t.merge_epoch(base.where("id % 2 = 1"), 1)
+    return t
+
+
+def test_delete_where_predicate(spark, tmp_root):
+    t = _make(spark, os.path.join(tmp_root, "dml_del"))
+    before = t.read().count()
+    rec = t.delete_where({"lang": ("go", "go")})
+    assert rec["epoch"] == 2  # auto-picked next sequential id
+    assert rec["rows_deleted"] > 0
+    assert rec["dml"] == {"kind": "delete", "predicates": {"lang": ["go", "go"]}}
+    assert_df_equal(
+        t.read(),
+        t.read_at_epoch(1).where("lang <> 'go'"),
+        "post-delete state",
+    )
+    assert t.read().count() == before - rec["rows_deleted"]
+    # CDC-out carries the deletes for downstream consumers
+    out = t.changes_for_epoch(rec["epoch"])
+    assert out.where("op = 'D'").count() == rec["rows_deleted"]
+    # idempotent replay: committed epoch is a no-op
+    again = t.delete_where({"lang": ("go", "go")}, epoch=rec["epoch"])
+    assert again.get("skipped_duplicate_epoch")
+    assert t.read().count() == before - rec["rows_deleted"]
+
+
+def test_delete_all_is_logical_truncate_with_history(spark, tmp_root):
+    t = _make(spark, os.path.join(tmp_root, "dml_trunc"), n=500)
+    v_before = t._load_manifest()["version"]
+    t.delete_where()
+    assert t.read().count() == 0
+    assert t.read_at(v_before).count() == 500  # time travel sees through
+
+
+def test_update_where_and_lsn_ordering(spark, tmp_root):
+    t = _make(spark, os.path.join(tmp_root, "dml_upd"), n=1000)
+    rec = t.update_where(
+        {"v": F.lit("redacted"), "num": -1}, {"lang": ["go", "py"]}
+    )
+    assert rec["dml"]["set_cols"] == ["num", "v"]
+    got = t.read().where("lang in ('go','py')")
+    assert got.where("v <> 'redacted' or num <> -1").count() == 0
+    assert t.read().where("lang not in ('go','py') and v = 'redacted'").count() == 0
+    # a later source event (higher lsn) overwrites the DML image
+    hi = max(r["lsn_max"] for r in t.lineage() if r.get("lsn_max"))
+    fix = spark.createDataFrame(
+        [("k0", 7, "go", "fresh", "U", hi + 1)],
+        "k string, num int, lang string, v string, op string, lsn long",
+    )
+    t.merge_epoch(fix, 10)
+    row = t.read().where("k = 'k0'").first()
+    assert row["v"] == "fresh" and row["num"] == 7
+    # and a DML issued after that lands ABOVE the new high-water mark
+    t.delete_where({"k": ("k0", "k0")})
+    assert t.read().where("k = 'k0'").count() == 0
+
+
+def test_dml_guards(spark, tmp_root):
+    t = _make(spark, os.path.join(tmp_root, "dml_guard"), n=100)
+    with pytest.raises(ValueError, match="key columns"):
+        t.update_where({"k": "nope"})
+    with pytest.raises(ValueError, match="no such columns"):
+        t.update_where({"missing": 1})
+    t2 = LakeTable(
+        spark, os.path.join(tmp_root, "dml_pc"), n_buckets=2, merge_mode="mor"
+    )
+    t2.create(["k"], {"k": "string", "a": "int"}, partial_columnar=True)
+    with pytest.raises(ValueError, match="partial_columnar"):
+        t2.delete_where()
+
+
+def test_delete_where_uses_pruned_scan(spark, tmp_root):
+    """After compaction + stats, the victim scan is file-pruned (same
+    plan_where machinery); results stay exact."""
+    t = _make(spark, os.path.join(tmp_root, "dml_prune"))
+    t.compact(cluster_by=["lang"], target_file_rows=300)
+    t.refresh_stats(["lang"])
+    plan = t.plan_where({"lang": ("go", "go")})
+    assert plan["files_read"] < plan["files_total"]
+    rec = t.delete_where({"lang": ("go", "go")})
+    assert rec["rows_deleted"] > 0
+    assert t.read().where("lang = 'go'").count() == 0
