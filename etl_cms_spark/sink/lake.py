@@ -695,6 +695,136 @@ class LakeTable:
             },
         )
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        when_matched: str = "update",
+        matched_condition=None,
+        when_not_matched: str = "insert",
+        epoch: int | None = None,
+    ) -> dict:
+        """SQL ``MERGE INTO`` parity (Delta/Iceberg ``whenMatched`` /
+        ``whenNotMatched``), expressed as one more idempotent change
+        epoch.  ``source`` carries one row per key (duplicates raise —
+        same-LSN siblings would resolve nondeterministically):
+
+        - matched rows (key live in the table) → ``when_matched``:
+          ``"update"`` (upsert the source's full row image),
+          ``"delete"``, or ``"ignore"``; ``matched_condition`` (Column
+          or SQL string over the source columns plus the current row
+          as a ``target`` struct, e.g. ``"target.num < source_num"``)
+          restricts the clause — non-satisfying matched rows fall
+          through to NOTHING, standard MERGE semantics.
+        - unmatched rows → ``when_not_matched``: ``"insert"`` or
+          ``"ignore"``.
+
+        The target probe reads ONLY the hash buckets the source's keys
+        live in (same pruning as the pipeline's previous-version
+        lookup), the change batch commits at an LSN above every
+        committed change, and everything downstream — CDC-out, time
+        travel, exactly-once replay, later-LSN overwrites — follows
+        from the ordinary epoch path.  Partial-column SET on matched
+        rows is :meth:`update_where`'s job; MERGE takes full images."""
+        from pyspark.sql import Column
+
+        if when_matched not in ("update", "delete", "ignore"):
+            raise ValueError(f"when_matched: {when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(f"when_not_matched: {when_not_matched!r}")
+        if "target" in source.columns:
+            raise ValueError(
+                "merge_into: rename the source's `target` column — the "
+                "name is reserved for the current-row struct in "
+                "matched_condition"
+            )
+        m, epoch, lsn = self._dml_context(epoch)
+        if str(epoch) in m["epochs"]:
+            rec = dict(m["epochs"][str(epoch)])
+            rec["skipped_duplicate_epoch"] = True
+            return rec
+        key_cols = m["key_cols"]
+        need_payload = when_matched == "update" or when_not_matched == "insert"
+        need = list(m["schema"]) if need_payload else list(key_cols)
+        missing = [c for c in need if c not in source.columns]
+        if missing:
+            raise ValueError(f"merge_into: source lacks columns {missing}")
+        payload = [c for c in m["schema"] if c not in key_cols]
+
+        src = source.localCheckpoint()  # pin: probed + joined + merged
+        dup = (
+            src.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where("n > 1")
+            .take(1)
+        )
+        if dup:
+            raise ValueError(
+                "merge_into: source has multiple rows per key "
+                f"(e.g. {tuple(dup[0][c] for c in key_cols)}) — "
+                "pre-dedup (latest_by_lsn) before merging"
+            )
+        bks = [
+            r["b"]
+            for r in src.select(self.bucket_expr(key_cols).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        tgt = self.read(bucket_ids=sorted(bks)).select(
+            *key_cols,
+            F.struct(*[F.col(c) for c in payload]).alias("target"),
+            F.lit(True).alias("_matched"),
+        )
+        # SHUFFLE_HASH: the probe side is bucket-pruned but can still be
+        # big; SMJ's sorts would be pure waste for a key-equality probe.
+        j = src.join(tgt.hint("shuffle_hash"), on=key_cols, how="left")
+
+        matched = F.coalesce(F.col("_matched"), F.lit(False))
+        if matched_condition is None:
+            cond = F.lit(True)
+        elif isinstance(matched_condition, Column):
+            cond = matched_condition
+        else:
+            cond = F.expr(matched_condition)
+        op = F.when(
+            matched & cond,
+            F.lit(None if when_matched == "ignore"
+                  else ("U" if when_matched == "update" else "D")),
+        ).when(
+            ~matched,
+            F.lit("U" if when_not_matched == "insert" else None),
+        )
+        is_del = F.col("op") == "D"
+        batch = (
+            j.withColumn("op", op)
+            .where(F.col("op").isNotNull())
+            .select(
+                *key_cols,
+                *[
+                    (
+                        F.when(is_del, F.lit(None))
+                        .otherwise(F.col(c) if c in source.columns else F.lit(None))
+                        .cast(m["schema"][c])
+                        .alias(c)
+                    )
+                    for c in payload
+                ],
+                "op",
+                F.lit(lsn).cast("long").alias("lsn"),
+            )
+        )
+        return self.merge_epoch(
+            batch,
+            epoch,
+            extra_lineage={
+                "dml": {
+                    "kind": "merge_into",
+                    "when_matched": when_matched,
+                    "when_not_matched": when_not_matched,
+                    "conditioned": matched_condition is not None,
+                }
+            },
+        )
+
     def read_raw(self, bucket_ids: list[int] | None = None) -> DataFrame:
         """Current snapshot INCLUDING tombstone rows and the ``_lsn``
         / ``_deleted`` system columns (MoR stacks resolved).  For

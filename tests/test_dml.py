@@ -112,3 +112,74 @@ def test_delete_where_uses_pruned_scan(spark, tmp_root):
     rec = t.delete_where({"lang": ("go", "go")})
     assert rec["rows_deleted"] > 0
     assert t.read().where("lang = 'go'").count() == 0
+
+
+def test_merge_into_upsert(spark, tmp_root):
+    """Matched rows take the source's full image, unmatched rows
+    insert; the whole merge is one idempotent epoch at a fresh LSN."""
+    t = _make(spark, os.path.join(tmp_root, "mi_upsert"), n=1000)
+    src = spark.createDataFrame(
+        [("k5", 500, "go", "img5"), ("k999999", 1, "py", "new")],
+        "k string, num int, lang string, v string",
+    )
+    rec = t.merge_into(src)
+    assert rec["dml"]["kind"] == "merge_into"
+    got = {r["k"]: r for r in t.read().where("k in ('k5','k999999')").collect()}
+    assert got["k5"]["v"] == "img5" and got["k5"]["num"] == 500
+    assert got["k999999"]["v"] == "new"
+    assert t.read().count() == 1001  # one insert, one update
+    again = t.merge_into(src, epoch=rec["epoch"])
+    assert again.get("skipped_duplicate_epoch")
+
+
+def test_merge_into_conditional_delete(spark, tmp_root):
+    """when_matched='delete' + matched_condition: only matched rows
+    satisfying the condition (over the `target` struct) die; unmatched
+    source rows are ignored, non-satisfying matched rows fall through."""
+    t = _make(spark, os.path.join(tmp_root, "mi_del"), n=1000)
+    before = {r["k"]: r["num"] for r in t.read().where(
+        "k in ('k1','k2','k3')").collect()}
+    src = spark.createDataFrame(
+        [("k1",), ("k2",), ("k3",), ("k_missing",)], "k string"
+    )
+    thresh = sorted(before.values())[1]  # kill exactly the lowest two... or fewer on ties
+    rec = t.merge_into(
+        src,
+        when_matched="delete",
+        matched_condition=f"target.num <= {thresh}",
+        when_not_matched="ignore",
+    )
+    assert rec["rows_deleted"] == sum(1 for v in before.values() if v <= thresh)
+    left = {r["k"] for r in t.read().where("k in ('k1','k2','k3')").collect()}
+    assert left == {k for k, v in before.items() if v > thresh}
+    assert t.read().where("k = 'k_missing'").count() == 0
+
+
+def test_merge_into_guards(spark, tmp_root):
+    t = _make(spark, os.path.join(tmp_root, "mi_guard"), n=200)
+    dup = spark.createDataFrame(
+        [("k1", 1, "go", "a"), ("k1", 2, "go", "b")],
+        "k string, num int, lang string, v string",
+    )
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        t.merge_into(dup)
+    with pytest.raises(ValueError, match="lacks columns"):
+        t.merge_into(spark.createDataFrame([("k1",)], "k string"))
+    with pytest.raises(ValueError, match="when_matched"):
+        t.merge_into(dup.limit(1), when_matched="upsert")
+    with pytest.raises(ValueError, match="reserved"):
+        t.merge_into(
+            spark.createDataFrame([("k1", 1)], "k string, target int")
+        )
+
+
+def test_merge_into_bucket_pruned_probe(spark, tmp_root):
+    """The target probe touches only the source keys' hash buckets —
+    the lineage's changed_buckets stays at the source's bucket set."""
+    t = _make(spark, os.path.join(tmp_root, "mi_prune"), n=2000)
+    src = spark.createDataFrame(
+        [("k7", -7, "go", "seven")], "k string, num int, lang string, v string"
+    )
+    rec = t.merge_into(src)
+    assert len(rec["changed_buckets"]) == 1
+    assert t.read().where("k = 'k7'").first()["v"] == "seven"
