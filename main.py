@@ -206,8 +206,37 @@ def main() -> None:
         "_lsn below this horizon (choose the oldest LSN any "
         "out-of-order source can still deliver)",
     )
+    ap.add_argument(
+        "--dml",
+        choices=["delete", "update"],
+        default=None,
+        help="admin DML mode on the MAIN table under --lake (retention, "
+        "GDPR erasure, backfill corrections): DELETE/UPDATE rows "
+        "matching --where, committed as one idempotent change epoch "
+        "(flows into CDC-out, respects time travel); 'update' needs "
+        "--set; no --where = all rows (logical TRUNCATE for delete)",
+    )
+    ap.add_argument(
+        "--where",
+        action="append",
+        default=None,
+        metavar="COL=V | COL=LO..HI | COL=V1,V2",
+        help="with --dml: predicate (repeatable, ANDed) — equality, "
+        "closed range, or IN list; values coerced to the column type",
+    )
+    ap.add_argument(
+        "--set",
+        action="append",
+        default=None,
+        dest="set_assignments",
+        metavar="COL=VALUE",
+        help="with --dml update: assignment (repeatable); values "
+        "coerced to the column type",
+    )
     args = ap.parse_args()
-    if not args.maintain:
+    if args.dml == "update" and not args.set_assignments:
+        ap.error("--dml update requires --set COL=VALUE")
+    if not args.maintain and not args.dml:
         if not args.changelog and not args.bucketed_table and not args.source_table:
             ap.error("one of --changelog / --bucketed-table / --source-table is required")
         if args.source_table and not args.stream:
@@ -217,6 +246,49 @@ def main() -> None:
     # command line; fall back to the tuned local builder otherwise.
     spark = SparkSession.builder.appName("etl-cms-spark").getOrCreate()
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    if args.dml:
+        import os
+
+        from etl_cms_spark.sink.lake import LakeTable
+
+        table = LakeTable(spark, os.path.join(args.lake, "tables", "files"))
+        schema = table._load_manifest()["schema"]
+
+        def coerce(col, v):
+            t = schema.get(col, "string")
+            if t in ("int", "bigint", "long", "smallint", "tinyint"):
+                return int(v)
+            if t in ("double", "float"):
+                return float(v)
+            if t == "boolean":
+                return v.lower() in ("1", "true", "t")
+            return v
+
+        preds = {}
+        for spec in args.where or []:
+            col, _, val = spec.partition("=")
+            if not _:
+                ap.error(f"--where needs COL=...: {spec!r}")
+            if ".." in val:
+                lo, _, hi = val.partition("..")
+                preds[col] = (coerce(col, lo), coerce(col, hi))
+            elif "," in val:
+                preds[col] = [coerce(col, v) for v in val.split(",")]
+            else:
+                preds[col] = (coerce(col, val), coerce(col, val))
+        if args.dml == "delete":
+            rec = table.delete_where(preds or None)
+        else:
+            sets = {}
+            for spec in args.set_assignments:
+                col, _, val = spec.partition("=")
+                if not _:
+                    ap.error(f"--set needs COL=VALUE: {spec!r}")
+                sets[col] = coerce(col, val)
+            rec = table.update_where(sets, preds or None)
+        print(json.dumps(rec))
+        return
 
     if args.maintain:
         import os
