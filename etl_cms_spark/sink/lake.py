@@ -594,6 +594,13 @@ class LakeTable:
     # with a higher LSN overwrites it, exactly like any competing
     # writer.  No new write path, no special-cased state.
 
+    # DML epochs live in their own id band: far above any source epoch
+    # (run()'s 0..n-1 slices, streaming's monotonic batch ids) and
+    # disjoint from the negative repair namespace — an auto-picked
+    # max+1 would let a FUTURE source epoch with that id be silently
+    # skipped as a duplicate (the repair-epoch hazard, round-4 advice).
+    DML_EPOCH_BASE = 10**12
+
     def _dml_context(self, epoch: "int | None") -> tuple[dict, int, int]:
         m = self._load_manifest()
         if m.get("partial_columnar"):
@@ -603,7 +610,17 @@ class LakeTable:
             )
         if epoch is None:
             ids = [int(e) for e in m["epochs"]]
-            epoch = max((i for i in ids if i >= 0), default=-1) + 1
+            epoch = max(
+                (i for i in ids if i >= self.DML_EPOCH_BASE),
+                default=self.DML_EPOCH_BASE - 1,
+            ) + 1
+        elif epoch < self.DML_EPOCH_BASE:
+            raise ValueError(
+                f"DML epoch ids must be >= {self.DML_EPOCH_BASE} (the "
+                "reserved DML namespace) — source epochs and streaming "
+                "batch ids own the low band, repairs own the negatives; "
+                f"got {epoch}"
+            )
         his = [
             rec.get("lsn_max")
             for rec in m["epochs"].values()

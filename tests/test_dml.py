@@ -38,7 +38,9 @@ def test_delete_where_predicate(spark, tmp_root):
     t = _make(spark, os.path.join(tmp_root, "dml_del"))
     before = t.read().count()
     rec = t.delete_where({"lang": ("go", "go")})
-    assert rec["epoch"] == 2  # auto-picked next sequential id
+    # DML ids live in their own band: a future SOURCE epoch 2 must not
+    # collide with this commit and be silently skipped as a duplicate
+    assert rec["epoch"] == LakeTable.DML_EPOCH_BASE
     assert rec["rows_deleted"] > 0
     assert rec["dml"] == {"kind": "delete", "predicates": {"lang": ["go", "go"]}}
     assert_df_equal(
@@ -183,3 +185,24 @@ def test_merge_into_bucket_pruned_probe(spark, tmp_root):
     rec = t.merge_into(src)
     assert len(rec["changed_buckets"]) == 1
     assert t.read().where("k = 'k7'").first()["v"] == "seven"
+
+
+def test_dml_epoch_namespace_no_source_collision(spark, tmp_root):
+    """After an auto-id DML, the NEXT source epoch id (2 here) must
+    still apply — a max+1 DML id would swallow it as a duplicate
+    (the repair-epoch hazard); out-of-band explicit ids are refused."""
+    t = _make(spark, os.path.join(tmp_root, "dml_ns"), n=300)
+    t.delete_where({"lang": ("go", "go")})
+    hi = max(r["lsn_max"] for r in t.lineage() if r.get("lsn_max"))
+    nxt = spark.createDataFrame(
+        [("brand_new", 1, "go", "v", "U", hi + 1)],
+        "k string, num int, lang string, v string, op string, lsn long",
+    )
+    rec = t.merge_epoch(nxt, 2)  # the id a max+1 DML would have taken
+    assert not rec.get("skipped_duplicate_epoch")
+    assert t.read().where("k = 'brand_new'").count() == 1
+    with pytest.raises(ValueError, match="reserved DML namespace"):
+        t.delete_where(epoch=5)
+    # second auto-id DML advances within the band
+    rec2 = t.update_where({"num": -1}, {"k": ("brand_new", "brand_new")})
+    assert rec2["epoch"] == LakeTable.DML_EPOCH_BASE + 1
