@@ -169,6 +169,28 @@ class StateRollup:
     ``count_measure`` optionally names the measure that counts rows;
     keys whose count reaches zero are tombstoned from the rollup
     instead of lingering at 0.
+
+    ``min_measures`` / ``max_measures`` maintain MIN/MAX per group —
+    the NON-additive aggregates a signed fold cannot carry, because
+    retracting a row that held the extremum says nothing about the
+    runner-up.  Standard IVM extremum bookkeeping: alongside each
+    extremum ``m`` the state stores ``m__n``, the number of CURRENT
+    rows sitting exactly at the extremum.  Per epoch (all from the
+    same single signed pass over the diff):
+
+    * an insert strictly better than the extremum REPLACES it (its
+      per-value net count becomes the new multiplicity) — free;
+    * inserts/deletes AT the extremum adjust ``m__n`` — free;
+    * deletes elsewhere are irrelevant to the extremum — free;
+    * only when ``m__n`` falls to zero (the last extremum row was
+      retracted and nothing better arrived) is the true runner-up
+      unknowable from the diff: those groups — and ONLY those — are
+      recomputed from current source rows (one bucket-parallel pass,
+      broadcast-semi-pruned to the affected groups).
+
+    So the common case stays O(changed rows); the rescan is bounded
+    by the affected groups' data and is skipped entirely (no source
+    read, no job) when no extremum was killed.
     """
 
     def __init__(
@@ -179,6 +201,8 @@ class StateRollup:
         row_measures: dict[str, Column],
         count_measure: str | None = None,
         n_buckets: int = 8,
+        min_measures: dict[str, Column] | None = None,
+        max_measures: dict[str, Column] | None = None,
     ):
         self.spark = spark
         self.key_cols = list(key_exprs)
@@ -187,17 +211,128 @@ class StateRollup:
         if count_measure is not None and count_measure not in row_measures:
             raise ValueError(f"count_measure {count_measure!r} not in row_measures")
         self.count_measure = count_measure
-        schema = {k: "string" for k in self.key_cols} | {
-            m: "long" for m in row_measures
+        self.extrema: dict[str, tuple[Column, str]] = {
+            **{m: (v, "min") for m, v in (min_measures or {}).items()},
+            **{m: (v, "max") for m, v in (max_measures or {}).items()},
         }
+        names = [*row_measures, *self.extrema]
+        if len(set(names)) != len(names) or len(self.extrema) != len(
+            min_measures or {}
+        ) + len(max_measures or {}):
+            raise ValueError("measure name collision across row/min/max measures")
+        if any(n.startswith("_") or n.endswith("__n") for n in names):
+            raise ValueError("measure names must not start with '_' or end '__n'")
+        if self.extrema and self.count_measure is None:
+            # group-death detection is what lets a killed extremum skip
+            # the rescan when the whole group is gone
+            raise ValueError("min/max measures require a count_measure")
+        schema = (
+            {k: "string" for k in self.key_cols}
+            | {m: "long" for m in row_measures}
+            | {c: "long" for m in self.extrema for c in (m, f"{m}__n")}
+        )
         self.table = LakeTable(spark, root, n_buckets)
         if not self.table.exists():
             self.table.create(self.key_cols, schema)
 
-    def apply_diff(self, diff: DataFrame, epoch: int) -> dict:
+    def _extremum_update(self, signed: DataFrame, m: str, kind: str) -> DataFrame:
+        """Per-group extremum transition for one measure, from the
+        signed per-value net counts of this epoch's diff.  Returns
+        (keys, _upd_m marker, _new_m, _new_m__n, _rescan_m)."""
+        v = F.col(f"_v_{m}")
+        per_value = (
+            signed.where(v.isNotNull())
+            .groupBy(*self.key_cols, v.alias("_v"))
+            .agg(F.sum("_sign").alias("_dn"))
+            .where(F.col("_dn") != 0)
+        )
+        st = self.table.read().select(
+            *self.key_cols,
+            F.col(m).alias("_cur"),
+            F.col(f"{m}__n").alias("_curn"),
+        )
+        j = per_value.join(st, self.key_cols, "left")
+        better = (
+            F.col("_v") < F.col("_cur")
+            if kind == "min"
+            else F.col("_v") > F.col("_cur")
+        )
+        # net-new rows strictly better than the stored extremum (or a
+        # group with no stored extremum): the best of them wins, and
+        # its net count IS the new multiplicity (nothing pre-existing
+        # can sit strictly beyond the old extremum).
+        cand_struct = F.when(
+            (F.col("_dn") > 0) & (F.col("_cur").isNull() | better),
+            F.struct(F.col("_v").alias("v"), F.col("_dn").alias("n")),
+        )
+        agg = j.groupBy(*self.key_cols).agg(
+            F.first("_cur").alias("_cur"),
+            F.first("_curn").alias("_curn"),
+            F.sum(
+                F.when(F.col("_v") == F.col("_cur"), F.col("_dn")).otherwise(F.lit(0))
+            ).alias("_dnat"),
+            (F.min(cand_struct) if kind == "min" else F.max(cand_struct)).alias(
+                "_cand"
+            ),
+        )
+        n_same = F.coalesce(F.col("_curn"), F.lit(0)) + F.col("_dnat")
+        return agg.select(
+            *self.key_cols,
+            F.lit(True).alias(f"_upd_{m}"),
+            F.when(F.col("_cand").isNotNull(), F.col("_cand.v"))
+            .when(n_same > 0, F.col("_cur"))
+            .alias(f"_new_{m}"),
+            F.when(F.col("_cand").isNotNull(), F.col("_cand.n"))
+            .when(n_same > 0, n_same)
+            .alias(f"_new_{m}__n"),
+            (
+                F.col("_cand").isNull()
+                & F.col("_cur").isNotNull()
+                & (n_same <= 0)
+            ).alias(f"_rescan_{m}"),
+        )
+
+    def _rescan(self, source: DataFrame, need: DataFrame) -> DataFrame:
+        """Exact extremum + multiplicity for the affected groups,
+        recomputed from current source rows (one pass, semi-pruned)."""
+        src = source.select(
+            *[
+                expr.cast("string").alias(name)
+                for name, expr in self.key_exprs.items()
+            ],
+            *[
+                vex.cast("long").alias(f"_v_{m}")
+                for m, (vex, _) in self.extrema.items()
+            ],
+        ).join(F.broadcast(need), self.key_cols, "semi")
+        out = None
+        for m, (_, kind) in self.extrema.items():
+            per_v = (
+                src.where(F.col(f"_v_{m}").isNotNull())
+                .groupBy(*self.key_cols, F.col(f"_v_{m}").alias("_v"))
+                .agg(F.count(F.lit(1)).alias("_n"))
+            )
+            s = F.struct(F.col("_v").alias("v"), F.col("_n").alias("n"))
+            best = per_v.groupBy(*self.key_cols).agg(
+                (F.min(s) if kind == "min" else F.max(s)).alias("_b")
+            ).select(
+                *self.key_cols,
+                F.col("_b.v").alias(f"_rs_{m}"),
+                F.col("_b.n").alias(f"_rs_{m}__n"),
+            )
+            out = best if out is None else out.join(best, self.key_cols, "outer")
+        return out
+
+    def apply_diff(
+        self, diff: DataFrame, epoch: int, source: DataFrame | None = None
+    ) -> dict:
         """Fold one ``changes_between`` diff into the rollup, exactly
         once per ``epoch`` (use the source table's target version as
-        the epoch id for a natural idempotency key)."""
+        the epoch id for a natural idempotency key).  ``source`` — the
+        source table's row state AT this epoch — is consulted only if
+        a killed extremum forces a group rescan (never read, never
+        even planned, otherwise); required only when min/max measures
+        are configured."""
         if str(epoch) in {str(e) for e in self.table.committed_epochs()}:
             return {"epoch": epoch, "skipped_duplicate_epoch": True}
         key_top = [c for c in diff.columns if c not in ("op", "before", "after")]
@@ -215,17 +350,25 @@ class StateRollup:
                     (F.lit(sign) * v.cast("long")).alias(name)
                     for name, v in self.row_measures.items()
                 ],
+                *[
+                    vex.cast("long").alias(f"_v_{m}")
+                    for m, (vex, _) in self.extrema.items()
+                ],
+                F.lit(sign).alias("_sign"),
             )
 
-        delta = (
-            _side("after", +1)
-            .unionByName(_side("before", -1))
-            .groupBy(*self.key_cols)
-            .agg(*[F.sum(m).alias(m) for m in self.row_measures])
+        signed = _side("after", +1).unionByName(_side("before", -1))
+        delta = signed.groupBy(*self.key_cols).agg(
+            *[F.sum(m).alias(m) for m in self.row_measures]
         )
         current = self.table.read().select(
             *self.key_cols,
             *[F.col(m).alias(f"_cur_{m}") for m in self.row_measures],
+            *[
+                F.col(c).alias(f"_cur_{c}")
+                for m in self.extrema
+                for c in (m, f"{m}__n")
+            ],
         )
         new_vals = {
             m: F.col(m) + F.coalesce(F.col(f"_cur_{m}"), F.lit(0))
@@ -236,16 +379,85 @@ class StateRollup:
             op = F.when(
                 new_vals[self.count_measure] == 0, F.lit("D")
             ).otherwise(F.lit("U"))
-        merged = delta.join(current, self.key_cols, "left").select(
+        merged = delta.join(current, self.key_cols, "left")
+        if not self.extrema:
+            out = merged.select(
+                *self.key_cols,
+                *[v.alias(m) for m, v in new_vals.items()],
+                op.alias("op"),
+                F.lit(int(epoch)).alias("lsn"),
+            )
+            return self.table.merge_epoch(out, epoch)
+
+        for m, (_, kind) in self.extrema.items():
+            merged = merged.join(
+                self._extremum_update(signed, m, kind), self.key_cols, "left"
+            )
+        group_dies = new_vals[self.count_measure] == 0
+        ext_cols, rescan_flags = [], []
+        for m in self.extrema:
+            # a group whose diff rows were all NULL for this value has
+            # no _upd row: its extremum is untouched — carry the state
+            carried_v = F.when(
+                F.col(f"_upd_{m}").isNotNull(), F.col(f"_new_{m}")
+            ).otherwise(F.col(f"_cur_{m}"))
+            carried_n = F.when(
+                F.col(f"_upd_{m}").isNotNull(), F.col(f"_new_{m}__n")
+            ).otherwise(F.col(f"_cur_{m}__n"))
+            ext_cols += [carried_v.alias(m), carried_n.alias(f"{m}__n")]
+            rescan_flags.append(
+                (F.coalesce(F.col(f"_rescan_{m}"), F.lit(False)) & ~group_dies)
+                .alias(f"_rescan_{m}")
+            )
+        pre = merged.select(
             *self.key_cols,
             *[v.alias(m) for m, v in new_vals.items()],
+            *ext_cols,
+            *rescan_flags,
             op.alias("op"),
             F.lit(int(epoch)).alias("lsn"),
-        )
-        return self.table.merge_epoch(merged, epoch)
+        ).localCheckpoint()
+        any_rescan = None
+        for m in self.extrema:
+            flag = F.col(f"_rescan_{m}")
+            any_rescan = flag if any_rescan is None else (any_rescan | flag)
+        need = pre.where(any_rescan).select(*self.key_cols)
+        n_rescan = need.count()
+        if n_rescan:
+            if source is None:
+                raise ValueError(
+                    "extremum retracted below multiplicity 0: apply_diff "
+                    "needs `source` (the source table's rows at this "
+                    "epoch) to rescan the affected groups"
+                )
+            rec = self._rescan(source, need)
+            pre = pre.join(rec, self.key_cols, "left")
+            fixed = []
+            for m in self.extrema:
+                flag = F.col(f"_rescan_{m}")
+                fixed += [
+                    F.when(flag, F.col(f"_rs_{m}")).otherwise(F.col(m)).alias(m),
+                    F.when(flag, F.col(f"_rs_{m}__n"))
+                    .otherwise(F.col(f"{m}__n"))
+                    .alias(f"{m}__n"),
+                ]
+            pre = pre.select(
+                *self.key_cols,
+                *self.row_measures,
+                *fixed,
+                "op",
+                "lsn",
+            )
+        else:
+            pre = pre.drop(*[f"_rescan_{m}" for m in self.extrema])
+        res = self.table.merge_epoch(pre, epoch)
+        res["rescanned_groups"] = int(n_rescan)
+        return res
 
     def read(self) -> DataFrame:
-        return self.table.read().select(*self.key_cols, *self.row_measures)
+        return self.table.read().select(
+            *self.key_cols, *self.row_measures, *self.extrema
+        )
 
     # ---------------- pipeline sidecar protocol ----------------
 
@@ -260,7 +472,11 @@ class StateRollup:
         than the flat ``epoch_batch``).  Idempotent via the rollup
         table's manifest check, performed BEFORE reading the lake so
         replays of long-vacuumed epochs it already applied stay
-        no-ops."""
+        no-ops.  With min/max measures configured the lake's own row
+        state AT this epoch (``read_at_epoch``) is the rescan source —
+        still lazy: it is only ever evaluated for an epoch that kills
+        an extremum."""
         if str(epoch) in {str(e) for e in self.table.committed_epochs()}:
             return {"epoch": epoch, "skipped_duplicate_epoch": True}
-        return self.apply_diff(lake.changes_for_epoch(epoch), epoch)
+        source = lake.read_at_epoch(epoch) if self.extrema else None
+        return self.apply_diff(lake.changes_for_epoch(epoch), epoch, source=source)

@@ -2796,6 +2796,70 @@ def state_rollup(spark, sf_dir):
 
 
 @q(
+    "state_rollup_extrema",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch)
+    SELECT lang,
+           COUNT(*) AS n_files,
+           CAST(MIN(LENGTH(content)) AS BIGINT) AS min_chars,
+           CAST(MAX(LENGTH(content)) AS BIGINT) AS max_chars
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    GROUP BY lang
+    """,
+)
+def state_rollup_extrema(spark, sf_dir):
+    """NON-additive continuous aggregate (StateRollup min/max): the
+    per-lang MIN and MAX live file size maintained incrementally from
+    the lake's CDC-out diff.  A signed fold cannot carry extrema —
+    retracting the row that held the minimum says nothing about the
+    runner-up — so the state tracks the multiplicity of rows AT each
+    extremum (``m__n``); retractions that kill it trigger a bounded
+    rescan of ONLY the affected groups from the lake's row state at
+    that epoch.  The oracle is the one-shot GROUP BY MIN/MAX over the
+    final snapshot: a missed retraction leaves a stale extremum and
+    breaks the hash."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.rollup import StateRollup
+    from etl_cms_spark.sink.lake import LakeTable
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="state_rollup_ext_entry_")
+    try:
+        t = LakeTable(spark, f"{root}/files", n_buckets=4)
+        t.create(["repo", "path"], {"repo": "string", "path": "string",
+                                    "commit": "string", "lang": "string",
+                                    "content": "string"})
+        r = StateRollup(
+            spark,
+            f"{root}/rollup",
+            key_exprs={"lang": F.col("lang")},
+            row_measures={"n_files": F.lit(1)},
+            count_measure="n_files",
+            min_measures={"min_chars": F.length("content")},
+            max_measures={"max_chars": F.length("content")},
+            n_buckets=4,
+        )
+        hi = changes.agg(F.max("lsn")).first()[0]
+        width = (hi + 3) // 3
+        for e in range(3):
+            t.merge_epoch(
+                changes.where(
+                    (F.col("lsn") >= e * width) & (F.col("lsn") < (e + 1) * width)
+                ),
+                e,
+            )
+            r.update_from_lake(t, e)
+        return r.read().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "cdc_stateful_stream",
     f"""
     WITH ch AS ({_oracle_changelog_sql()}),

@@ -238,3 +238,152 @@ def test_incremental_hll_distinct_rollup(spark, tmp_root):
     assert {k: (v["n_repos"], v["n_paths"]) for k, v in again.items()} == {
         k: (v["n_repos"], v["n_paths"]) for k, v in got.items()
     }
+
+
+# ---------------------------------------------------------------------
+# StateRollup min/max: non-additive extrema under retraction
+# ---------------------------------------------------------------------
+
+import pytest
+
+
+def _mk_extrema(spark, root):
+    return StateRollup(
+        spark,
+        root,
+        key_exprs={"lang": F.col("lang")},
+        row_measures={"n_files": F.lit(1)},
+        count_measure="n_files",
+        min_measures={"min_chars": F.length("content")},
+        max_measures={"max_chars": F.length("content")},
+    )
+
+
+def _extrema_snapshot(table):
+    return table.read().groupBy(
+        F.col("lang").cast("string").alias("lang")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.min(F.length("content")).cast("long").alias("min_chars"),
+        F.max(F.length("content")).cast("long").alias("max_chars"),
+    )
+
+
+_ROW_SCHEMA = ("lsn long, op string, repo string, path string, "
+               "commit string, lang string, content string")
+
+
+def test_extrema_rollup_tracks_snapshot_every_epoch(spark, tmp_root):
+    """Incremental MIN/MAX (with organic extremum-killing deletes from
+    the random changelog) equals the one-shot GROUP BY after EVERY
+    epoch, not just the last."""
+    from tests.conftest import assert_df_equal
+
+    ch = gen_source_changes(spark, n_events=3000, n_keys=400, n_repos=10)
+    t = _mk_lake(spark, os.path.join(tmp_root, "ext_files"))
+    r = _mk_extrema(spark, os.path.join(tmp_root, "ext_roll"))
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    width = (hi - lo + 3) // 3
+    for e in range(3):
+        t.merge_epoch(
+            ch.where((F.col("lsn") >= lo + e * width)
+                     & (F.col("lsn") < lo + (e + 1) * width)), e
+        )
+        r.update_from_lake(t, e)
+        assert_df_equal(
+            r.read(), _extrema_snapshot(t), f"extrema rollup epoch {e}"
+        )
+
+
+def test_extrema_transitions_rescan_only_when_killed(spark, tmp_root):
+    """The bookkeeping cases, pinned one by one — with source=None
+    proving the rescan path is never touched unless an extremum's
+    multiplicity actually reaches zero."""
+    t = _mk_lake(spark, os.path.join(tmp_root, "ext2_files"))
+    r = _mk_extrema(spark, os.path.join(tmp_root, "ext2_roll"))
+
+    def fold(epoch, rows, with_source=False):
+        v0 = t._current_version()
+        t.merge_epoch(spark.createDataFrame(rows, _ROW_SCHEMA), epoch)
+        # source must reflect the POST-epoch snapshot: build it after
+        # the merge (LakeTable.read pins the manifest at construction)
+        return r.apply_diff(t.changes_between(v0), epoch,
+                            source=t.read() if with_source else None)
+
+    def state():
+        return {x["lang"]: (x["n_files"], x["min_chars"], x["max_chars"])
+                for x in r.read().collect()}
+
+    # e0: three rows, min 5 (multiplicity 2), max 9
+    rec = fold(0, [
+        (1, "U", "r", "a", "c", "py", "aaaaa"),
+        (2, "U", "r", "b", "c", "py", "bbbbb"),
+        (3, "U", "r", "c", "c", "py", "ccccccccc"),
+    ])
+    assert rec["rescanned_groups"] == 0
+    assert state() == {"py": (3, 5, 9)}
+
+    # e1: delete ONE of the two min rows + insert mid-range — free
+    rec = fold(1, [
+        (11, "D", "r", "a", None, None, None),
+        (12, "U", "r", "d", "c", "py", "ddddddd"),
+    ])
+    assert rec["rescanned_groups"] == 0
+    assert state() == {"py": (3, 5, 9)}
+
+    # e2: delete the LAST min row — multiplicity hits 0: without a
+    # source the fold refuses loudly (and commits nothing)...
+    v0 = t._current_version()
+    t.merge_epoch(spark.createDataFrame(
+        [(21, "D", "r", "b", None, None, None)], _ROW_SCHEMA), 2)
+    diff = t.changes_between(v0)
+    with pytest.raises(ValueError, match="rescan"):
+        r.apply_diff(diff, 2, source=None)
+    assert state() == {"py": (3, 5, 9)}  # aborted fold left no trace
+    # ...and with the source, only the killed group rescans
+    rec = r.apply_diff(diff, 2, source=t.read())
+    assert rec["rescanned_groups"] == 1
+    assert state() == {"py": (2, 7, 9)}
+
+    # e3: insert strictly below the min — free replacement
+    rec = fold(3, [(31, "U", "r", "e", "c", "py", "eee")])
+    assert rec["rescanned_groups"] == 0
+    assert state() == {"py": (3, 3, 9)}
+
+    # e4: delete the unique MAX row — max-side rescan
+    rec = fold(4, [(41, "D", "r", "c", None, None, None)],
+               with_source=True)
+    assert rec["rescanned_groups"] == 1
+    assert state() == {"py": (2, 3, 7)}
+
+    # e5: delete the whole group — death tombstones WITHOUT a rescan
+    rec = fold(5, [
+        (51, "D", "r", "d", None, None, None),
+        (52, "D", "r", "e", None, None, None),
+    ])
+    assert rec["rescanned_groups"] == 0
+    assert state() == {}
+
+
+def test_extrema_replay_is_noop_and_guards(spark, tmp_root):
+    t = _mk_lake(spark, os.path.join(tmp_root, "ext3_files"))
+    r = _mk_extrema(spark, os.path.join(tmp_root, "ext3_roll"))
+    v0 = t._current_version()
+    t.merge_epoch(spark.createDataFrame(
+        [(1, "U", "r", "a", "c", "py", "xxxx")], _ROW_SCHEMA), 0)
+    diff = t.changes_between(v0)
+    r.apply_diff(diff, 0)
+    before = sorted(map(str, r.read().collect()))
+    assert r.apply_diff(diff, 0).get("skipped_duplicate_epoch")
+    assert sorted(map(str, r.read().collect())) == before
+
+    with pytest.raises(ValueError, match="count_measure"):
+        StateRollup(spark, os.path.join(tmp_root, "ext4_roll"),
+                    key_exprs={"lang": F.col("lang")},
+                    row_measures={"n": F.lit(1)},
+                    min_measures={"m": F.length("content")})
+    with pytest.raises(ValueError, match="collision"):
+        StateRollup(spark, os.path.join(tmp_root, "ext5_roll"),
+                    key_exprs={"lang": F.col("lang")},
+                    row_measures={"m": F.lit(1)}, count_measure="m",
+                    min_measures={"m": F.length("content")})
