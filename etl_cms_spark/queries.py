@@ -3779,6 +3779,56 @@ def lake_rebucket_state(spark, sf_dir):
 
 
 @q(
+    "lake_branch_publish",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch)
+    SELECT repo, path, commit, lang, content
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def lake_branch_publish(spark, sf_dir):
+    """Writable BRANCH refs (the mutable sibling of tags — the
+    Iceberg/Nessie branch model): epoch 0 commits to main, epochs 1-2
+    commit to a branch through the same idempotent merge path while
+    main stays pinned at the fork, then ``fast_forward`` adopts the
+    branch's manifest chain atomically (readers see ALL branch epochs
+    or none) and the branch is dropped.  The oracle is the one-pass
+    latest-wins SQL over the WHOLE changelog: the staged-on-a-branch
+    detour must be invisible in the published state."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.sink.lake import LakeTable
+
+    changes = _changelog_from_documents(spark, sf_dir)
+    lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).first()
+    width = max(1, (hi - lo + 3) // 3)
+    root = tempfile.mkdtemp(prefix="lake_branch_entry_")
+    try:
+        t = LakeTable(spark, f"{root}/t", n_buckets=8, merge_mode="mor")
+        t.create(["repo", "path"], {"repo": "string", "path": "string",
+                                    "commit": "string", "lang": "string",
+                                    "content": "string"})
+        t.merge_epoch(changes.where(F.col("lsn") < lo + width), 0)
+        t.create_branch("staged")
+        b = t.branch_table("staged")
+        b.merge_epoch(
+            changes.where((F.col("lsn") >= lo + width)
+                          & (F.col("lsn") < lo + 2 * width)), 1)
+        b.merge_epoch(changes.where(F.col("lsn") >= lo + 2 * width), 2)
+        t.fast_forward("staged")
+        t.drop_branch("staged")
+        return t.read().select(
+            "repo", "path", "commit", "lang", "content"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "lake_zorder_state",
     f"""
     WITH ch AS ({_oracle_changelog_sql()}),

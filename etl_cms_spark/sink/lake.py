@@ -124,6 +124,11 @@ class LakeTable:
         self.n_buckets = n_buckets
         self.merge_mode = merge_mode
         self._manifest_dir = os.path.join(root, "_manifests")
+        # writable-branch handle marker (``branch_table``): None = the
+        # main lineage.  Set AFTER construction by branch_table — the
+        # constructor itself always resolves the main manifest (the
+        # table layout/merge-mode contract is lineage-independent).
+        self._branch: str | None = None
         # bucket count is part of the on-disk layout: reopening an
         # existing table with a different constructor value would
         # compute wrong changed_buckets and scatter keys into new
@@ -153,14 +158,49 @@ class LakeTable:
     # ---------------- manifest plumbing ----------------
 
     def exists(self) -> bool:
+        if self._branch is not None:
+            return os.path.exists(self._branch_ref_path(self._branch))
         return os.path.exists(os.path.join(self._manifest_dir, "CURRENT"))
 
+    # -------- branch plumbing (writable refs; see create_branch) ----
+
+    def _branch_ref_path(self, name: str) -> str:
+        return os.path.join(self._manifest_dir, f"branch.{name}.json")
+
+    def _branch_manifest_dir(self, name: str) -> str:
+        return os.path.join(self._manifest_dir, "branches", name)
+
+    def _load_branch_ref(self, name: str) -> dict:
+        try:
+            with open(self._branch_ref_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(f"no such branch {name!r}") from None
+
+    def _require_main(self, op: str) -> None:
+        if self._branch is not None:
+            raise ValueError(
+                f"{op} is not supported on a branch handle "
+                f"(branch {self._branch!r}): branches carry data epochs "
+                "and reads only — run maintenance/evolution/refs on the "
+                "main table, or fast_forward the branch first"
+            )
+
     def _current_version(self) -> int:
+        if self._branch is not None:
+            return int(self._load_branch_ref(self._branch)["head"])
         with open(os.path.join(self._manifest_dir, "CURRENT")) as f:
             return int(f.read().strip())
 
     def _load_manifest(self, version: int | None = None) -> dict:
         v = self._current_version() if version is None else version
+        if self._branch is not None:
+            # branch commits live in the branch dir; versions at or
+            # below the fork point resolve from the main lineage
+            bpath = os.path.join(self._branch_manifest_dir(self._branch), f"v{v}.json")
+            if os.path.exists(bpath):
+                with open(bpath) as f:
+                    return json.load(f)
         with open(os.path.join(self._manifest_dir, f"v{v}.json")) as f:
             return json.load(f)
 
@@ -245,6 +285,8 @@ class LakeTable:
             os.close(fd)
 
     def _commit_manifest(self, manifest: dict) -> int:
+        if self._branch is not None:
+            return self._commit_branch_manifest(manifest)
         v = manifest["version"]
         parent = manifest.get("parent_version", v - 1)
         manifest["parent_version"] = parent
@@ -273,6 +315,173 @@ class LakeTable:
             pass
         return v
 
+    def _commit_branch_manifest(self, manifest: dict) -> int:
+        """Branch commits CAS against the branch REF (never CURRENT):
+        same lock, same _StaleParent/rebase protocol, separate
+        lineage.  The version RESERVATION is deliberately KEPT after
+        commit — branch manifests are invisible to the main lineage's
+        version scan, so the live marker is what (a) stops the number
+        from being re-issued and (b) shields the branch's data dirs
+        from vacuum until fast_forward or drop_branch settles them."""
+        name = self._branch
+        v = manifest["version"]
+        bdir = self._branch_manifest_dir(name)
+        path = os.path.join(bdir, f"v{v}.json")
+        with self._commit_lock():
+            ref = self._load_branch_ref(name)
+            head = int(ref["head"])
+            parent = manifest.get("parent_version", head)
+            manifest["parent_version"] = parent
+            if head != parent:
+                raise _StaleParent(head)
+            if os.path.exists(path):
+                raise _StaleParent(head)
+            os.makedirs(bdir, exist_ok=True)
+            _atomic_write_json(path, manifest)
+            _atomic_write_json(
+                self._branch_ref_path(name), {**ref, "head": v}
+            )
+        return v
+
+    # ---------------- writable branch refs ----------------
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Fork a WRITABLE named ref off a committed snapshot (the
+        Iceberg/Nessie branch model; ``tag`` is the immutable
+        sibling).  A ``branch_table(name)`` handle reads the branch
+        head and commits data epochs to it through the ordinary
+        idempotent ``merge_epoch`` path — isolated from the main
+        lineage — then ``fast_forward(name)`` publishes the branch's
+        commits onto main atomically (all epochs or none), or
+        ``drop_branch`` discards them.  Staging whole multi-epoch
+        backfills, trying a risky reprocess against real data, or
+        dual-running a pipeline variant all ride this.
+
+        Branches carry DATA EPOCHS ONLY: maintenance (compact/vacuum/
+        rebucket), schema evolution, DML, tags and nested branching
+        stay on main — a fast-forward can then never have to merge
+        layout or schema drift, only append manifests.
+        """
+        self._require_main("create_branch")
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name or ""):
+            raise ValueError(f"invalid branch name {name!r}")
+        v = self._current_version() if version is None else int(version)
+        if not os.path.exists(os.path.join(self._manifest_dir, f"v{v}.json")):
+            raise ValueError(f"cannot branch at snapshot {v}: unknown or vacuumed")
+        path = self._branch_ref_path(name)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ValueError(
+                f"branch {name!r} already exists (drop_branch first)"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump({"head": v, "fork": v}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        return v
+
+    def branches(self) -> dict[str, dict]:
+        out = {}
+        for f in sorted(os.listdir(self._manifest_dir)):
+            m = re.fullmatch(r"branch\.(.+)\.json", f)
+            if m:
+                out[m.group(1)] = self._load_branch_ref(m.group(1))
+        return out
+
+    def branch_table(self, name: str) -> "LakeTable":
+        """A handle whose reads/commits resolve through the branch ref
+        instead of CURRENT.  Same root, same layout, same merge mode."""
+        self._require_main("branch_table")
+        self._load_branch_ref(name)  # fail fast on unknown branch
+        t = LakeTable(self.spark, self.root, self.n_buckets, self.merge_mode)
+        t._branch = name
+        return t
+
+    def _branch_chain(self, name: str) -> list[dict]:
+        """The branch's own manifests, fork-exclusive to head, in
+        commit order (parents first)."""
+        ref = self._load_branch_ref(name)
+        fork, v = int(ref["fork"]), int(ref["head"])
+        chain = []
+        while v != fork:
+            with open(
+                os.path.join(self._branch_manifest_dir(name), f"v{v}.json")
+            ) as f:
+                m = json.load(f)
+            chain.append(m)
+            v = int(m["parent_version"])
+        return list(reversed(chain))
+
+    def fast_forward(self, name: str) -> int:
+        """Publish the branch onto main: adopt its manifest chain as
+        main commits and advance CURRENT to the branch head — atomic
+        under the commit lock, so readers see ALL branch epochs or
+        none.  Requires main still at the fork point (the fast-forward
+        precondition; a diverged main raises ConcurrentCommitError —
+        replay the branch's epochs onto main instead, idempotently).
+        Crash mid-publish ROLLS FORWARD: adopted manifests are a valid
+        main chain, so a retry resumes from whatever prefix landed.
+        The branch ref stays (now at fork == ff'd head ancestry);
+        drop_branch when done."""
+        self._require_main("fast_forward")
+        ref = self._load_branch_ref(name)
+        head, fork = int(ref["head"]), int(ref["fork"])
+        if head == fork:
+            return self._current_version()
+        chain = self._branch_chain(name)
+        chain_versions = [int(m["version"]) for m in chain]
+        with self._commit_lock():
+            latest = self._latest_committed_version()
+            if latest != fork and latest not in chain_versions:
+                raise ConcurrentCommitError(
+                    f"branch {name!r} forked at {fork} but main is at "
+                    f"{latest}: fast-forward impossible — replay the "
+                    "branch epochs through merge_epoch instead"
+                )
+            todo = (
+                chain
+                if latest == fork
+                else chain[chain_versions.index(latest) + 1 :]
+            )
+            for m in todo:
+                _atomic_write_json(
+                    os.path.join(self._manifest_dir, f"v{m['version']}.json"), m
+                )
+            cur = os.path.join(self._manifest_dir, "CURRENT")
+            tmp = f"{cur}.tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(str(head))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, cur)
+            _atomic_write_json(self._branch_ref_path(name), {"head": head, "fork": head})
+        # now main manifests carry the numbers: release the markers
+        for v in chain_versions:
+            try:
+                os.remove(os.path.join(self._manifest_dir, f".reserve.v{v}"))
+            except FileNotFoundError:
+                pass
+        return head
+
+    def drop_branch(self, name: str) -> None:
+        """Discard a branch: ref, its manifests, and their version
+        reservations.  Its data dirs become orphans that the next
+        vacuums reclaim (once CURRENT passes their numbers)."""
+        self._require_main("drop_branch")
+        import shutil
+
+        ref = self._load_branch_ref(name)
+        chain_versions = [int(m["version"]) for m in self._branch_chain(name)]
+        os.remove(self._branch_ref_path(name))
+        shutil.rmtree(self._branch_manifest_dir(name), ignore_errors=True)
+        for v in chain_versions:
+            try:
+                os.remove(os.path.join(self._manifest_dir, f".reserve.v{v}"))
+            except FileNotFoundError:
+                pass
+        del ref
+
     def create(
         self,
         key_cols: list[str],
@@ -291,6 +500,7 @@ class LakeTable:
         order and reads converge to the same state (LWW per column by
         (lsn, write-version)).  Explicit set-to-NULL is NOT
         representable in this mode (NULL means absent)."""
+        self._require_main("create")
         os.makedirs(self._manifest_dir, exist_ok=True)
         if self.exists():
             raise ValueError(f"table already exists at {self.root}")
@@ -527,6 +737,7 @@ class LakeTable:
         """Record per-file column min/max in the ``_stats.json``
         planning cache (distributed footer reads; immutable dirs are
         read once, ever).  See sink/stats.py."""
+        self._require_main("refresh_stats")
         from etl_cms_spark.sink import stats as _stats
 
         return _stats.refresh_stats(self, cols)
@@ -535,6 +746,7 @@ class LakeTable:
         """Record per-file membership sketches (Bloom-style) of
         ``cols`` for equality/IN pruning on unclustered
         high-cardinality columns — see ``sink/stats.py``."""
+        self._require_main("refresh_member_stats")
         from etl_cms_spark.sink import stats as _stats
 
         return _stats.refresh_member_stats(self, cols, bits)
@@ -645,6 +857,7 @@ class LakeTable:
         ``epoch`` (default: next sequential id) at an LSN above every
         committed change.  Idempotent: a committed epoch replays as a
         no-op.  Returns the lineage record."""
+        self._require_main("delete_where")
         m, epoch, lsn = self._dml_context(epoch)
         if str(epoch) in m["epochs"]:
             rec = dict(m["epochs"][str(epoch)])
@@ -679,6 +892,7 @@ class LakeTable:
         source events instead, see sources/debezium key-change
         handling).  Same pruned-scan / idempotent-epoch contract as
         :meth:`delete_where`."""
+        self._require_main("update_where")
         from pyspark.sql import Column
 
         m, epoch, lsn = self._dml_context(epoch)
@@ -742,6 +956,7 @@ class LakeTable:
         travel, exactly-once replay, later-LSN overwrites — follows
         from the ordinary epoch path.  Partial-column SET on matched
         rows is :meth:`update_where`'s job; MERGE takes full images."""
+        self._require_main("merge_into")
         from pyspark.sql import Column
 
         if when_matched not in ("update", "delete", "ignore"):
@@ -915,6 +1130,7 @@ class LakeTable:
         deleted, so the rolled-back-over versions remain readable and
         the undone epochs will re-apply on replay (their ids left the
         epoch set with the rollback)."""
+        self._require_main("rollback")
         target = self._load_manifest(version)
         cur = self._load_manifest()
         new = dict(target)
@@ -944,6 +1160,7 @@ class LakeTable:
         routine GC.  Tags are write-once (O_EXCL ref file — two racing
         taggers cannot silently overwrite each other); re-pointing a
         name requires an explicit ``drop_tag`` first."""
+        self._require_main("tag")
         if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
             raise ValueError(f"invalid tag name {name!r}")
         v = self._current_version() if version is None else int(version)
@@ -971,6 +1188,7 @@ class LakeTable:
         return out
 
     def drop_tag(self, name: str) -> None:
+        self._require_main("drop_tag")
         p = os.path.join(self._manifest_dir, f"ref.{name}")
         if not os.path.exists(p):
             raise ValueError(f"no such tag {name!r}")
@@ -1007,6 +1225,7 @@ class LakeTable:
         """
         import shutil
 
+        self._require_main("vacuum")
         cur = self._current_version()
         reserved = {
             int(m.group(1))
@@ -1027,6 +1246,18 @@ class LakeTable:
             m = self._load_manifest(v)
             for b in m["buckets"]:
                 referenced.update(self._bucket_dirs(m, b))
+        # live branches pin everything their manifests reference —
+        # including dirs INHERITED from fork-point snapshots that the
+        # keep_last window has already expired — and their version
+        # numbers stay off-limits to reservation expiry (a branch
+        # commit's live marker is a ref, not crash debris).
+        branch_pinned: set[int] = set()
+        for bname in self.branches():
+            for m in self._branch_chain(bname):
+                branch_pinned.add(int(m["version"]))
+                for b in m["buckets"]:
+                    referenced.update(self._bucket_dirs(m, b))
+        reserved |= branch_pinned
         removed_dirs = []
         data_root = os.path.join(self.root, "data")
         if os.path.isdir(data_root):
@@ -1073,8 +1304,10 @@ class LakeTable:
                 m = re.fullmatch(r"\.reserve\.v(\d+)", f)
                 # debris markers (crashed writers) at or below current
                 # — reclaim only on explicit request, since a live
-                # in-flight writer's marker looks identical.
-                if m and int(m.group(1)) <= cur:
+                # in-flight writer's marker looks identical.  Branch
+                # commits' markers are REFS (they alone keep the number
+                # unissuable), never debris.
+                if m and int(m.group(1)) <= cur and int(m.group(1)) not in branch_pinned:
                     os.remove(os.path.join(self._manifest_dir, f))
         return {
             "kept_versions": keep,
@@ -1822,6 +2055,7 @@ class LakeTable:
         the REAL merged result once, and publishing is a pure
         metadata commit — no second merge, no window where readers
         see unaudited rows."""
+        self._require_main("stage_epoch")
         return self.merge_epoch(
             updates, epoch, op_col=op_col, lsn_col=lsn_col,
             extra_lineage=extra_lineage, stats=stats,
@@ -2150,6 +2384,7 @@ class LakeTable:
         instead of resurrecting dropped values (the version check is
         the field-id-free analogue of Iceberg's field-id rule that a
         reused name never rebinds to old column data)."""
+        self._require_main("apply_schema_change")
         manifest = self._load_manifest()
         dropped_phys: set[str] = set()
         if "drop" in change:
@@ -2334,6 +2569,7 @@ class LakeTable:
         columnar table only once the out-of-order window has
         drained past it (the streaming/batch drivers apply in order,
         where this is automatic)."""
+        self._require_main("compact")
         t0 = time.time()
         manifest = self._load_manifest()
         unknown = [c for c in (cluster_by or []) if c not in manifest["schema"]]
@@ -2475,6 +2711,7 @@ class LakeTable:
         itself, so only the shuffle saving is lost, never
         correctness).
         """
+        self._require_main("rebucket")
         t0 = time.time()
         manifest = self._load_manifest()
         old_n = int(manifest.get("n_buckets", self.n_buckets))
