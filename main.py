@@ -233,10 +233,17 @@ def main() -> None:
         help="with --dml update: assignment (repeatable); values "
         "coerced to the column type",
     )
+    ap.add_argument(
+        "--branch",
+        default=None,
+        metavar="ACTION",
+        help="branch-ref admin on the main table: create:NAME[@VERSION] "
+        "| ff:NAME (fast-forward onto main) | drop:NAME | list",
+    )
     args = ap.parse_args()
     if args.dml == "update" and not args.set_assignments:
         ap.error("--dml update requires --set COL=VALUE")
-    if not args.maintain and not args.dml:
+    if not args.maintain and not args.dml and not args.branch:
         if not args.changelog and not args.bucketed_table and not args.source_table:
             ap.error("one of --changelog / --bucketed-table / --source-table is required")
         if args.source_table and not args.stream:
@@ -246,6 +253,30 @@ def main() -> None:
     # command line; fall back to the tuned local builder otherwise.
     spark = SparkSession.builder.appName("etl-cms-spark").getOrCreate()
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    if args.branch:
+        import json as _json
+        import os
+
+        from etl_cms_spark.sink.lake import LakeTable
+
+        table = LakeTable(spark, os.path.join(args.lake, "tables", "files"))
+        action, _, operand = args.branch.partition(":")
+        if action == "create":
+            name, _, at = operand.partition("@")
+            v = table.create_branch(name, int(at) if at else None)
+            print(_json.dumps({"branch": name, "created_at": v}))
+        elif action == "ff":
+            head = table.fast_forward(operand)
+            print(_json.dumps({"branch": operand, "fast_forwarded_to": head}))
+        elif action == "drop":
+            table.drop_branch(operand)
+            print(_json.dumps({"branch": operand, "dropped": True}))
+        elif action == "list":
+            print(_json.dumps({"branches": table.branches()}))
+        else:
+            ap.error(f"unknown --branch action {action!r}")
+        return
 
     if args.dml:
         import os

@@ -211,3 +211,21 @@ def test_fast_forward_empty_branch_is_noop(spark, tmp_root):
     t.create_branch("idle")
     assert t.fast_forward("idle") == v
     assert t._current_version() == v
+
+
+def test_fast_forward_is_metadata_only(spark, tmp_root):
+    """fast_forward adopts manifests and swaps CURRENT — pure driver-
+    side file ops, NO Spark jobs, no data read/rewrite.  Proven by
+    removing the session from the handle for the call."""
+    t = _mk(spark, os.path.join(tmp_root, "br_meta"))
+    t.merge_epoch(_rows(spark, [(1, "U", "r", "a", "c", "py", "x")]), 0)
+    t.create_branch("m")
+    b = t.branch_table("m")
+    b.merge_epoch(_rows(spark, [(2, "U", "r", "b", "c", "py", "y")]), 1)
+    t.spark = None  # any Spark touch would AttributeError
+    try:
+        head = t.fast_forward("m")
+    finally:
+        t.spark = spark
+    assert t._current_version() == head
+    assert _state(t) == {("r", "a"): ("c", "x"), ("r", "b"): ("c", "y")}
