@@ -721,3 +721,80 @@ def test_joinview_tracks_join_under_arbitrary_epoch_assignment(
         assert got == exp, f"view diverged: {got} != {exp}"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------
+# Branch refs: random changelog, random fork point, publish vs drop
+# ---------------------------------------------------------------------
+
+branch_events = st.lists(
+    st.tuples(
+        st.integers(0, 9),            # key id
+        st.sampled_from(["U", "D"]),  # op
+        st.integers(0, 99),           # payload seed
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evts=branch_events, fork_at=st.integers(0, 23), publish=st.booleans(),
+       mor=st.booleans())
+def test_branch_publish_or_drop_matches_fold(
+    spark, tmp_path_factory, evts, fork_at, publish, mor
+):
+    """Epochs before the fork commit to main, the rest to a branch.
+    fast_forward => final state == latest-wins over ALL events;
+    drop_branch => final state == latest-wins over the MAIN prefix
+    only.  Random key overlap and deletes cross the fork boundary."""
+    from etl_cms_spark.sink.lake import LakeTable
+
+    fork_at = min(fork_at, len(evts))
+    rows = [
+        (i + 1, op, "r", f"k{k}", f"c{seed}", "py", f"body-{seed}" if op == "U" else None)
+        for i, (k, op, seed) in enumerate(evts)
+    ]
+    # deletes carry no payload
+    rows = [
+        (lsn, op, repo, path, None if op == "D" else c,
+         None if op == "D" else lang, body)
+        for (lsn, op, repo, path, c, lang, body) in rows
+    ]
+    schema = ("lsn long, op string, repo string, path string, "
+              "commit string, lang string, content string")
+    root = str(tmp_path_factory.mktemp("brprop"))
+    t = LakeTable(spark, f"{root}/t", n_buckets=2,
+                  merge_mode="mor" if mor else "cow")
+    t.create(["repo", "path"], {"repo": "string", "path": "string",
+                                "commit": "string", "lang": "string",
+                                "content": "string"})
+    if rows[:fork_at]:
+        t.merge_epoch(spark.createDataFrame(rows[:fork_at], schema), 0)
+    t.create_branch("p")
+    b = t.branch_table("p")
+    tail = rows[fork_at:]
+    # split the tail into up to two branch epochs
+    mid = len(tail) // 2
+    for e, chunk in enumerate([tail[:mid], tail[mid:]]):
+        if chunk:
+            b.merge_epoch(spark.createDataFrame(chunk, schema), e + 1)
+    if publish:
+        t.fast_forward("p")
+        visible = rows
+    else:
+        t.drop_branch("p")
+        visible = rows[:fork_at]
+    # model: latest-wins fold, deletes remove
+    model = {}
+    for (lsn, op, repo, path, c, lang, body) in visible:
+        if op == "D":
+            model.pop((repo, path), None)
+        else:
+            model[(repo, path)] = (c, body)
+    got = {
+        (x["repo"], x["path"]): (x["commit"], x["content"])
+        for x in t.read().collect()
+    }
+    assert got == model
