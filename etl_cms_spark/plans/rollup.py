@@ -70,19 +70,33 @@ class IncrementalRollup:
         measures: dict[str, Column],
         n_buckets: int = 8,
         distinct: dict[str, str] | None = None,
+        min_measures: dict[str, Column] | None = None,
+        max_measures: dict[str, Column] | None = None,
     ):
         self.spark = spark
         self.key_cols = list(key_exprs)
         self.key_exprs = key_exprs
         self.measures = measures
         self.distinct = dict(distinct or {})
-        overlap = set(self.measures) & set(self.distinct)
-        if overlap:
-            raise ValueError(f"measure/distinct name collision: {sorted(overlap)}")
+        # MIN/MAX over an APPEND-ONLY changelog are MONOTONE — each
+        # epoch can only improve them, never retract — so the fold is
+        # a pure least()/greatest() against the stored value.  (Over
+        # CURRENT ROW STATE they are NOT monotone: that retraction
+        # case is StateRollup's min_measures/max_measures.)
+        self.monotone: dict[str, tuple[Column, str]] = {
+            **{m: (v, "min") for m, v in (min_measures or {}).items()},
+            **{m: (v, "max") for m, v in (max_measures or {}).items()},
+        }
+        names = [*self.measures, *self.distinct, *self.monotone]
+        if len(set(names)) != len(names) or len(self.monotone) != len(
+            min_measures or {}
+        ) + len(max_measures or {}):
+            raise ValueError(f"measure name collision: {sorted(names)}")
         schema = (
             {k: "string" for k in self.key_cols}
             | {m: "long" for m in measures}
             | {d: "binary" for d in self.distinct}
+            | {m: "long" for m in self.monotone}
         )
         self.table = LakeTable(spark, root, n_buckets)
         if not self.table.exists():
@@ -102,12 +116,18 @@ class IncrementalRollup:
                 F.hll_sketch_agg(F.col(src)).alias(name)
                 for name, src in self.distinct.items()
             ],
+            *[
+                (F.min(v) if kind == "min" else F.max(v))
+                .cast("long")
+                .alias(name)
+                for name, (v, kind) in self.monotone.items()
+            ],
         )
         current = self.table.read().select(
             *self.key_cols,
             *[
                 F.col(c).alias(f"_cur_{c}")
-                for c in [*self.measures, *self.distinct]
+                for c in [*self.measures, *self.distinct, *self.monotone]
             ],
         )
         merged = delta.join(current, self.key_cols, "left").select(
@@ -124,6 +144,14 @@ class IncrementalRollup:
                 .alias(d)
                 for d in self.distinct
             ],
+            *[
+                # least/greatest skip NULLs: a group's first epoch (or
+                # an all-NULL epoch) folds to the other side's value.
+                (F.least if kind == "min" else F.greatest)(
+                    F.col(m), F.col(f"_cur_{m}")
+                ).alias(m)
+                for m, (_, kind) in self.monotone.items()
+            ],
             F.lit("U").alias("op"),
             F.lit(int(epoch)).alias("lsn"),
         )
@@ -139,6 +167,7 @@ class IncrementalRollup:
                 F.hll_sketch_estimate(F.col(d)).alias(d)
                 for d in self.distinct
             ],
+            *self.monotone,
         )
 
 

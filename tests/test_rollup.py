@@ -387,3 +387,40 @@ def test_extrema_replay_is_noop_and_guards(spark, tmp_root):
                     key_exprs={"lang": F.col("lang")},
                     row_measures={"m": F.lit(1)}, count_measure="m",
                     min_measures={"m": F.length("content")})
+
+
+def test_incremental_monotone_minmax(spark, tmp_root):
+    """min/max over an APPEND-ONLY changelog fold monotonically
+    (least/greatest vs stored) — multi-epoch == one-shot, replay is a
+    no-op, NULL-content deletes don't poison the extrema."""
+    changes = gen_source_changes(spark, n_events=3000, n_keys=300, n_repos=8)
+    r = IncrementalRollup(
+        spark,
+        os.path.join(tmp_root, "mono_roll"),
+        key_exprs={"repo": F.col("repo")},
+        measures={"n_events": F.count(F.lit(1))},
+        min_measures={"min_chars": F.length("content")},
+        max_measures={"max_chars": F.length("content")},
+    )
+    batches = _epochs(changes, 3)
+    for e, b in enumerate(batches):
+        r.apply_epoch(b, e)
+    exp = changes.groupBy("repo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(F.length("content")).cast("long").alias("min_chars"),
+        F.max(F.length("content")).cast("long").alias("max_chars"),
+    )
+    got = r.read()
+    exp = exp.select(*got.columns)
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    rec = r.apply_epoch(batches[1], 1)
+    assert rec.get("skipped_duplicate_epoch")
+
+    with pytest.raises(ValueError, match="collision"):
+        IncrementalRollup(
+            spark, os.path.join(tmp_root, "mono_bad"),
+            key_exprs={"repo": F.col("repo")},
+            measures={"m": F.count(F.lit(1))},
+            min_measures={"m": F.length("content")},
+        )
