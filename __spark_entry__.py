@@ -63,6 +63,7 @@ _PRIORITIZED = [
     "lake_count_pruned",          # metadata-only count(*) from sidecar row/tombstone counts (new r5)
     "lake_stats_pruned_read",     # planning-time file pruning == filtered read (new r5)
     "lake_dml_epoch",             # bulk DELETE/UPDATE as an idempotent change epoch (new r5)
+    "lake_branch_publish",        # writable branch refs: fork/commit/fast-forward (new r5)
     # round-4 deprioritized tail (never driver-checked)
     "cdc_latest_by_key_salted",   # property-twin of cdc_latest_by_key
     "minhash_lsh_portable",       # twin; minhash_lsh_neardup is primary
