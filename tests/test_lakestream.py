@@ -554,3 +554,50 @@ def test_start_stream_paced_chaining(spark, changes, tmp_root):
     )
     # pacing touched more than one micro-batch epoch (one per version)
     assert len([m for m in silver.metrics if m.get("rows_upserted")]) >= 3
+
+
+def test_branch_publish_flows_into_stream(spark, tmp_root):
+    """Epochs staged on a BRANCH are invisible to the changelog stream
+    until fast_forward; the publish then surfaces them as ordinary
+    epoch commits (the adopted manifests ARE main commits), so a
+    chained downstream table picks up the whole backfill atomically
+    and exactly-once on its existing checkpoint."""
+    root = os.path.join(tmp_root, "brflow")
+    t = LakeTable(spark, root, n_buckets=4, merge_mode="mor")
+    t.create(["k"], {"k": "string", "v": "string"})
+    t.merge_epoch(spark.createDataFrame(
+        [("a", "a0", 1, "U")], "k string, v string, lsn long, op string"), 0)
+    t.create_branch("bulk")
+    b = t.branch_table("bulk")
+    b.merge_epoch(spark.createDataFrame(
+        [("b", "b0", 2, "U")], "k string, v string, lsn long, op string"), 1)
+    b.merge_epoch(spark.createDataFrame(
+        [("a", None, 3, "D"), ("c", "c0", 4, "U")],
+        "k string, v string, lsn long, op string"), 2)
+
+    down = LakeTable(spark, os.path.join(tmp_root, "brflow_down"),
+                     n_buckets=4, merge_mode="mor")
+    down.create(["k"], {"k": "string", "v": "string"})
+    ck = os.path.join(tmp_root, "brflow_ck")
+
+    def run_once():
+        q = (
+            spark.readStream.format("lake_changelog")
+            .option("path", root).load()
+            .writeStream.foreachBatch(lambda df, bid: down.merge_epoch(df, bid))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    # branch commits invisible pre-publish
+    assert {(x["k"], x["v"]) for x in down.read().collect()} == {("a", "a0")}
+
+    t.fast_forward("bulk")
+    t.drop_branch("bulk")
+    run_once()
+    assert {(x["k"], x["v"]) for x in down.read().collect()} == {
+        ("b", "b0"), ("c", "c0"),
+    }
+    assert_df_equal(down.read(), t.read(), "downstream == published upstream")

@@ -424,3 +424,35 @@ def test_incremental_monotone_minmax(spark, tmp_root):
             measures={"m": F.count(F.lit(1))},
             min_measures={"m": F.length("content")},
         )
+
+
+def test_extrema_late_catchup_pins_epoch_state(spark, tmp_root):
+    """A rollup attached AFTER the lake advanced catches up epoch by
+    epoch; a rescan while replaying epoch e must read the lake AT e
+    (read_at_epoch), not the final state — otherwise the multiplicity
+    it records poisons a later fold.  Epochs engineered so mis-pinned
+    rescans surface as a wrong FINAL extremum: e1 kills the min
+    (rescan at the e1 state must say 9), e2 adds a smaller row, e3
+    retracts it (rescan must say 9 again — a rescan that had seen the
+    e2 row early would carry multiplicity 2 at 3 and skip this one)."""
+    from tests.conftest import assert_df_equal
+
+    t = _mk_lake(spark, os.path.join(tmp_root, "extl_files"))
+    epochs = [
+        [(1, "U", "r", "x", "c", "py", "aaaaa"),       # 5
+         (2, "U", "r", "y", "c", "py", "bbbbbbbbb")],  # 9
+        [(11, "D", "r", "x", None, None, None)],       # kill min -> 9
+        [(21, "U", "r", "z", "c", "py", "ccc")],       # 3
+        [(31, "D", "r", "z", None, None, None)],       # kill min -> 9
+    ]
+    for e, rows in enumerate(epochs):
+        t.merge_epoch(spark.createDataFrame(rows, _ROW_SCHEMA), e)
+    # late attach: fold all four epochs now
+    r = _mk_extrema(spark, os.path.join(tmp_root, "extl_roll"))
+    rescans = [r.update_from_lake(t, e).get("rescanned_groups", 0)
+               for e in range(4)]
+    assert rescans == [0, 1, 0, 1]
+    got = {x["lang"]: (x["n_files"], x["min_chars"], x["max_chars"])
+           for x in r.read().collect()}
+    assert got == {"py": (1, 9, 9)}
+    assert_df_equal(r.read(), _extrema_snapshot(t), "late catch-up")
