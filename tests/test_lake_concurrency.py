@@ -307,3 +307,51 @@ def test_partial_merge_detects_commit_in_hydrate_window(
     assert ta.committed_epochs() == {0, 2}
     ta.merge_epoch_partial(folded1, 1)  # retry re-hydrates on the new snapshot
     assert ta.committed_epochs() == {0, 1, 2}
+
+
+def test_branch_writers_race_rebases_on_branch_head(spark, tmp_root, monkeypatch):
+    """Two writers on the SAME branch: the victim's CAS is against the
+    branch REF; MoR deltas commute, so it rebases onto the interleaved
+    branch commit — both epochs land on the branch, main untouched."""
+    e1, e2 = _halves(spark)
+    root = os.path.join(tmp_root, "occ_branch")
+    t = _mk(spark, root)
+    t.merge_epoch(e1.limit(0), 0)  # establish an epoch-0 commit
+    t.create_branch("race")
+    ba = t.branch_table("race")
+    bb = t.branch_table("race")
+    _interleave(monkeypatch, ba, lambda: bb.merge_epoch(e2, 2))
+    rec = ba.merge_epoch(e1, 1)
+    assert not rec.get("skipped_duplicate_epoch")
+    assert ba.committed_epochs() == {0, 1, 2}
+    assert t.committed_epochs() == {0}  # main never moved
+    serial = _mk(spark, os.path.join(tmp_root, "occ_branch_serial"))
+    serial.merge_epoch(e2, 2)
+    serial.merge_epoch(e1, 1)
+    assert_df_equal(ba.read(), serial.read(), "branch occ == serial")
+    # and the whole raced history publishes cleanly
+    t.fast_forward("race")
+    assert_df_equal(t.read(), serial.read(), "published == serial")
+
+
+def test_branch_commit_ignores_concurrent_main_commit(spark, tmp_root, monkeypatch):
+    """A main commit landing mid-branch-write is a DIFFERENT lineage:
+    the branch writer's CAS (against its ref) never sees it — no
+    conflict, no rebase — but the diverged main then refuses the
+    fast-forward."""
+    from etl_cms_spark.sink.lake import ConcurrentCommitError
+
+    e1, e2 = _halves(spark)
+    root = os.path.join(tmp_root, "occ_branch_main")
+    t = _mk(spark, root)
+    t.merge_epoch(e1.limit(0), 0)
+    t.create_branch("iso")
+    b = t.branch_table("iso")
+    t2 = LakeTable(spark, root, n_buckets=8, merge_mode="mor")
+    _interleave(monkeypatch, b, lambda: t2.merge_epoch(e2, 2))
+    rec = b.merge_epoch(e1, 1)
+    assert not rec.get("skipped_duplicate_epoch")
+    assert b.committed_epochs() == {0, 1}   # branch never saw main's 2
+    assert t.committed_epochs() == {0, 2}   # main took the interleaved commit
+    with pytest.raises(ConcurrentCommitError, match="fast-forward impossible"):
+        t.fast_forward("iso")
