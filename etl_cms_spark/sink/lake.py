@@ -1543,6 +1543,30 @@ class LakeTable:
             "n_schema_cols int, n_buckets int, is_current boolean",
         )
 
+    def refs_df(self) -> DataFrame:
+        """Named refs as a DataFrame (Iceberg's ``refs`` metadata
+        table): one row per tag (immutable pin) and per branch
+        (writable lineage; ``n_commits`` = commits ahead of its fork).
+        Driver-side metadata read only."""
+        rows = [
+            (name, "tag", int(v), None, None)
+            for name, v in self.tags().items()
+        ] + [
+            (
+                name,
+                "branch",
+                int(ref["head"]),
+                int(ref["fork"]),
+                len(self._branch_chain(name)),
+            )
+            for name, ref in self.branches().items()
+        ]
+        return self.spark.createDataFrame(
+            sorted(rows),
+            "name string, type string, version long, fork_version long, "
+            "n_commits int",
+        )
+
     def files_df(self, version: int | None = None) -> DataFrame:
         """The data files referenced by a snapshot (Iceberg's ``files``
         metadata table): bucket, path, write dir, footer row count,

@@ -229,3 +229,21 @@ def test_fast_forward_is_metadata_only(spark, tmp_root):
         t.spark = spark
     assert t._current_version() == head
     assert _state(t) == {("r", "a"): ("c", "x"), ("r", "b"): ("c", "y")}
+
+
+def test_refs_df_lists_tags_and_branches(spark, tmp_root):
+    """refs_df (Iceberg's `refs` metadata table): tags and branches as
+    data, branches with fork point and commits-ahead count."""
+    t = _mk(spark, os.path.join(tmp_root, "br_refs"))
+    t.merge_epoch(_rows(spark, [(1, "U", "r", "a", "c", "py", "x")]), 0)
+    v = t._current_version()
+    t.tag("release-1")
+    t.create_branch("wip")
+    b = t.branch_table("wip")
+    b.merge_epoch(_rows(spark, [(2, "U", "r", "b", "c", "py", "y")]), 1)
+    got = {x["name"]: (x["type"], x["version"], x["fork_version"], x["n_commits"])
+           for x in t.refs_df().collect()}
+    assert got == {
+        "release-1": ("tag", v, None, None),
+        "wip": ("branch", b._current_version(), v, 1),
+    }
