@@ -155,6 +155,7 @@ class CDCPipeline:
         broadcast_dedup_max_rows: int = 500_000,
         row_image: str = "full",
         epoch_audit: "object | None" = None,
+        txn_col: str | None = None,
     ):
         """dedup_mode:
         * "strict" (default) — max-LSN dedup before mapping.  Measured
@@ -269,7 +270,23 @@ class CDCPipeline:
         complete rows and the rest of the epoch is unchanged.  Cost:
         one extra bucket-pruned table read per epoch — inherent to
         partial feeds.  Requires in-order epoch application (run()/
-        streaming always apply in order)."""
+        streaming always apply in order).
+
+        ``txn_col`` — TRANSACTION-BOUNDARY-ALIGNED epoch slicing for
+        the batch tail (``run``/``stage``/``run_staged``).  Binlog
+        events of one source transaction are contiguous in LSN order;
+        naming the transaction-id column makes the slicer assign every
+        row of a transaction to the epoch its COMMIT (max) LSN falls
+        in, so no epoch boundary ever splits a transaction and no
+        reader of any committed snapshot observes a half-applied one —
+        the atomicity contract Debezium surfaces as transaction-
+        boundary events.  Epochs may reach BACK below their nominal
+        LSN floor (a boundary-spanning transaction commits in the
+        later epoch), never forward; the converged state is
+        byte-identical to plain slicing (latest-wins is order-free
+        within an epoch).  Rows with NULL transaction id (schema
+        events, heartbeats, non-transactional writes) slice by their
+        own LSN, exactly as without ``txn_col``."""
         self.spark = spark
         self.root = root
         if row_image not in ("full", "minimal"):
@@ -290,6 +307,7 @@ class CDCPipeline:
         # completion marker, so a crash mid-publish rolls forward on
         # replay (publishes only ever follow a pass).
         self.epoch_audit = epoch_audit
+        self.txn_col = txn_col
         self.demux_domains = demux_domains
         if demux_tombstones not in ("blanket", "targeted"):
             raise ValueError(f"demux_tombstones must be blanket|targeted, got {demux_tombstones}")
@@ -1461,6 +1479,37 @@ class CDCPipeline:
             meta=meta,
         )
 
+    def _epoch_ids(self, changes: DataFrame, lo: int, width: int):
+        """The slicer's ``_epoch`` expression source: returns
+        ``changes`` with an ``_epoch`` int column.
+
+        Plain mode: ``floor((lsn - lo) / width)`` — contiguous LSN
+        ranges.  With ``txn_col`` (see __init__): commit-LSN
+        assignment, ``floor((max(lsn) over txn - lo) / width)`` — one
+        window over the transaction id, so a source transaction's rows
+        always share an epoch.  NULL transaction ids slice by their
+        own LSN via per-row SINGLETON window partitions (a "\\x00row:"
+        synthetic key — the NUL byte keeps it outside any real id
+        alphabet): same result as plain mode for those rows, and the
+        shuffle stays skew-free instead of funneling every
+        non-transactional row into one giant NULL partition."""
+        if self.txn_col is None:
+            return changes.withColumn(
+                "_epoch",
+                F.floor((F.col("lsn") - F.lit(lo)) / F.lit(width)).cast("int"),
+            )
+        from pyspark.sql import Window
+
+        part = F.coalesce(
+            F.col(self.txn_col).cast("string"),
+            F.concat(F.lit("\x00row:"), F.col("lsn").cast("string")),
+        )
+        commit_lsn = F.max("lsn").over(Window.partitionBy(part))
+        return changes.withColumn(
+            "_epoch",
+            F.floor((commit_lsn - F.lit(lo)) / F.lit(width)).cast("int"),
+        )
+
     def stage(self, changes: DataFrame, staging_dir: str, n_epochs: int = 4) -> dict | None:
         """PRODUCER-side half of the staged protocol: write the
         changelog once, partitioned by epoch id, and pre-extract the
@@ -1475,9 +1524,7 @@ class CDCPipeline:
             return None
         width = max(1, (hi - lo + 1 + n_epochs - 1) // n_epochs)
         (
-            changes.withColumn(
-                "_epoch", F.floor((F.col("lsn") - F.lit(lo)) / F.lit(width)).cast("int")
-            )
+            self._epoch_ids(changes, lo, width)
             .write.mode("overwrite")
             .partitionBy("_epoch")
             .parquet(staging_dir)
@@ -1516,6 +1563,13 @@ class CDCPipeline:
             all_schema_events = meta["schema_events"]
         results = []
         first = start_epoch if start_epoch is not None else 0
+        # txn_col + no staging: materialize the commit-LSN epoch
+        # assignment ONCE (one window shuffle) instead of per epoch.
+        assigned = (
+            self._epoch_ids(changes, lo, width).persist()
+            if self.txn_col is not None and staging_dir is None and changes is not None
+            else None
+        )
         for e in range(first, n_epochs):
             epoch_lo = lo + e * width
             epoch_hi = min(hi, epoch_lo + width - 1)
@@ -1526,16 +1580,24 @@ class CDCPipeline:
                 if not os.path.exists(part):
                     continue
                 batch = self.spark.read.parquet(part)
+            elif assigned is not None:
+                batch = assigned.where(F.col("_epoch") == e).drop("_epoch")
             else:
                 batch = changes.where(
                     (F.col("lsn") >= epoch_lo) & (F.col("lsn") <= epoch_hi)
                 )
+            if self.txn_col is not None and self.txn_col in batch.columns:
+                # the id did its slicing job; keep it out of the
+                # mapped/merged payload schema.
+                batch = batch.drop(self.txn_col)
             ev = (
                 None
                 if all_schema_events is None
                 else [t for t in all_schema_events if epoch_lo <= t[0] <= epoch_hi]
             )
             results.append(self.process_epoch(batch, e, schema_events=ev))
+        if assigned is not None:
+            assigned.unpersist()
         return results
 
     def _collect_schema_events(self, changes: DataFrame) -> list | None:

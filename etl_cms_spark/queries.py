@@ -1922,6 +1922,48 @@ def cdc_pipeline_auto(spark, sf_dir):
 
 
 @q(
+    "cdc_txn_boundary",
+    f"""
+    WITH ch AS ({_oracle_changelog_sql()}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ch),
+    latest AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT l.repo, l.path, l.commit, l.lang, l.content,
+           dim.concept_id, dim.domain, sha256(l.content) AS content_sha
+    FROM latest l JOIN {_concept_dim_sql()} ON l.lang = dim.lang
+    """,
+)
+def cdc_txn_boundary(spark, sf_dir):
+    """TRANSACTION-BOUNDARY-ALIGNED epoch slicing (``CDCPipeline(
+    txn_col=...)``, plans/pipeline._epoch_ids): every row of a source
+    transaction lands in the epoch of its COMMIT (max) LSN, so no
+    epoch boundary splits a transaction and no committed snapshot
+    shows a half-applied one — the binlog atomicity contract Debezium
+    surfaces as transaction-boundary events (tests/test_txn_boundary
+    pins the mid-epoch visibility semantics by hand).  Transaction
+    ids here group ~4 consecutive events, deliberately spanning the
+    epoch cuts; the oracle is the SAME one-pass latest-wins SQL as
+    ``cdc_pipeline_state`` — commit-LSN assignment must be INVISIBLE
+    in the converged state."""
+    import shutil
+    import tempfile
+
+    from etl_cms_spark.plans.pipeline import CDCPipeline
+
+    changes = _changelog_from_documents(spark, sf_dir).withColumn(
+        "txn_id", F.concat(F.lit("t"), F.floor(F.col("lsn") / 8).cast("string"))
+    )
+    root = tempfile.mkdtemp(prefix="cdc_txn_")
+    try:
+        p = CDCPipeline(spark, root, n_buckets=8, txn_col="txn_id")
+        p.run(changes, n_epochs=3)
+        return p.current_state().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "cdc_demux_wap_state",
     f"""
     WITH ch AS ({_oracle_changelog_sql()}),

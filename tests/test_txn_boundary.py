@@ -1,0 +1,143 @@
+"""Transaction-boundary-aligned epoch slicing (``CDCPipeline(
+txn_col=...)``): binlog events of one source transaction are
+contiguous in LSN order, and the slicer assigns every row of a
+transaction to the epoch of its COMMIT (max) LSN — so no epoch
+boundary splits a transaction and no committed snapshot ever shows a
+half-applied one.  Debezium surfaces the same contract as transaction
+boundary events; the reference has no analogue (its CSV batches are
+whole-file), so this is engine-level CDC semantics beyond it.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_cms_spark.fixtures.generator import gen_source_changes
+from etl_cms_spark.plans.pipeline import CDCPipeline
+from tests.conftest import assert_df_equal
+
+N_EPOCHS = 3
+
+
+def _with_txns(changes):
+    """Deterministic transaction ids: consecutive-LSN groups of ~8
+    events per txn (lsn = 2i+1, so floor(lsn/16) groups 8 rows), with
+    every 7th txn's rows left NULL (non-transactional writes)."""
+    tid = F.floor(F.col("lsn") / 16)
+    return changes.withColumn(
+        "txn_id",
+        F.when(F.pmod(tid, F.lit(7)) == 3, F.lit(None)).otherwise(
+            F.concat(F.lit("txn-"), tid.cast("string"))
+        ),
+    )
+
+
+def test_staged_assignment_never_splits_a_txn(spark, tmp_root):
+    ch = _with_txns(gen_source_changes(spark, n_events=2000, n_keys=300))
+    p = CDCPipeline(spark, os.path.join(tmp_root, "t"), n_buckets=4, txn_col="txn_id")
+    staging = os.path.join(tmp_root, "staging")
+    meta = p.stage(ch, staging, n_epochs=N_EPOCHS)
+    staged = spark.read.parquet(staging)
+    split = (
+        staged.where(F.col("txn_id").isNotNull())
+        .groupBy("txn_id")
+        .agg(F.countDistinct("_epoch").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert split == 0, "a transaction's rows landed in two epochs"
+    # NULL-txn rows slice by their own lsn, exactly like plain mode
+    lo, width = meta["lo"], meta["width"]
+    off_nominal = (
+        staged.where(F.col("txn_id").isNull())
+        .where(
+            F.col("_epoch")
+            != F.floor((F.col("lsn") - F.lit(lo)) / F.lit(width)).cast("int")
+        )
+        .count()
+    )
+    assert off_nominal == 0
+    # at least one txn actually spans a nominal boundary, else the
+    # fixture proves nothing
+    spanning = (
+        staged.where(F.col("txn_id").isNotNull())
+        .groupBy("txn_id")
+        .agg(
+            F.min(F.floor((F.col("lsn") - F.lit(lo)) / F.lit(width))).alias("elo"),
+            F.max(F.floor((F.col("lsn") - F.lit(lo)) / F.lit(width))).alias("ehi"),
+        )
+        .where(F.col("elo") != F.col("ehi"))
+        .count()
+    )
+    assert spanning > 0, "fixture has no boundary-spanning transaction"
+
+
+def test_final_state_matches_plain_slicing(spark, tmp_root):
+    """Commit-LSN assignment must be invisible in the converged state
+    (latest-wins is order-free within an epoch) — both the unstaged
+    and the staged txn paths."""
+    ch = _with_txns(gen_source_changes(spark, n_events=1500, n_keys=250))
+    plain = CDCPipeline(spark, os.path.join(tmp_root, "plain"), n_buckets=4)
+    plain.run(ch.drop("txn_id"), n_epochs=N_EPOCHS)
+    txn = CDCPipeline(spark, os.path.join(tmp_root, "txn"), n_buckets=4, txn_col="txn_id")
+    txn.run(ch, n_epochs=N_EPOCHS)
+    assert_df_equal(
+        txn.current_state(), plain.current_state(), "txn slicing vs plain, unstaged"
+    )
+    staged = CDCPipeline(
+        spark, os.path.join(tmp_root, "staged"), n_buckets=4, txn_col="txn_id"
+    )
+    staged.run(ch, n_epochs=N_EPOCHS, staging_dir=os.path.join(tmp_root, "stage_dir"))
+    assert_df_equal(
+        staged.current_state(), plain.current_state(), "txn slicing vs plain, staged"
+    )
+
+
+def test_half_applied_txn_never_visible(spark, tmp_root):
+    """The semantic point, pinned by hand: txn t1 updates TWO keys
+    with LSNs 5 and 6 — either side of the nominal epoch cut at
+    lsn 5|6 (2 epochs over lsn 1..10).  Plain slicing would commit
+    epoch 0 with key a at c1 but key b still at c0 (t1 half-applied);
+    commit-LSN slicing defers ALL of t1 to epoch 1, so every committed
+    snapshot shows t1 fully applied or not at all."""
+    rows = [
+        (1, "U", "r", "a", "c0", "sql", "v0 a", None, "t0"),
+        (2, "U", "r", "b", "c0", "sql", "v0 b", None, "t0"),
+        (5, "U", "r", "a", "c1", "sql", "v1 a", None, "t1"),
+        (6, "U", "r", "b", "c1", "sql", "v1 b", None, "t1"),
+        (10, "U", "r", "c", "c2", "sql", "v0 c", None, "t2"),
+    ]
+    ch = spark.createDataFrame(
+        rows,
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, schema_change string, txn_id string",
+    )
+    p = CDCPipeline(spark, tmp_root, n_buckets=4, txn_col="txn_id")
+    recs = p.run(ch, n_epochs=2)
+    assert [r["epoch"] for r in recs] == [0, 1]
+    after_e0 = {
+        (r["path"], r["commit"])
+        for r in p.table.read_at(p.table.version_at_epoch(0))
+        .select("path", "commit")
+        .collect()
+    }
+    assert after_e0 == {("a", "c0"), ("b", "c0")}, (
+        f"epoch-0 snapshot shows a half-applied transaction: {after_e0}"
+    )
+    final = {
+        (r["path"], r["commit"])
+        for r in p.current_state().select("path", "commit").collect()
+    }
+    assert final == {("a", "c1"), ("b", "c1"), ("c", "c2")}
+
+
+def test_txn_replay_is_noop(spark, tmp_root):
+    ch = _with_txns(gen_source_changes(spark, n_events=800, n_keys=150))
+    root = os.path.join(tmp_root, "rp")
+    CDCPipeline(spark, root, n_buckets=4, txn_col="txn_id").run(ch, n_epochs=N_EPOCHS)
+    before = CDCPipeline(spark, root, n_buckets=4).current_state().count()
+    recs = CDCPipeline(spark, root, n_buckets=4, txn_col="txn_id").run(
+        ch, n_epochs=N_EPOCHS
+    )
+    assert all(r.get("skipped_duplicate_epoch") for r in recs)
+    assert CDCPipeline(spark, root, n_buckets=4).current_state().count() == before
