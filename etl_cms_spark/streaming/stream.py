@@ -66,6 +66,9 @@ def start_stream(
     processing_time: str | None = None,
     envelope_format: str = "flat",
     on_key_change: str = "split",
+    txn_col: str | None = None,
+    txn_total_col: str = "txn_total",
+    txn_flush_lsn_lag: int | None = None,
 ) -> tuple[StreamingQuery, CDCPipeline]:
     """Tail a changelog directory (file source — swap for Kafka/
     binlog reader by changing only this readStream) and upsert each
@@ -96,7 +99,31 @@ def start_stream(
     ``on_key_change`` (default ``"split"``), so a WAL tail needs no
     pre-flattening batch job.  The stateful duplicate-drop then keys
     on the flattened (lsn, repo, path) — a split pair shares its LSN
-    but not its key, so both halves survive."""
+    but not its key, so both halves survive.
+
+    ``txn_col`` — STREAMING transaction-boundary gate (the micro-batch
+    analogue of ``CDCPipeline(txn_col=...)`` batch slicing): a
+    micro-batch cut can land mid-transaction, so each batch applies
+    only COMPLETE transactions and carries the incomplete tail into
+    the next batch.  Completion comes from ``txn_total_col`` (int):
+    the transaction's total event count, which is exactly what
+    Debezium's transaction-metadata END events publish per data
+    collection — a txn is complete once all its rows have arrived.
+    Rows with NULL txn id (or NULL total) pass straight through.
+    Carried rows live under ``<checkpoint>/_txn_pending/batch=<id>``
+    (pending state AFTER that batch) — per-batch, overwrite-idempotent
+    and derived only from the checkpointed source offsets, so a
+    replayed micro-batch recomputes the identical gate decision and
+    the sink's exactly-once contract is untouched; state resets with
+    the checkpoint, as stream progress should.  A deferred
+    transaction's rows apply in a LATER epoch than higher-LSN rows of
+    completed transactions — the standard out-of-order-delivery case
+    the max-LSN merge and tombstones already resolve (refused for
+    ``row_image="minimal"``, whose per-column fold requires in-order
+    application).  ``txn_flush_lsn_lag`` bounds pending state: a
+    transaction whose newest row lags the stream head by more than
+    this many LSNs is force-flushed incomplete (a lost tail
+    otherwise pends forever — surface, don't stall)."""
     if (changelog_dir is None) == (source_table is None):
         raise ValueError("pass exactly one of changelog_dir / source_table")
     if envelope_format not in ("flat", "debezium"):
@@ -105,6 +132,25 @@ def start_stream(
         raise ValueError("envelope_format applies to changelog_dir tailing only")
     if max_versions_per_batch is not None and source_table is None:
         raise ValueError("max_versions_per_batch applies to source_table chaining only")
+    if txn_col is not None:
+        if source_table is not None:
+            raise ValueError(
+                "txn_col applies to changelog tailing only: a chained "
+                "lake source replays whole committed epochs, whose "
+                "transactions the upstream pipeline already resolved"
+            )
+        if envelope_format != "flat":
+            raise ValueError(
+                "txn_col needs the flat changelog shape (Debezium "
+                "transaction metadata is a separate stream; flatten and "
+                "join it upstream, then tail the flat form)"
+            )
+        if row_image == "minimal":
+            raise ValueError(
+                "txn_col defers transactions across micro-batches — "
+                "out-of-order application, which row_image='minimal' "
+                "per-column folding cannot accept"
+            )
     if max_versions_per_batch is not None and processing_time is None:
         # the Python lake source runs AvailableNow as a SINGLE batch
         # (see sources/lakestream.py): a cap would stop the drain after
@@ -210,8 +256,11 @@ def start_stream(
             .dropDuplicatesWithinWatermark(["lsn", "repo", "path"])
         )
     else:
+        schema = CHANGELOG_SCHEMA
+        if txn_col is not None:
+            schema = f"{schema}, {txn_col} string, {txn_total_col} int"
         stream = (
-            spark.readStream.schema(CHANGELOG_SCHEMA)
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(changelog_dir)
             .withWatermark("ts", watermark)
@@ -236,6 +285,9 @@ def start_stream(
         F.max("ts").alias("max_event_time"),
     )
 
+    ckpt = checkpoint_dir or os.path.join(lake_root, "_stream_checkpoint")
+    txn_state_dir = os.path.join(ckpt, "_txn_pending")
+
     def apply_batch(batch_df, batch_id: int):  # noqa: ANN001
         # rows later than the watermark were already dropped by the
         # stateful dedup operator; what reaches here is applied.
@@ -246,17 +298,24 @@ def start_stream(
         # numRowsDroppedByWatermark metric would count each re-run.
         batch_df.persist()
         try:
-            pipeline.process_epoch(batch_df, int(batch_id))
+            if txn_col is not None:
+                gated = _txn_boundary_gate(
+                    spark, batch_df, int(batch_id), txn_col, txn_total_col,
+                    txn_state_dir, txn_flush_lsn_lag,
+                ).drop(txn_col, txn_total_col).persist()
+                try:
+                    pipeline.process_epoch(gated, int(batch_id))
+                finally:
+                    gated.unpersist()
+            else:
+                pipeline.process_epoch(batch_df, int(batch_id))
         finally:
             batch_df.unpersist()
 
     writer = (
         stream.writeStream.queryName("cdc_ingest")
         .foreachBatch(apply_batch)
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or os.path.join(lake_root, "_stream_checkpoint"),
-        )
+        .option("checkpointLocation", ckpt)
     )
     # default: drain-what's-there-and-stop; processing_time runs a
     # continuous paced tail (required with max_versions_per_batch).
@@ -265,6 +324,85 @@ def start_stream(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start(), pipeline
+
+
+def _txn_boundary_gate(
+    spark: SparkSession,
+    batch_df,
+    batch_id: int,
+    txn_col: str,
+    txn_total_col: str,
+    state_dir: str,
+    flush_lsn_lag: int | None,
+):
+    """The per-micro-batch transaction gate (see ``start_stream``'s
+    ``txn_col``): union the previous batch's pending rows, split on
+    completion (rows seen == ``txn_total_col``; NULL txn id or NULL
+    total passes through), persist the new pending tail as
+    ``batch=<id>`` (state AFTER this batch), and return the complete
+    rows for the epoch merge.
+
+    Replay determinism is the whole design: processing batch N reads
+    pending state from the highest ``batch=<id>`` with id < N — never
+    its own — so a replayed batch (same checkpointed source offsets)
+    recomputes the identical split even if its own state dir was
+    already written before the crash.  The pending write is an
+    overwrite; superseded state dirs (below the one replays of this
+    id still need) are pruned after.  Pending is small by
+    construction — only transactions open across the current batch
+    edge — so it is written ``coalesce(1)``."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    os.makedirs(state_dir, exist_ok=True)
+    ids = [
+        int(n.split("=", 1)[1])
+        for n in os.listdir(state_dir)
+        if n.startswith("batch=") and n.split("=", 1)[1].isdigit()
+    ]
+    prev = [i for i in ids if i < batch_id]
+    rows = batch_df
+    if prev:
+        # schema-explicit read: an empty pending dir (just _SUCCESS)
+        # must load as zero rows, not fail schema inference.
+        rows = rows.unionByName(
+            spark.read.schema(batch_df.schema).parquet(
+                os.path.join(state_dir, f"batch={max(prev)}")
+            )
+        )
+    w = Window.partitionBy(txn_col)
+    # window results must be plain columns before the WHERE split
+    # (Spark refuses window functions inside a filter).
+    counted = rows.withColumn("_txn_seen", F.count(F.lit(1)).over(w)).withColumn(
+        "_txn_maxlsn", F.max("lsn").over(w)
+    )
+    done = (
+        F.col(txn_col).isNull()
+        | F.col(txn_total_col).isNull()
+        | (F.col("_txn_seen") >= F.col(txn_total_col))
+    )
+    if flush_lsn_lag is not None:
+        head = rows.agg(F.max("lsn")).first()[0]
+        if head is not None:
+            # a transaction whose NEWEST row already lags the stream
+            # head by more than the budget has lost its tail — flush
+            # it incomplete rather than pend forever.
+            done = done | (
+                F.col("_txn_maxlsn") < F.lit(int(head) - int(flush_lsn_lag))
+            )
+    complete = counted.where(done).drop("_txn_seen", "_txn_maxlsn")
+    pending = counted.where(~done).drop("_txn_seen", "_txn_maxlsn")
+    pending.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch={batch_id}")
+    )
+    keep_from = max(prev) if prev else batch_id
+    for i in ids:
+        if i < keep_from:
+            shutil.rmtree(
+                os.path.join(state_dir, f"batch={i}"), ignore_errors=True
+            )
+    return complete
 
 
 class LateDataListener:

@@ -240,6 +240,22 @@ def main() -> None:
         help="branch-ref admin on the main table: create:NAME[@VERSION] "
         "| ff:NAME (fast-forward onto main) | drop:NAME | list",
     )
+    ap.add_argument(
+        "--txn-col",
+        default=None,
+        help="transaction-id column: batch epochs slice on commit-LSN "
+        "boundaries (no transaction ever splits an epoch); with "
+        "--stream, micro-batches defer incomplete transactions "
+        "(rows carry txn_total — Debezium transaction-metadata "
+        "event counts)",
+    )
+    ap.add_argument(
+        "--txn-flush-lsn-lag",
+        type=int,
+        default=None,
+        help="streaming txn gate: force-flush a transaction whose "
+        "newest row lags the stream head by more than this many LSNs",
+    )
     args = ap.parse_args()
     if args.dml == "update" and not args.set_assignments:
         ap.error("--dml update requires --set COL=VALUE")
@@ -379,6 +395,8 @@ def main() -> None:
             max_versions_per_batch=args.max_versions_per_batch,
             processing_time=args.processing_time,
             envelope_format=args.envelope_format,
+            txn_col=args.txn_col,
+            txn_flush_lsn_lag=args.txn_flush_lsn_lag,
         )
         q.awaitTermination()
     else:
@@ -410,6 +428,7 @@ def main() -> None:
             broadcast_dedup_max_rows=args.broadcast_dedup_max_rows,
             row_image=args.row_image,
             epoch_audit=epoch_audit,
+            txn_col=args.txn_col,
         )
         if args.rebucket:
             pipeline.init_tables()

@@ -141,3 +141,123 @@ def test_txn_replay_is_noop(spark, tmp_root):
     )
     assert all(r.get("skipped_duplicate_epoch") for r in recs)
     assert CDCPipeline(spark, root, n_buckets=4).current_state().count() == before
+
+
+# ---------------- streaming gate (start_stream txn_col) ----------------
+
+CH_TXN_SCHEMA = (
+    "lsn long, op string, ts timestamp, repo string, path string, "
+    "commit string, lang string, content string, schema_change string, "
+    "txn_id string, txn_total int"
+)
+
+
+def _rows_df(spark, rows):
+    return spark.createDataFrame(rows, CH_TXN_SCHEMA)
+
+
+def _r(lsn, key, commit, txn, total):
+    import datetime
+
+    return (
+        lsn, "U", datetime.datetime(2024, 1, 1, 0, 0, lsn % 60), "r", key,
+        commit, "sql", f"content {key} {commit}", None, txn, total,
+    )
+
+
+def test_stream_gate_unit_defers_and_releases(spark, tmp_root):
+    """Direct gate calls (replay-deterministic micro-batch split):
+    batch 0 holds txn t1's first two of three rows — they must defer;
+    batch 1 delivers the tail — all three release together."""
+    from etl_cms_spark.streaming.stream import _txn_boundary_gate
+
+    state = os.path.join(tmp_root, "txnstate")
+    b0 = _rows_df(spark, [
+        _r(1, "a", "c0", "t0", 1),
+        _r(5, "b", "c1", "t1", 3),
+        _r(6, "c", "c1", "t1", 3),
+    ])
+    out0 = _txn_boundary_gate(spark, b0, 0, "txn_id", "txn_total", state, None)
+    assert {r["path"] for r in out0.collect()} == {"a"}
+    b1 = _rows_df(spark, [_r(7, "d", "c1", "t1", 3), _r(9, "e", "c2", None, None)])
+    out1 = _txn_boundary_gate(spark, b1, 1, "txn_id", "txn_total", state, None)
+    assert {r["path"] for r in out1.collect()} == {"b", "c", "d", "e"}
+    # REPLAY of batch 1 (its own state dir already written) must
+    # recompute the identical split from batch-0 state.
+    out1r = _txn_boundary_gate(spark, b1, 1, "txn_id", "txn_total", state, None)
+    assert {r["path"] for r in out1r.collect()} == {"b", "c", "d", "e"}
+
+
+def test_stream_gate_unit_flush_lag(spark, tmp_root):
+    """A transaction whose tail never arrives force-flushes once its
+    newest row lags the stream head past txn_flush_lsn_lag."""
+    from etl_cms_spark.streaming.stream import _txn_boundary_gate
+
+    state = os.path.join(tmp_root, "txnstate_fl")
+    b0 = _rows_df(spark, [_r(1, "a", "c0", "tlost", 2)])
+    assert _txn_boundary_gate(
+        spark, b0, 0, "txn_id", "txn_total", state, 10
+    ).count() == 0
+    b1 = _rows_df(spark, [_r(50, "b", "c1", "t2", 1)])
+    out = _txn_boundary_gate(spark, b1, 1, "txn_id", "txn_total", state, 10)
+    assert {r["path"] for r in out.collect()} == {"a", "b"}
+
+
+def test_stream_txn_converges_and_never_half_applies(spark, tmp_root):
+    """End-to-end: a changelog whose final transaction is missing its
+    last row.  Run 1 must apply NOTHING of that transaction (no
+    half-applied state at stream end); appending the tail and
+    resuming on the same checkpoint applies it whole, exactly once."""
+    from etl_cms_spark.streaming.stream import start_stream
+
+    log_dir = os.path.join(tmp_root, "log")
+    lake = os.path.join(tmp_root, "lake")
+    part1 = _rows_df(spark, [
+        _r(1, "k1", "c0", "ta", 1),
+        _r(2, "k2", "c0", "tb", 2),
+        _r(3, "k3", "c0", "tb", 2),
+        _r(100, "a", "c9", "t9", 3),
+        _r(101, "b", "c9", "t9", 3),
+    ])
+    part1.coalesce(2).write.mode("append").parquet(log_dir)
+    q1, p1 = start_stream(
+        spark, log_dir, lake, max_files_per_trigger=1, txn_col="txn_id"
+    )
+    q1.awaitTermination(300)
+    paths1 = {r["path"] for r in p1.current_state().select("path").collect()}
+    assert paths1 == {"k1", "k2", "k3"}, f"t9 half-applied: {paths1}"
+
+    _rows_df(spark, [_r(102, "c", "c9", "t9", 3)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(log_dir)
+    q2, p2 = start_stream(
+        spark, log_dir, lake, max_files_per_trigger=1, txn_col="txn_id"
+    )
+    q2.awaitTermination(300)
+    paths2 = {r["path"] for r in p2.current_state().select("path").collect()}
+    assert paths2 == {"k1", "k2", "k3", "a", "b", "c"}
+    # restart once more: nothing new anywhere
+    n_epochs = len(p2.table.lineage())
+    q3, p3 = start_stream(
+        spark, log_dir, lake, max_files_per_trigger=1, txn_col="txn_id"
+    )
+    q3.awaitTermination(300)
+    assert len(p3.table.lineage()) == n_epochs
+    assert {r["path"] for r in p3.current_state().select("path").collect()} == paths2
+
+
+def test_stream_txn_guards(spark, tmp_root):
+    import pytest as _pytest
+
+    from etl_cms_spark.streaming.stream import start_stream
+
+    with _pytest.raises(ValueError, match="changelog tailing only"):
+        start_stream(
+            spark, None, os.path.join(tmp_root, "l1"),
+            source_table=os.path.join(tmp_root, "up"), txn_col="txn_id",
+        )
+    with _pytest.raises(ValueError, match="minimal"):
+        start_stream(
+            spark, os.path.join(tmp_root, "log2"), os.path.join(tmp_root, "l2"),
+            txn_col="txn_id", row_image="minimal",
+        )
