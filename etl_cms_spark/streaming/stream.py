@@ -373,14 +373,19 @@ def _txn_boundary_gate(
         )
     w = Window.partitionBy(txn_col)
     # window results must be plain columns before the WHERE split
-    # (Spark refuses window functions inside a filter).
-    counted = rows.withColumn("_txn_seen", F.count(F.lit(1)).over(w)).withColumn(
-        "_txn_maxlsn", F.max("lsn").over(w)
+    # (Spark refuses window functions inside a filter).  The expected
+    # total is the window MAX of txn_total — one decision per
+    # TRANSACTION even if a malformed feed stamps rows of one txn
+    # with different totals (a per-row comparison could split it).
+    counted = (
+        rows.withColumn("_txn_seen", F.count(F.lit(1)).over(w))
+        .withColumn("_txn_total", F.max(txn_total_col).over(w))
+        .withColumn("_txn_maxlsn", F.max("lsn").over(w))
     )
     done = (
         F.col(txn_col).isNull()
-        | F.col(txn_total_col).isNull()
-        | (F.col("_txn_seen") >= F.col(txn_total_col))
+        | F.col("_txn_total").isNull()
+        | (F.col("_txn_seen") >= F.col("_txn_total"))
     )
     if flush_lsn_lag is not None:
         head = rows.agg(F.max("lsn")).first()[0]
@@ -391,8 +396,8 @@ def _txn_boundary_gate(
             done = done | (
                 F.col("_txn_maxlsn") < F.lit(int(head) - int(flush_lsn_lag))
             )
-    complete = counted.where(done).drop("_txn_seen", "_txn_maxlsn")
-    pending = counted.where(~done).drop("_txn_seen", "_txn_maxlsn")
+    complete = counted.where(done).drop("_txn_seen", "_txn_total", "_txn_maxlsn")
+    pending = counted.where(~done).drop("_txn_seen", "_txn_total", "_txn_maxlsn")
     pending.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(state_dir, f"batch={batch_id}")
     )

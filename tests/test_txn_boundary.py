@@ -261,3 +261,21 @@ def test_stream_txn_guards(spark, tmp_root):
             spark, os.path.join(tmp_root, "log2"), os.path.join(tmp_root, "l2"),
             txn_col="txn_id", row_image="minimal",
         )
+
+
+def test_stream_gate_inconsistent_totals_one_decision(spark, tmp_root):
+    """A malformed feed stamping one transaction's rows with
+    different txn_total values must still get ONE per-transaction
+    decision (window max), never a split."""
+    from etl_cms_spark.streaming.stream import _txn_boundary_gate
+
+    state = os.path.join(tmp_root, "txnstate_mix")
+    rows = _rows_df(spark, [
+        (3, "U", None, "r", "x", "c0", "sql", "cx", None, "tm", 2),
+        (4, "U", None, "r", "y", "c0", "sql", "cy", None, "tm", 3),
+    ])
+    out0 = _txn_boundary_gate(spark, rows, 0, "txn_id", "txn_total", state, None)
+    assert out0.count() == 0, "max-total rule: 2 of 3 rows must all pend"
+    tail = _rows_df(spark, [(5, "U", None, "r", "z", "c0", "sql", "cz", None, "tm", 3)])
+    out1 = _txn_boundary_gate(spark, tail, 1, "txn_id", "txn_total", state, None)
+    assert {r["path"] for r in out1.collect()} == {"x", "y", "z"}
