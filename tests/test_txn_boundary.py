@@ -279,3 +279,41 @@ def test_stream_gate_inconsistent_totals_one_decision(spark, tmp_root):
     tail = _rows_df(spark, [(5, "U", None, "r", "z", "c0", "sql", "cz", None, "tm", 3)])
     out1 = _txn_boundary_gate(spark, tail, 1, "txn_id", "txn_total", state, None)
     assert {r["path"] for r in out1.collect()} == {"x", "y", "z"}
+
+
+def test_txn_assignment_plan_single_exchange(spark):
+    """Commit-LSN assignment costs exactly ONE Exchange (the window
+    over the transaction id) on top of the scan — the measured ~3.5%
+    (BENCH/txn_ab.json) is plan-bounded, not incidental."""
+    ch = _with_txns(gen_source_changes(spark, n_events=500, n_keys=100))
+    p = CDCPipeline.__new__(CDCPipeline)
+    p.txn_col = "txn_id"
+    assigned = p._epoch_ids(ch, 1, 100)
+    plan = assigned._sc._jvm.PythonSQLUtils.explainString(
+        assigned._jdf.queryExecution(), "formatted"
+    )
+    # formatted explain lists each node twice (tree + detail): count
+    # the numbered detail entries.
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
+    assert "Window" in plan
+
+
+def test_txn_composes_with_demux(spark, tmp_root):
+    """txn_col gates BEFORE the epoch body, so the multi-table demux
+    fan-out inherits transaction atomicity untouched: final per-domain
+    tables equal a plain demux run's."""
+    ch = _with_txns(gen_source_changes(spark, n_events=1200, n_keys=200, n_repos=10))
+    ref = CDCPipeline(
+        spark, os.path.join(tmp_root, "ref"), n_buckets=4, demux_domains=True
+    )
+    ref.run(ch.drop("txn_id"), n_epochs=N_EPOCHS)
+    p = CDCPipeline(
+        spark, os.path.join(tmp_root, "txn"), n_buckets=4, demux_domains=True,
+        txn_col="txn_id",
+    )
+    p.run(ch, n_epochs=N_EPOCHS)
+    for d in p.domains:
+        assert_df_equal(p.domain_state(d), ref.domain_state(d), f"domain {d}")
