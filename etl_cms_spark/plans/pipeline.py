@@ -307,6 +307,16 @@ class CDCPipeline:
         # completion marker, so a crash mid-publish rolls forward on
         # replay (publishes only ever follow a pass).
         self.epoch_audit = epoch_audit
+        if txn_col is not None and row_image == "minimal":
+            # deferring a spanning transaction applies its rows AFTER
+            # higher-LSN rows of completed ones — out-of-order
+            # application, which the per-column partial fold cannot
+            # accept (same refusal as start_stream's gate).
+            raise ValueError(
+                "txn_col defers transactions across epoch boundaries — "
+                "out-of-order application, which row_image='minimal' "
+                "per-column folding cannot accept"
+            )
         self.txn_col = txn_col
         self.demux_domains = demux_domains
         if demux_tombstones not in ("blanket", "targeted"):
@@ -1570,6 +1580,21 @@ class CDCPipeline:
             if self.txn_col is not None and staging_dir is None and changes is not None
             else None
         )
+        try:
+            results = self._epoch_loop(
+                changes, n_epochs, first, lo, hi, width,
+                staging_dir, assigned, all_schema_events,
+            )
+        finally:
+            if assigned is not None:
+                assigned.unpersist()
+        return results
+
+    def _epoch_loop(
+        self, changes, n_epochs, first, lo, hi, width,
+        staging_dir, assigned, all_schema_events,
+    ) -> list[dict]:
+        results = []
         for e in range(first, n_epochs):
             epoch_lo = lo + e * width
             epoch_hi = min(hi, epoch_lo + width - 1)
@@ -1596,8 +1621,6 @@ class CDCPipeline:
                 else [t for t in all_schema_events if epoch_lo <= t[0] <= epoch_hi]
             )
             results.append(self.process_epoch(batch, e, schema_events=ev))
-        if assigned is not None:
-            assigned.unpersist()
         return results
 
     def _collect_schema_events(self, changes: DataFrame) -> list | None:
@@ -1623,6 +1646,17 @@ class CDCPipeline:
         (asserted in tests/test_plans.py).  At 10^10 events this is
         the difference between shuffling the batch payload once per
         epoch and never shuffling it at all before the merge."""
+        if self.txn_col is not None:
+            # the table's _epoch partitions were assigned at
+            # stage_changelog_bucketed time by plain LSN ranges;
+            # silently running them would void the advertised
+            # transaction atomicity.
+            raise ValueError(
+                "txn_col is not supported with run_from_table: the "
+                "bucketed table's _epoch partitions are pre-assigned "
+                "by plain LSN ranges — use run()/run_staged(), whose "
+                "slicer owns the epoch assignment"
+            )
         self.init_tables()
         tbl = self.spark.table(table_name)
         epochs = [r["_epoch"] for r in tbl.select("_epoch").distinct().collect()]

@@ -299,14 +299,18 @@ def start_stream(
         batch_df.persist()
         try:
             if txn_col is not None:
-                gated = _txn_boundary_gate(
+                complete, cache = _txn_boundary_gate(
                     spark, batch_df, int(batch_id), txn_col, txn_total_col,
                     txn_state_dir, txn_flush_lsn_lag,
-                ).drop(txn_col, txn_total_col).persist()
+                )
                 try:
-                    pipeline.process_epoch(gated, int(batch_id))
+                    # complete is a cheap filter over the gate's
+                    # persisted cache — no extra persist needed.
+                    pipeline.process_epoch(
+                        complete.drop(txn_col, txn_total_col), int(batch_id)
+                    )
                 finally:
-                    gated.unpersist()
+                    cache.unpersist()
             else:
                 pipeline.process_epoch(batch_df, int(batch_id))
         finally:
@@ -350,7 +354,12 @@ def _txn_boundary_gate(
     overwrite; superseded state dirs (below the one replays of this
     id still need) are pruned after.  Pending is small by
     construction — only transactions open across the current batch
-    edge — so it is written ``coalesce(1)``."""
+    edge — so it is written ``coalesce(1)``.
+
+    Returns ``(complete, cache)``: the caller runs the epoch from
+    ``complete`` (a cheap filter over the persisted ``cache``) and
+    unpersists ``cache`` when the epoch is done — the union + window
+    executes ONCE per batch, not once per downstream action."""
     import shutil
 
     from pyspark.sql import Window
@@ -371,16 +380,30 @@ def _txn_boundary_gate(
                 os.path.join(state_dir, f"batch={max(prev)}")
             )
         )
-    w = Window.partitionBy(txn_col)
-    # window results must be plain columns before the WHERE split
-    # (Spark refuses window functions inside a filter).  The expected
-    # total is the window MAX of txn_total — one decision per
-    # TRANSACTION even if a malformed feed stamps rows of one txn
-    # with different totals (a per-row comparison could split it).
+    # NULL txn ids get per-row singleton partitions (same synthetic
+    # key as the batch slicer's _epoch_ids, same reason): a mostly
+    # non-transactional stream must not funnel into one giant NULL
+    # window partition.
+    part = F.coalesce(
+        F.col(txn_col).cast("string"),
+        F.concat(F.lit("\x00row:"), F.col("lsn").cast("string")),
+    )
+    w = Window.partitionBy(part)
+    # Window results must be plain columns before the WHERE split
+    # (Spark refuses window functions inside a filter).  Progress is
+    # counted in DISTINCT LSNs, not rows: a cross-batch duplicate
+    # delivery (which the watermarked dedup can no longer catch once
+    # its state expired — see the module docstring) must not inflate
+    # the seen-count and release a half-applied transaction.  The
+    # expected total is the window MAX of txn_total — one decision
+    # per TRANSACTION even if a malformed feed stamps rows of one
+    # txn with different totals (a per-row comparison could split
+    # it).
     counted = (
-        rows.withColumn("_txn_seen", F.count(F.lit(1)).over(w))
+        rows.withColumn("_txn_seen", F.size(F.collect_set("lsn").over(w)))
         .withColumn("_txn_total", F.max(txn_total_col).over(w))
         .withColumn("_txn_maxlsn", F.max("lsn").over(w))
+        .persist()
     )
     done = (
         F.col(txn_col).isNull()
@@ -388,7 +411,9 @@ def _txn_boundary_gate(
         | (F.col("_txn_seen") >= F.col("_txn_total"))
     )
     if flush_lsn_lag is not None:
-        head = rows.agg(F.max("lsn")).first()[0]
+        # agg over the cache (populated by the pending write below at
+        # the latest; first() here just materializes it a step early).
+        head = counted.agg(F.max("lsn")).first()[0]
         if head is not None:
             # a transaction whose NEWEST row already lags the stream
             # head by more than the budget has lost its tail — flush
@@ -396,8 +421,9 @@ def _txn_boundary_gate(
             done = done | (
                 F.col("_txn_maxlsn") < F.lit(int(head) - int(flush_lsn_lag))
             )
-    complete = counted.where(done).drop("_txn_seen", "_txn_total", "_txn_maxlsn")
-    pending = counted.where(~done).drop("_txn_seen", "_txn_total", "_txn_maxlsn")
+    helper_cols = ("_txn_seen", "_txn_total", "_txn_maxlsn")
+    complete = counted.where(done).drop(*helper_cols)
+    pending = counted.where(~done).drop(*helper_cols)
     pending.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(state_dir, f"batch={batch_id}")
     )
@@ -407,7 +433,7 @@ def _txn_boundary_gate(
             shutil.rmtree(
                 os.path.join(state_dir, f"batch={i}"), ignore_errors=True
             )
-    return complete
+    return complete, counted
 
 
 class LateDataListener:

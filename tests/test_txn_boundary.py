@@ -177,15 +177,18 @@ def test_stream_gate_unit_defers_and_releases(spark, tmp_root):
         _r(5, "b", "c1", "t1", 3),
         _r(6, "c", "c1", "t1", 3),
     ])
-    out0 = _txn_boundary_gate(spark, b0, 0, "txn_id", "txn_total", state, None)
+    out0, c0 = _txn_boundary_gate(spark, b0, 0, "txn_id", "txn_total", state, None)
     assert {r["path"] for r in out0.collect()} == {"a"}
+    c0.unpersist()
     b1 = _rows_df(spark, [_r(7, "d", "c1", "t1", 3), _r(9, "e", "c2", None, None)])
-    out1 = _txn_boundary_gate(spark, b1, 1, "txn_id", "txn_total", state, None)
+    out1, c1 = _txn_boundary_gate(spark, b1, 1, "txn_id", "txn_total", state, None)
     assert {r["path"] for r in out1.collect()} == {"b", "c", "d", "e"}
+    c1.unpersist()
     # REPLAY of batch 1 (its own state dir already written) must
     # recompute the identical split from batch-0 state.
-    out1r = _txn_boundary_gate(spark, b1, 1, "txn_id", "txn_total", state, None)
+    out1r, c1r = _txn_boundary_gate(spark, b1, 1, "txn_id", "txn_total", state, None)
     assert {r["path"] for r in out1r.collect()} == {"b", "c", "d", "e"}
+    c1r.unpersist()
 
 
 def test_stream_gate_unit_flush_lag(spark, tmp_root):
@@ -195,12 +198,13 @@ def test_stream_gate_unit_flush_lag(spark, tmp_root):
 
     state = os.path.join(tmp_root, "txnstate_fl")
     b0 = _rows_df(spark, [_r(1, "a", "c0", "tlost", 2)])
-    assert _txn_boundary_gate(
-        spark, b0, 0, "txn_id", "txn_total", state, 10
-    ).count() == 0
+    out0, c0 = _txn_boundary_gate(spark, b0, 0, "txn_id", "txn_total", state, 10)
+    assert out0.count() == 0
+    c0.unpersist()
     b1 = _rows_df(spark, [_r(50, "b", "c1", "t2", 1)])
-    out = _txn_boundary_gate(spark, b1, 1, "txn_id", "txn_total", state, 10)
+    out, c1 = _txn_boundary_gate(spark, b1, 1, "txn_id", "txn_total", state, 10)
     assert {r["path"] for r in out.collect()} == {"a", "b"}
+    c1.unpersist()
 
 
 def test_stream_txn_converges_and_never_half_applies(spark, tmp_root):
@@ -274,11 +278,13 @@ def test_stream_gate_inconsistent_totals_one_decision(spark, tmp_root):
         (3, "U", None, "r", "x", "c0", "sql", "cx", None, "tm", 2),
         (4, "U", None, "r", "y", "c0", "sql", "cy", None, "tm", 3),
     ])
-    out0 = _txn_boundary_gate(spark, rows, 0, "txn_id", "txn_total", state, None)
+    out0, c0 = _txn_boundary_gate(spark, rows, 0, "txn_id", "txn_total", state, None)
     assert out0.count() == 0, "max-total rule: 2 of 3 rows must all pend"
+    c0.unpersist()
     tail = _rows_df(spark, [(5, "U", None, "r", "z", "c0", "sql", "cz", None, "tm", 3)])
-    out1 = _txn_boundary_gate(spark, tail, 1, "txn_id", "txn_total", state, None)
+    out1, c1 = _txn_boundary_gate(spark, tail, 1, "txn_id", "txn_total", state, None)
     assert {r["path"] for r in out1.collect()} == {"x", "y", "z"}
+    c1.unpersist()
 
 
 def test_txn_assignment_plan_single_exchange(spark):
@@ -317,3 +323,39 @@ def test_txn_composes_with_demux(spark, tmp_root):
     p.run(ch, n_epochs=N_EPOCHS)
     for d in p.domains:
         assert_df_equal(p.domain_state(d), ref.domain_state(d), f"domain {d}")
+
+
+def test_stream_gate_duplicate_delivery_does_not_release(spark, tmp_root):
+    """Completion counts DISTINCT LSNs: a cross-batch re-delivery of
+    an already-pending row (the case the watermarked dedup can no
+    longer catch once its state expired) must not inflate the
+    seen-count and release a half-applied transaction."""
+    from etl_cms_spark.streaming.stream import _txn_boundary_gate
+
+    state = os.path.join(tmp_root, "txnstate_dup")
+    b0 = _rows_df(spark, [_r(5, "b", "c1", "t1", 3), _r(6, "c", "c1", "t1", 3)])
+    out0, c0 = _txn_boundary_gate(spark, b0, 0, "txn_id", "txn_total", state, None)
+    assert out0.count() == 0
+    c0.unpersist()
+    # duplicate of lsn 5 arrives again: 3 rows but only 2 distinct LSNs
+    b1 = _rows_df(spark, [_r(5, "b", "c1", "t1", 3)])
+    out1, c1 = _txn_boundary_gate(spark, b1, 1, "txn_id", "txn_total", state, None)
+    assert out1.count() == 0, "duplicate delivery released a half-applied txn"
+    c1.unpersist()
+    b2 = _rows_df(spark, [_r(7, "d", "c1", "t1", 3)])
+    out2, c2 = _txn_boundary_gate(spark, b2, 2, "txn_id", "txn_total", state, None)
+    # releases the txn whole; the duplicated lsn-5 row may appear
+    # twice (byte-identical) — the merge resolves that downstream.
+    assert {r["path"] for r in out2.collect()} == {"b", "c", "d"}
+    c2.unpersist()
+
+
+def test_txn_batch_guards(spark, tmp_root):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="minimal"):
+        CDCPipeline(spark, os.path.join(tmp_root, "g1"), txn_col="txn_id",
+                    row_image="minimal")
+    p = CDCPipeline(spark, os.path.join(tmp_root, "g2"), txn_col="txn_id")
+    with _pytest.raises(ValueError, match="run_from_table"):
+        p.run_from_table("some_table")
