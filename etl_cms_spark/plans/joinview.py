@@ -215,8 +215,15 @@ class MaterializedJoinView:
         into the view first (``_sync_schema``)."""
         self._ensure_init()
         self._sync_schema()
-        if epoch in self.table.committed_epochs():
+        done = self.table.committed_epochs()
+        if epoch in done:
             return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        # monotone write ordinal for the view merge — the raw epoch id
+        # is NOT monotone in application order (DML epochs live at
+        # 10^12, repair epochs are negative): stamping it would let a
+        # DML fold permanently outrank every later source epoch, or a
+        # repair fold lose to everything (see plans/rollup.py).
+        seq = len(done)
         fk, dk = self.fk_cols, self.dk_cols
         dpay = self.dim_payload
         fact_pay = [
@@ -335,8 +342,9 @@ class MaterializedJoinView:
             batch = batch.unionByName(p)
         # one view row per fact key: a key can appear in at most one
         # branch per side, and cross-side overlap was excluded above;
-        # monotone epoch ordering comes from the epoch id itself.
-        batch = batch.withColumn("lsn", F.lit(int(epoch)).cast("long"))
+        # ordering comes from the monotone application ordinal (the
+        # raw epoch id is not monotone — DML/repair bands).
+        batch = batch.withColumn("lsn", F.lit(int(seq)).cast("long"))
         return self.table.merge_epoch(batch, epoch)
 
     def read(self) -> DataFrame:

@@ -104,8 +104,18 @@ class IncrementalRollup:
 
     def apply_epoch(self, batch: DataFrame, epoch: int) -> dict:
         """Fold one change batch into the rollup, exactly once."""
-        if str(epoch) in {str(e) for e in self.table.committed_epochs()}:
+        done = self.table.committed_epochs()
+        if str(epoch) in {str(e) for e in done}:
             return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        # The merge LSN must be MONOTONE in APPLICATION order, and the
+        # raw epoch id is not: DML epochs live at 10^12 and repair /
+        # bootstrap epochs are negative, so stamping the id itself
+        # would freeze groups behind a DML fold (later source epochs
+        # lose the max-LSN merge) or silently discard repair folds.
+        # The fold is serialized per sidecar and replays skip above,
+        # so the count of already-applied epochs is a deterministic
+        # monotone write ordinal.
+        seq = len(done)
         delta = batch.groupBy(
             # keys stored as strings (the table's declared schema) —
             # deterministic cross-engine text form for dates/hours too.
@@ -153,7 +163,7 @@ class IncrementalRollup:
                 for m, (_, kind) in self.monotone.items()
             ],
             F.lit("U").alias("op"),
-            F.lit(int(epoch)).alias("lsn"),
+            F.lit(int(seq)).alias("lsn"),
         )
         return self.table.merge_epoch(merged, epoch)
 
@@ -362,8 +372,14 @@ class StateRollup:
         a killed extremum forces a group rescan (never read, never
         even planned, otherwise); required only when min/max measures
         are configured."""
-        if str(epoch) in {str(e) for e in self.table.committed_epochs()}:
+        done = self.table.committed_epochs()
+        if str(epoch) in {str(e) for e in done}:
             return {"epoch": epoch, "skipped_duplicate_epoch": True}
+        # monotone write ordinal — see IncrementalRollup.apply_epoch:
+        # raw epoch ids (DML 10^12 band, negative repairs) are not
+        # monotone in application order and would corrupt the merge's
+        # last-writer-wins ordering.
+        seq = len(done)
         key_top = [c for c in diff.columns if c not in ("op", "before", "after")]
 
         def _side(image: str, sign: int) -> DataFrame:
@@ -414,7 +430,7 @@ class StateRollup:
                 *self.key_cols,
                 *[v.alias(m) for m, v in new_vals.items()],
                 op.alias("op"),
-                F.lit(int(epoch)).alias("lsn"),
+                F.lit(int(seq)).alias("lsn"),
             )
             return self.table.merge_epoch(out, epoch)
 
@@ -444,7 +460,7 @@ class StateRollup:
             *ext_cols,
             *rescan_flags,
             op.alias("op"),
-            F.lit(int(epoch)).alias("lsn"),
+            F.lit(int(seq)).alias("lsn"),
         ).localCheckpoint()
         any_rescan = None
         for m in self.extrema:

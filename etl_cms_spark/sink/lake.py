@@ -579,7 +579,23 @@ class LakeTable:
                 if d not in admit_files or admit_files[d]
             ]
         dirs = [os.path.join(self.root, d) for d in rel_dirs]
-        has_deltas = any(len(self._bucket_dirs(manifest, b)) > 1 for b in sel)
+        # Resolution is needed when any bucket has a delta STACK — or
+        # when any selected single dir came from an UN-DEDUPED write
+        # (merge_epoch skip_batch_dedup: demux slices, merge-mode
+        # batches), whose one dir may legitimately hold several rows
+        # per key.  Without this, a fresh domain bucket's first delta
+        # would surface a stale upsert past its own routing tombstone.
+        undeduped_versions = {
+            r["snapshot_version"]
+            for r in manifest.get("epochs", {}).values()
+            if r.get("undeduped")
+        }
+        has_deltas = any(
+            len(self._bucket_dirs(manifest, b)) > 1 for b in sel
+        ) or any(
+            _write_ordinal(os.path.dirname(d)) in undeduped_versions
+            for d in rel_dirs
+        )
         cols = [*manifest["schema"].keys(), _LSN_COL, _BUCKET_COL, _DELETED_COL]
         if not dirs:
             fields = [
@@ -1875,37 +1891,22 @@ class LakeTable:
             if p.startswith(f"{_BUCKET_COL}=")
         }
 
-        def _bucket_edits(m: dict) -> dict:
-            b_map = dict(m["buckets"])
-            for b in changed_buckets:
-                new_dir = f"{rel_dir}/{_BUCKET_COL}={b}"
-                if b in written:
-                    if self.merge_mode == "mor":
-                        cur = (
-                            self._bucket_dirs(m, str(b))
-                            if str(b) in m["buckets"]
-                            else []
-                        )
-                        b_map[str(b)] = [*cur, new_dir]
-                    else:
-                        b_map[str(b)] = [new_dir]
-                elif self.merge_mode != "mor":
-                    # CoW bucket produced no rows (shouldn't happen with
-                    # tombstones, but keep the manifest consistent).
-                    b_map.pop(str(b), None)
-            return b_map
-
+        # an un-deduped MoR delta may hold several rows per key: the
+        # read path must know to resolve even when the bucket stack is
+        # a single dir (see _read_buckets' has_deltas gate).
+        undeduped = self.merge_mode == "mor" and skip_batch_dedup
         if _stage:
             return StagedEpoch(
                 self, manifest, new_version, rel_dir, written,
                 changed_buckets,
                 dict(epoch=epoch, n_upserts=n_upserts, n_deletes=n_deletes,
                      lsn_lo=lsn_lo, lsn_hi=lsn_hi, t0=t0,
-                     extra_lineage=extra_lineage),
+                     extra_lineage=extra_lineage, undeduped=undeduped),
             )
         return self._commit_epoch_with_rebase(
             manifest, new_version, rel_dir, written, changed_buckets,
             epoch, n_upserts, n_deletes, lsn_lo, lsn_hi, t0, extra_lineage,
+            undeduped=undeduped,
         )
 
     def _staged_bucket_edits(
@@ -1947,6 +1948,7 @@ class LakeTable:
         lsn_hi,
         t0: float,
         extra_lineage: dict | None,
+        undeduped: bool = False,
     ) -> dict:
         # Commit with optimistic rebase: the data write ran once
         # against the BASE snapshot; if another writer committed since,
@@ -1963,6 +1965,10 @@ class LakeTable:
             # can tell delta-shaped epochs (MoR: data dir == the
             # change set) from CoW rewrites without guessing.
             rec["mode"] = self.merge_mode
+            if undeduped:
+                # this delta may hold several rows per key — reads of
+                # its dirs must resolve even in single-dir stacks.
+                rec["undeduped"] = True
             new_m = dict(cur_m)
             new_m["buckets"] = self._staged_bucket_edits(
                 cur_m, rel_dir, written, changed_buckets
@@ -2892,6 +2898,17 @@ class StagedEpoch:
         m["buckets"] = self._table._staged_bucket_edits(
             self._base, self._rel_dir, self._written, self._changed_buckets
         )
+        if self._rec_args.get("undeduped"):
+            # the audit read must resolve this staged delta's dirs
+            # even in single-dir stacks, exactly as the published
+            # epoch record will instruct (see _read_buckets).
+            m["epochs"] = {
+                **m["epochs"],
+                str(self._rec_args["epoch"]): {
+                    "snapshot_version": self._new_version,
+                    "undeduped": True,
+                },
+            }
         return m
 
     def read(self, bucket_ids: list[int] | None = None) -> DataFrame:
@@ -2920,7 +2937,7 @@ class StagedEpoch:
                 self._base, self._new_version, self._rel_dir, self._written,
                 self._changed_buckets, a["epoch"], a["n_upserts"],
                 a["n_deletes"], a["lsn_lo"], a["lsn_hi"], a["t0"],
-                a["extra_lineage"],
+                a["extra_lineage"], undeduped=a.get("undeduped", False),
             )
         return self._published
 

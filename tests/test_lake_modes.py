@@ -154,3 +154,27 @@ def test_mor_equal_lsn_tie_breaks_to_later_write(spark, tmp_root):
     t2.merge_epoch(batch([(1, "orig", "U", 10)]), 0)
     t2.merge_epoch(batch([(1, None, "D", 10)]), 1)
     assert t2.read().where(F.col("k") == 1).count() == 0
+
+
+def test_undeduped_single_dir_delta_still_resolves(spark, tmp_root):
+    """merge_epoch(skip_batch_dedup=True) may write several rows per
+    key into ONE delta dir (demux slices do: an upsert plus a
+    higher-LSN routing tombstone).  On a FRESH bucket that dir is the
+    whole stack — the read must still run per-key max-LSN resolution,
+    or the tombstone is filtered and the stale upsert resurrects."""
+    import os
+
+    from etl_cms_spark.sink.lake import LakeTable
+
+    root = os.path.join(tmp_root, "undeduped")
+    t = LakeTable(spark, root, n_buckets=2, merge_mode="mor")
+    t.create(["k"], {"k": "string", "v": "int"})
+    batch = spark.createDataFrame(
+        [("a", 1, "U", 5), ("a", None, "D", 10), ("b", 2, "U", 7)],
+        "k string, v int, op string, lsn long",
+    )
+    t.merge_epoch(batch, 0, skip_batch_dedup=True)
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows == {"b": 2}, f"stale upsert resurrected past its tombstone: {rows}"
+    # count_where must agree (it rides the same resolution gate)
+    assert t.read().count() == 1

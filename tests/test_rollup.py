@@ -456,3 +456,36 @@ def test_extrema_late_catchup_pins_epoch_state(spark, tmp_root):
            for x in r.read().collect()}
     assert got == {"py": (1, 9, 9)}
     assert_df_equal(r.read(), _extrema_snapshot(t), "late catch-up")
+
+
+def test_state_rollup_survives_nonmonotone_epoch_ids(spark, tmp_root):
+    """DML epochs live at 10^12 and repair epochs are negative — the
+    fold's merge LSN must come from the APPLICATION ordinal, not the
+    raw epoch id, or every source epoch after a DML fold loses the
+    rollup table's max-LSN merge and the affected groups freeze."""
+    from tests.conftest import assert_df_equal
+
+    t = _mk_lake(spark, os.path.join(tmp_root, "nm_files"))
+    r = _mk_state(spark, os.path.join(tmp_root, "nm_roll"))
+
+    def rows(*triples):
+        return spark.createDataFrame(
+            [(repo, p, "c", lang, content, "U", lsn)
+             for repo, p, lang, content, lsn in triples],
+            "repo string, path string, commit string, lang string, "
+            "content string, op string, lsn long",
+        )
+
+    v0 = t._current_version()
+    t.merge_epoch(rows(("r", "a", "go", "xx", 1), ("r", "b", "go", "yyy", 2)), 0)
+    r.apply_diff(t.changes_between(v0), epoch=0)
+    # GDPR-style DML: its epoch id lands in the 10^12 band
+    v1 = t._current_version()
+    dml = t.delete_where({"path": ("a", "a")})
+    assert dml["epoch"] >= 10**12
+    r.apply_diff(t.changes_between(v1), epoch=dml["epoch"])
+    # a LATER source epoch touching the same group must still fold
+    v2 = t._current_version()
+    t.merge_epoch(rows(("r", "c", "go", "zzzz", 10), ("r", "b", "go", "y", 11)), 1)
+    r.apply_diff(t.changes_between(v2), epoch=1)
+    assert_df_equal(r.read(), _snapshot_agg(t), "rollup after DML-band epoch")
