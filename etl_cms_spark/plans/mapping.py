@@ -63,11 +63,14 @@ def make_concept_mapper(spark: SparkSession, mapping: dict[str, tuple[int, str]]
     @pandas_udf("struct<concept_id:int,domain:string>")
     def map_lang(langs: pd.Series) -> pd.DataFrame:
         m = bc.value
-        hit = langs.map(lambda x: m.get(x) if x is not None else None)
+        # two dict-backed Series.map calls (C-level hash probes) per
+        # batch instead of three per-row Python lambdas (guide §4.2).
+        ids = {k: v[0] for k, v in m.items()}
+        doms = {k: v[1] for k, v in m.items()}
         return pd.DataFrame(
             {
-                "concept_id": hit.map(lambda t: t[0] if t else 0).astype("int32"),
-                "domain": hit.map(lambda t: t[1] if t else "unmapped"),
+                "concept_id": langs.map(ids).fillna(0).astype("int32"),
+                "domain": langs.map(doms).fillna("unmapped"),
             }
         )
 

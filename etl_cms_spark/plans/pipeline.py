@@ -132,7 +132,7 @@ class CDCPipeline:
         root: str,
         n_buckets: int = 32,
         salt_hot_keys: bool = False,
-        mapper: str = "udf",
+        mapper: str = "join",
         dedup_mode: str = "strict",
         merge_mode: str = "cow",
         compact_every: int | None = None,
@@ -674,6 +674,15 @@ class CDCPipeline:
         else:  # "merge": the lake merge's per-key reduction dedups.
             latest = data
 
+        # One row per key GUARANTEED?  The window/salted forms (and
+        # the partial fold+hydrate path) emit exactly one row per key;
+        # the merge can then skip its own per-key reduction entirely
+        # (two SortAggregates + two Sorts + one Exchange of payload
+        # rows per epoch — measured r6).  The join/broadcast/merge
+        # forms may keep duplicate (key, lsn) survivors, so they
+        # cannot make the guarantee.
+        batch_deduped = self.row_image == "minimal" or mode in ("strict", "salted")
+
         # 2b. ingest-time duplicate suppression (opt-in — see
         #     ``dedup_filter_index`` in __init__).
         n_suppressed = 0
@@ -778,11 +787,13 @@ class CDCPipeline:
                 rec = self.table.merge_epoch(
                     updates.drop("_quar"), epoch,
                     extra_lineage=extra, stats=merge_stats,
+                    batch_deduped=batch_deduped,
                 )
             else:
                 staged = self.table.stage_epoch(
                     updates.drop("_quar"), epoch,
                     extra_lineage=extra, stats=merge_stats,
+                    batch_deduped=batch_deduped,
                 )
                 gate = (
                     StagedEpochGroup(staged, dom_staged or {}, dom_recs or {})

@@ -1712,6 +1712,7 @@ class LakeTable:
         extra_lineage: dict | None = None,
         stats: dict | None = None,
         skip_batch_dedup: bool = False,
+        batch_deduped: bool = False,
         computed_on_version: int | None = None,
         _stage: bool = False,
     ) -> dict:
@@ -1723,6 +1724,18 @@ class LakeTable:
         key (operators.dedup.latest_by_lsn) — enforced cheaply by the
         max-LSN merge anyway, so violations degrade to extra work, not
         wrong answers.
+
+        ``batch_deduped=True`` is the caller's GUARANTEE that the batch
+        holds exactly one row per key (e.g. it just ran the window or
+        salted dedup): the merge then skips its own per-key ``max_by``
+        reduction — for CoW the batch side feeds the outer join
+        directly, for MoR the delta is written as-is WITHOUT the
+        ``undeduped`` manifest flag (every row is its own winner, so
+        single-dir reads stay prune-safe).  Measured (r6): the skipped
+        reduction is two SortAggregates + two Sorts + one Exchange of
+        full payload rows per epoch.  Unlike ``skip_batch_dedup`` it
+        must not be passed for batches that may hold several rows per
+        key — that would produce duplicate keys in a CoW table.
 
         ``stats`` (optional) skips the internal stats job when the
         caller already computed {n_total, n_deletes, lsn_lo, lsn_hi,
@@ -1817,7 +1830,7 @@ class LakeTable:
             (F.col(op_col) == "D").alias(_DELETED_COL),
         )
         payload = [c for c in up_norm.columns if c not in key_cols]
-        if self.merge_mode == "mor" and skip_batch_dedup:
+        if self.merge_mode == "mor" and (skip_batch_dedup or batch_deduped):
             # MoR + caller-asserted near-deduped batch: the delta is
             # written AS IS — the read path's per-key max-LSN
             # resolution across base+deltas subsumes the batch-local
@@ -1840,9 +1853,16 @@ class LakeTable:
             )
             winner = u.select(*key_cols, *[F.col(f"_u.{c}").alias(c) for c in payload])
         else:
-            u = up_norm.groupBy(*key_cols).agg(
-                F.max_by(F.struct(*payload), F.col(_LSN_COL)).alias("_u")
-            )
+            if batch_deduped:
+                # caller-guaranteed one row per key: the batch feeds
+                # the outer join directly — no per-key reduction.
+                u = up_norm.select(
+                    *key_cols, F.struct(*payload).alias("_u")
+                )
+            else:
+                u = up_norm.groupBy(*key_cols).agg(
+                    F.max_by(F.struct(*payload), F.col(_LSN_COL)).alias("_u")
+                )
             target = self._read_buckets(manifest, changed_buckets)
             # max-LSN wins per key (E5 + MERGE); deletes persist as
             # tombstone rows so out-of-order replays cannot resurrect
@@ -1893,8 +1913,12 @@ class LakeTable:
 
         # an un-deduped MoR delta may hold several rows per key: the
         # read path must know to resolve even when the bucket stack is
-        # a single dir (see _read_buckets' has_deltas gate).
-        undeduped = self.merge_mode == "mor" and skip_batch_dedup
+        # a single dir (see _read_buckets' has_deltas gate).  A
+        # batch_deduped delta is one-row-per-key by the caller's
+        # guarantee, so it never needs the flag.
+        undeduped = (
+            self.merge_mode == "mor" and skip_batch_dedup and not batch_deduped
+        )
         if _stage:
             return StagedEpoch(
                 self, manifest, new_version, rel_dir, written,
@@ -2073,6 +2097,7 @@ class LakeTable:
         extra_lineage: dict | None = None,
         stats: dict | None = None,
         skip_batch_dedup: bool = False,
+        batch_deduped: bool = False,
     ) -> "StagedEpoch":
         """WRITE-AUDIT-PUBLISH: run the full merge compute + data
         write for ``epoch`` WITHOUT committing, and return a
@@ -2089,7 +2114,8 @@ class LakeTable:
         return self.merge_epoch(
             updates, epoch, op_col=op_col, lsn_col=lsn_col,
             extra_lineage=extra_lineage, stats=stats,
-            skip_batch_dedup=skip_batch_dedup, _stage=True,
+            skip_batch_dedup=skip_batch_dedup,
+            batch_deduped=batch_deduped, _stage=True,
         )
 
     def merge_epoch_partial(
