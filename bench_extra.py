@@ -165,10 +165,33 @@ def epoch_decompose(n: int = 2_000_000) -> None:
         spark.stop()
 
 
+def small_batch_ab(n: int = 4_000_000) -> None:
+    """Steady-state demux merge timing (one small epoch against a
+    large existing table), both tombstone modes, one warm session."""
+    from bench import run_small_batch
+
+    spark = _session()
+    out = {"n_base": n, "rows": []}
+    for mode, targeted in (("blanket", False), ("targeted", True)):
+        r = run_small_batch(
+            spark, n_base=n, n_batch=n // 20, mode="cow",
+            demux=True, demux_targeted=targeted,
+        )
+        out["rows"].append({
+            "tombstones": mode,
+            "merge_seconds": r["merge_seconds"],
+            "domain_read_seconds": r["domain_read_seconds"],
+        })
+    print("SMALLBATCH_AB " + json.dumps(out))
+    spark.stop()
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "plans"
     if cmd == "plans":
         dump_cdc_plans(sys.argv[2] if len(sys.argv) > 2 else "before")
+    elif cmd == "smallbatch-ab":
+        small_batch_ab(int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000)
     elif cmd == "epoch-decompose":
         epoch_decompose(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
     else:
