@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -22,25 +22,38 @@ def salted_latest_by_lsn(
     lsn_col: str = "lsn",
     n_salts: int = 16,
 ) -> DataFrame:
-    """Two-phase max-LSN dedup: phase 1 aggregates within
-    (key, salt) buckets, phase 2 reduces the <= n_salts survivors
-    per key.  Result is identical to ``dedup.latest_by_lsn``.
+    """Two-phase max-LSN dedup: phase 1 reduces within (key, salt)
+    buckets, phase 2 reduces the <= n_salts survivors per key.
+    Result is identical to ``dedup.latest_by_lsn``.
 
-    Note: Spark's hash aggregation already does map-side partial
-    aggregation, which handles *moderate* skew; explicit salting is
-    for the pathological case where even one key's partial states
-    overwhelm a reducer (10^10-event changelogs with a megarepo).
+    Both phases are ROW_NUMBER windows, not ``max_by(struct(...))``
+    aggregations (r6): the struct agg buffer compiles each phase to
+    TWO SortAggregates with a sort each, while a window is one
+    Exchange plus WindowGroupLimit, which prunes every map partition
+    to its per-group top-1 before the shuffle.  Skew bounds are
+    unchanged — phase 1 partitions on (key, salt) so a hot key spreads
+    over n_salts reducers, phase 2 sees at most n_salts rows per key.
+
+    Note: Spark's map-side top-1 pruning (WindowGroupLimit) already
+    handles *moderate* skew; explicit salting is for the pathological
+    case where even one key's per-map-partition winners overwhelm a
+    reducer (10^10-event changelogs with a megarepo).
     """
     payload = [c for c in df.columns if c not in key_cols]
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(n_salts)))
-    phase1 = salted.groupBy(*key_cols, "_salt").agg(
-        F.max_by(F.struct(*payload), F.col(lsn_col)).alias("_w"),
-        F.max(lsn_col).alias("_max_lsn"),
+    w1 = Window.partitionBy(*key_cols, "_salt").orderBy(F.col(lsn_col).desc())
+    phase1 = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_salt")
     )
-    phase2 = phase1.groupBy(*key_cols).agg(
-        F.max_by(F.col("_w"), F.col("_max_lsn")).alias("_w")
+    w2 = Window.partitionBy(*key_cols).orderBy(F.col(lsn_col).desc())
+    phase2 = (
+        phase1.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    return phase2.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
+    return phase2.select(*key_cols, *payload)
 
 
 def estimate_key_stats(
