@@ -546,6 +546,29 @@ def _member_admits(ment: dict | None, probe_vals: dict[str, list]) -> bool:
     return True
 
 
+def _undeduped_stack(table, m: dict, dirs: list[str]) -> bool:
+    """True when this bucket's files must resolve winners ACROSS files
+    before any per-file pruning is sound: a multi-dir delta stack, or
+    any dir written by an UNDEDUPED merge (skip_batch_dedup — demux
+    slices, merge-mode batches), whose single dir may legitimately
+    hold several rows per key.  Without the second clause a
+    tombstone-only file with all-null predicate columns is excluded by
+    ``_file_admits`` while the stale upsert's file is admitted, and
+    the resolved read resurrects a deleted row (r5 ADVICE)."""
+    if len(dirs) > 1:
+        return True
+    from etl_cms_spark.sink.lake import _write_ordinal
+
+    undeduped = {
+        r["snapshot_version"]
+        for r in m.get("epochs", {}).values()
+        if r.get("undeduped")
+    }
+    return bool(undeduped) and any(
+        _write_ordinal(os.path.dirname(d)) in undeduped for d in dirs
+    )
+
+
 def plan_where(
     table, predicates: dict[str, tuple], version: int | None = None
 ) -> dict:
@@ -633,10 +656,10 @@ def plan_where(
             per_dir[d] = kept
             if kept:
                 any_admitted = True
-        if len(dirs) > 1:
-            # delta stack: winners resolve across files — skip only the
-            # WHOLE bucket, and only on full stats coverage proving no
-            # physical row matches.
+        if _undeduped_stack(table, m, dirs):
+            # delta stack (or undeduped single dir): winners resolve
+            # across files — skip only the WHOLE bucket, and only on
+            # full stats coverage proving no physical row matches.
             if any_admitted or not all_covered:
                 bucket_ids.append(int(b))
                 files_read += sum(
@@ -779,10 +802,11 @@ def count_where(
                 if os.path.isdir(absdir)
                 else []
             )
-        if len(dirs) > 1:
-            # delta stack: per-file counts can't see cross-file winner
-            # resolution — scan the bucket unless every file is
-            # provably match-free (then every resolved winner is too)
+        if _undeduped_stack(table, m, dirs):
+            # delta stack (or undeduped single dir): per-file counts
+            # can't see cross-file winner resolution — scan the bucket
+            # unless every file is provably match-free (then every
+            # resolved winner is too)
             any_admitted = False
             all_covered = True
             n_files = 0

@@ -663,3 +663,40 @@ def test_count_where_after_more_deletes_and_refresh(spark, tmp_root):
     rep = t.count_where()
     assert rep["count"] == t.read().count() < before
     assert rep["files_scanned"] == 0, rep
+
+
+def test_read_where_safe_on_undeduped_single_dir(spark, tmp_root):
+    """r5 ADVICE: an UNDEDUPED single-dir MoR delta (skip_batch_dedup)
+    may hold a stale upsert AND its covering tombstone in separate
+    files of ONE dir.  Per-file pruning would exclude the tombstone's
+    all-null-stats file while admitting the upsert's, resurrecting the
+    deleted row — such buckets must take the whole-bucket branch."""
+    root = os.path.join(tmp_root, "undeduped_prune")
+    t = LakeTable(spark, root, n_buckets=2, merge_mode="mor")
+    t.create(["k"], {"k": "string", "lang": "string", "v": "string"})
+    batch = spark.createDataFrame(
+        [
+            ("kx", "go", "v1", 1, "U"),   # stale upsert ...
+            ("kx", None, None, 2, "D"),   # ... covered by a tombstone
+            ("ky", "py", "v2", 3, "U"),
+        ],
+        "k string, lang string, v string, lsn long, op string",
+    )
+    old = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")  # file per row
+    try:
+        t.merge_epoch(batch, 0, skip_batch_dedup=True)
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", old)
+    t.refresh_stats(["lang"])
+    truth = t.read().where("lang = 'go'")
+    assert truth.count() == 0, "tombstone must win the resolved read"
+    got = t.read_where({"lang": ("go", "go")})
+    assert_df_equal(
+        got, truth.drop("_lsn", "_bucket", "_deleted"), "undeduped single-dir read_where"
+    )
+    cw = t.count_where({"lang": ("go", "go")})
+    assert cw["count"] == 0, cw
+    # and the live key still plans/reads correctly
+    assert t.read_where({"lang": ("py", "py")}).count() == 1
+    assert t.count_where({"lang": ("py", "py")})["count"] == 1
