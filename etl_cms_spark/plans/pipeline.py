@@ -1519,6 +1519,14 @@ class CDCPipeline:
                 "_epoch",
                 F.floor((F.col("lsn") - F.lit(lo)) / F.lit(width)).cast("int"),
             )
+        if self.txn_col not in changes.columns:
+            # fail with a configuration error here, not an opaque
+            # AnalysisException inside the window/scan later (r5
+            # ADVICE).
+            raise ValueError(
+                f"txn_col {self.txn_col!r} not found in the changelog "
+                f"(columns: {changes.columns})"
+            )
         from pyspark.sql import Window
 
         part = F.coalesce(

@@ -362,8 +362,13 @@ def _txn_boundary_gate(
     executes ONCE per batch, not once per downstream action."""
     import shutil
 
-    from pyspark.sql import Window
-
+    missing = [c for c in (txn_col, txn_total_col) if c not in batch_df.columns]
+    if missing:
+        raise ValueError(
+            f"txn_col gate: column(s) {missing} absent from the stream "
+            f"batch (columns: {batch_df.columns}) — the changelog must "
+            "carry the transaction id and per-transaction row total"
+        )
     os.makedirs(state_dir, exist_ok=True)
     ids = [
         int(n.split("=", 1)[1])
@@ -380,31 +385,34 @@ def _txn_boundary_gate(
                 os.path.join(state_dir, f"batch={max(prev)}")
             )
         )
-    # NULL txn ids get per-row singleton partitions (same synthetic
-    # key as the batch slicer's _epoch_ids, same reason): a mostly
+    # NULL txn ids get per-row singleton groups (same synthetic key
+    # as the batch slicer's _epoch_ids, same reason): a mostly
     # non-transactional stream must not funnel into one giant NULL
-    # window partition.
-    part = F.coalesce(
+    # transaction group.
+    key = F.coalesce(
         F.col(txn_col).cast("string"),
         F.concat(F.lit("\x00row:"), F.col("lsn").cast("string")),
     )
-    w = Window.partitionBy(part)
-    # Window results must be plain columns before the WHERE split
-    # (Spark refuses window functions inside a filter).  Progress is
-    # counted in DISTINCT LSNs, not rows: a cross-batch duplicate
-    # delivery (which the watermarked dedup can no longer catch once
-    # its state expired — see the module docstring) must not inflate
-    # the seen-count and release a half-applied transaction.  The
-    # expected total is the window MAX of txn_total — one decision
-    # per TRANSACTION even if a malformed feed stamps rows of one
-    # txn with different totals (a per-row comparison could split
-    # it).
-    counted = (
-        rows.withColumn("_txn_seen", F.size(F.collect_set("lsn").over(w)))
-        .withColumn("_txn_total", F.max(txn_total_col).over(w))
-        .withColumn("_txn_maxlsn", F.max("lsn").over(w))
-        .persist()
+    # Progress is counted in DISTINCT LSNs, not rows: a cross-batch
+    # duplicate delivery (which the watermarked dedup can no longer
+    # catch once its state expired — see the module docstring) must
+    # not inflate the seen-count and release a half-applied
+    # transaction.  The expected total is the MAX of txn_total — one
+    # decision per TRANSACTION even if a malformed feed stamps rows
+    # of one txn with different totals (a per-row comparison could
+    # split it).  Shape (r6, VERDICT #5): a narrow GROUP BY + join
+    # back instead of collect_set over a window — the old form held a
+    # giant transaction's ENTIRE LSN set in one window buffer, while
+    # count_distinct is a spillable two-phase hash aggregate whose
+    # shuffle carries (txn, lsn) pairs only; the join then shuffles
+    # the same rows the window form shuffled.
+    keyed = rows.withColumn("_txn_key", key)
+    per_txn = keyed.groupBy("_txn_key").agg(
+        F.count_distinct(F.col("lsn")).alias("_txn_seen"),
+        F.max(txn_total_col).alias("_txn_total"),
+        F.max("lsn").alias("_txn_maxlsn"),
     )
+    counted = keyed.join(per_txn.hint("SHUFFLE_HASH"), "_txn_key").persist()
     done = (
         F.col(txn_col).isNull()
         | F.col("_txn_total").isNull()
@@ -418,10 +426,27 @@ def _txn_boundary_gate(
             # a transaction whose NEWEST row already lags the stream
             # head by more than the budget has lost its tail — flush
             # it incomplete rather than pend forever.
-            done = done | (
-                F.col("_txn_maxlsn") < F.lit(int(head) - int(flush_lsn_lag))
+            lagged = F.col("_txn_maxlsn") < F.lit(int(head) - int(flush_lsn_lag))
+            # SURFACE the atomicity violation (r5 ADVICE): a silently
+            # half-applied transaction is indistinguishable from a
+            # complete one at the sink without this count.  One tiny
+            # agg over the cache, only on the opt-in lag path.
+            n_forced = (
+                counted.where(~done & lagged)
+                .agg(F.count_distinct("_txn_key"))
+                .first()[0]
             )
-    helper_cols = ("_txn_seen", "_txn_total", "_txn_maxlsn")
+            if n_forced:
+                import logging
+
+                logging.getLogger("etl_cms_spark.streaming").warning(
+                    "txn gate batch %s: force-flushed %d incomplete "
+                    "transaction(s) whose newest row lags the stream head "
+                    "(lsn %s) by more than txn_flush_lsn_lag=%s",
+                    batch_id, n_forced, head, flush_lsn_lag,
+                )
+            done = done | lagged
+    helper_cols = ("_txn_key", "_txn_seen", "_txn_total", "_txn_maxlsn")
     complete = counted.where(done).drop(*helper_cols)
     pending = counted.where(~done).drop(*helper_cols)
     pending.coalesce(1).write.mode("overwrite").parquet(
