@@ -724,19 +724,19 @@ class LakeTable:
             # merge-on-read: resolve the winner per key across base +
             # delta files by (max LSN, then max write version) — the
             # write-version ordinal breaks equal-LSN ties toward the
-            # most recently committed write.
+            # most recently committed write.  ROW_NUMBER window, not
+            # max_by(struct): the struct buffer forces two
+            # SortAggregates with a sort each, the window is one
+            # Exchange + WindowGroupLimit with map-side top-1 pruning
+            # (same r6 rewrite as merge_epoch's batch reduction).
             key_cols = manifest["key_cols"]
-            payload = [c for c in cols if c not in key_cols]
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.col(_LSN_COL).desc(), F.col(_WV_COL).desc()
+            )
             df = (
-                df.groupBy(*key_cols)
-                .agg(
-                    F.max_by(
-                        F.struct(*payload),
-                        F.struct(F.col(_LSN_COL), F.col(_WV_COL)),
-                    ).alias("_w")
-                )
-                .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
-                .select(*cols)  # canonical column order regardless of path
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select(*cols)  # canonical column order; drops _rn/_wv
             )
         else:
             df = df.select(*cols)
