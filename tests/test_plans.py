@@ -223,3 +223,53 @@ def test_dedup_broadcast_form_never_shuffles_payload(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert plan.count("hashpartitioning(") == 1  # the max(lsn) agg only
     assert "SortAggregate" not in plan
+
+
+def test_one_pass_era_is_single_exchange(spark):
+    """VERDICT r5 #8: the one-pass gaps-and-islands form must
+    establish the per-key partitioning ONCE — the window's exchange is
+    reused by both the island running-sum and the era aggregation
+    (hash(keys) clusters (keys, _island) too)."""
+    from etl_cms_spark.operators.eras import build_eras
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id",
+        F.col("ts").cast("date").alias("s"),
+        F.date_add(F.col("ts").cast("date"), 3).alias("e"),
+    )
+    plan = _plan(build_eras(ev, ["user_id"], "s", "e", gap_days=30))
+    assert plan.count("hashpartitioning(") == 1, plan[:3000]
+    assert "SortAggregate" not in plan
+
+
+def test_sessionize_is_single_exchange(spark):
+    from etl_cms_spark.operators.eras import sessionize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(sessionize(ev, ["user_id"], "ts", gap="30 minutes"))
+    assert plan.count("hashpartitioning(") == 1, plan[:3000]
+
+
+def test_visit_pipeline_exchange_budget(spark):
+    """VERDICT r5 #8: the visit build is ONE exchange on the visit
+    key (hash agg with map-side partial), and the visit-id re-attach
+    is an expression, not a join — so the whole visits plan carries
+    no join exchange at all."""
+    from etl_cms_spark.plans import claims
+
+    ev = spark.createDataFrame(
+        [("p", str(i), "2020-01-01", "2020-01-02", "i9", "inpatient",
+          "ICD9", "x", 1, "n") for i in range(4)],
+        "person_source_value string, clm_id string, from_dt string, "
+        "thru_dt string, visit_prvdr string, claim_type string, "
+        "vocab string, code string, type_concept_id long, npi string",
+    ).select(
+        "*",
+        F.lit(1).alias("source_concept_id"),
+        F.lit(2).alias("target_concept_id"),
+        F.lit("Condition").alias("domain"),
+    )
+    plan = _plan(claims.build_visit_occurrence(ev))
+    assert plan.count("hashpartitioning(") == 1, plan[:3000]
+    assert "Join" not in plan
+    assert "SortAggregate" not in plan
