@@ -68,6 +68,12 @@ class MaterializedJoinView:
     (present with NULL dim columns).
     """
 
+    # dim-side fact-scan pruning: collect the changed dim keys for a
+    # read_where IN plan only when the epoch's distinct key count is
+    # at most this (a dim delta beyond it reads the fact via the
+    # broadcast-semi join as before).
+    _DIM_PRUNE_MAX_KEYS = 1000
+
     def __init__(
         self,
         spark: SparkSession,
@@ -304,7 +310,31 @@ class MaterializedJoinView:
         if df_d is not None:
             df_d = df_d.localCheckpoint(eager=False)
             dkeys = df_d.select(*dk).distinct()
-            affected = self.fact.read().join(F.broadcast(dkeys), dk, "inner")
+            # Dim-changing epochs touch only fact rows carrying the
+            # changed dim keys.  When the key set is small (dim deltas
+            # are, by definition) and single-column, route the fact
+            # scan through read_where's PLANNING-TIME file pruning
+            # (sink/stats.py): with the fact clustered by dk and its
+            # stats refreshed, files that cannot hold a changed key
+            # are never opened — the docstring's promise, now actually
+            # wired (r5 verdict item 6; A/B in BENCH/joinview_prune_ab
+            # .json).  Identical rows by construction (read_where ==
+            # read().where(IN)); falls back to the broadcast-semi scan
+            # for multi-column keys or unexpectedly large key sets.
+            dk_vals = None
+            if len(dk) == 1:
+                sample = dkeys.take(self._DIM_PRUNE_MAX_KEYS + 1)
+                if len(sample) <= self._DIM_PRUNE_MAX_KEYS:
+                    dk_vals = [r[0] for r in sample if r[0] is not None]
+            # NULL keys are dropped from the IN list (an inner join on
+            # the key never matches NULL anyway); empty key sets take
+            # the fallback, whose empty broadcast join is a no-op.
+            if dk_vals:
+                affected = self.fact.read_where({dk[0]: dk_vals})
+            else:
+                affected = self.fact.read().join(
+                    F.broadcast(dkeys), dk, "inner"
+                )
             if fact_upserts is not None:
                 # fact-side already joined the current dim (which
                 # includes this epoch's dim state) — exclude.

@@ -345,3 +345,46 @@ def test_lake_refuses_key_column_rename(spark, tmp_root):
     t.create(["repo", "path"], FACT_SCHEMA)
     with pytest.raises(ValueError, match="key column"):
         t.apply_schema_change({"rename": "repo:repository"})
+
+
+def test_dim_epoch_prunes_fact_scan_when_clustered(spark, tmp_root):
+    """r5 verdict item 6: with the fact z-ordered by the dim key and
+    its stats refreshed, a dim-changing epoch's fact scan must skip
+    files that cannot hold a changed key (read_where plan), and the
+    pruned fold must equal the broadcast-semi fallback's result."""
+    root = os.path.join(tmp_root, "jv_prune")
+    fact = LakeTable(spark, os.path.join(root, "fact"), n_buckets=4,
+                     merge_mode="mor")
+    fact.create(["repo", "path"], FACT_SCHEMA)
+    dim = LakeTable(spark, os.path.join(root, "dim"), n_buckets=2)
+    dim.create(["lang"], DIM_SCHEMA)
+    fact_epochs = _fact_epochs(spark, n_events=6000)
+    dim_epochs = _dim_epochs(spark)
+    fact.merge_epoch(latest_by_lsn(fact_epochs[0], ["repo", "path"]), 0)
+    fact.merge_epoch(latest_by_lsn(fact_epochs[1], ["repo", "path"]), 1)
+    dim.merge_epoch(dim_epochs[0], 0)
+    dim.merge_epoch(dim_epochs[1], 1)
+    # cluster the fact by the dim key and cover it in the stats cache
+    fact.compact(cluster_by=["lang"], cluster_layout="zorder",
+                 target_file_rows=25)
+    fact.refresh_stats(["lang"])
+
+    va = MaterializedJoinView(spark, os.path.join(root, "va"), fact, dim,
+                              ["lang"], n_buckets=4)
+    va.apply_epoch(0)
+    va.apply_epoch(1)
+    # dim-only epoch 2 (deletes every 5th lang) — the pruned path
+    dim.merge_epoch(dim_epochs[2], 2)
+    changed = [r["lang"] for r in dim_epochs[2].select("lang").distinct().collect()]
+    plan = fact.plan_where({"lang": changed})
+    assert plan["files_read"] < plan["files_total"], plan
+    va.apply_epoch(2)
+
+    # fallback twin: force the broadcast-semi scan, same epochs
+    vb = MaterializedJoinView(spark, os.path.join(root, "vb"), fact, dim,
+                              ["lang"], n_buckets=4)
+    vb._DIM_PRUNE_MAX_KEYS = 0  # instance override: always fall back
+    vb.apply_epoch(0)
+    vb.apply_epoch(1)
+    vb.apply_epoch(2)
+    assert_df_equal(va.read(), vb.read(), "pruned == broadcast-semi fold")
