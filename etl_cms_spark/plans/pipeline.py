@@ -184,7 +184,7 @@ class CDCPipeline:
           ratio is near 1 version/key).  Quarantine then logs every
           unmapped event occurrence, like the reference's append log.
         * "salted" — two-phase salted dedup for pathological hot keys.
-        * "auto" — resolve per EPOCH from three measured signals
+        * "auto" — resolve per EPOCH from a measured signal
           (_resolve_dedup_mode): a sampled estimate of the staged
           batch picks "salted" only when the HOTTEST KEY's estimated
           absolute row count reaches ``salt_task_row_budget`` (the
@@ -193,17 +193,15 @@ class CDCPipeline:
           window form FASTER than salted at every sandbox-reachable
           skew, top-key share 0.03→0.35, so share alone must not
           trigger salting — the driver of the decision is rows per
-          task); a small batch (est rows ≤ ``broadcast_dedup_max_
-          rows``) takes the BROADCAST-semi form, measured 1.8× the
-          window form for steady-state micro-batches
-          (BENCH/smallbatch_dedup_ab.json).  Otherwise the
-          session's cluster shape
-          (session.cluster_shape) picks "join" in the many-executors/
-          few-cores regime where the join form's 2→8 pinned
-          efficiency (0.773) beats the window form's (0.535), and
-          "strict" at high single-box parallelism where the window
-          form is measured fastest in absolute terms.  The resolved
-          mode + estimates land in the epoch's lineage.
+          task); otherwise "strict".  r6 re-measure: with the
+          merge-reduction skip (merge_epoch ``batch_deduped``, which
+          only the one-row-per-key forms earn) the window form is
+          fastest in absolute terms AND pinned 2→8 scaling at every
+          measured regime (BENCH/scaling.json r6: strict 0.768 vs
+          join 0.708 vs broadcast 0.710; small-batch A/B a tie within
+          noise), so the r5 join/broadcast auto branches are retired —
+          both forms remain explicit opt-ins.  The resolved mode +
+          estimates land in the epoch's lineage.
 
         ``demux_domains=True`` routes each mapped row into a
         PER-DOMAIN destination LakeTable (the reference's multi-output
@@ -961,7 +959,8 @@ class CDCPipeline:
     def _resolve_dedup_mode(self, data: DataFrame) -> tuple[str, dict]:
         """Per-epoch resolution of ``dedup_mode="auto"``.
 
-        Three measured signals, checked in order:
+        One measured signal (r6 — the r5 small-batch/cluster-shape
+        branches are retired, see the inline note below):
 
         1. HOT-KEY ROWS — ``estimate_key_stats`` (2% Bernoulli
            sample of the key columns; one narrow extra job) gives
@@ -982,51 +981,30 @@ class CDCPipeline:
            memory/stage budgets and salting's bound (rows/n_salts
            per task) wins.  The sample seed is fixed, so a replayed
            epoch resolves identically.
-        2. SMALL BATCH — est_rows at or under
-           ``broadcast_dedup_max_rows`` (default 500k ≈ a 25 MB
-           (key, max-lsn) broadcast) → the BROADCAST-semi form: the
-           payload side never shuffles in the dedup stage.  Measured
-           (BENCH/smallbatch_dedup_ab.json, 100k-event epoch against
-           a 2M-event table, pinned 8 cores): broadcast 3.25 s vs
-           window 5.92 s vs join 5.59 s — 1.8× — because the window/
-           join forms pay the full per-epoch shuffle machinery for a
-           batch whose winner set fits in one broadcast.  Skipped
-           when targeted demux or the ingest dedup filter needs the
-           strict one-row-per-key contract (broadcast's duplicate-
-           (key,lsn) survivors are byte-identical but would reach
-           those row-level analyses twice).
-        3. CLUSTER SHAPE — ``session.cluster_shape``.  Many
-           executors × few cores each (the 1000-executor production
-           shape, proxied by the pinned 2→8-core rig) → the JOIN
-           form (narrow (key,lsn) agg + semi-join; pinned 2→8
-           efficiency 0.773 vs the window's 0.535).  One fat local
-           box (local[k], or few executors with many cores) → the
-           WINDOW form ("strict"), measured fastest in absolute
-           terms at high single-box parallelism.
+        Everything else resolves to "strict" (the window form).
 
-        Every resolved mode produces identical output rows (modulo
-        the join form's byte-identical duplicate (key,lsn) survivors,
-        which the merge resolves), so the decision never affects
-        correctness — only the shuffle shape.
+        Every resolved mode produces identical output rows, so the
+        decision never affects correctness — only the shuffle shape.
+        The cluster-shape signal is still computed and recorded in the
+        lineage for observability.
         """
         share, est_rows = estimate_key_stats(data, KEY_COLS)
         hot_rows = int(share * est_rows)
         n_exec, cores = cluster_shape(self.spark)
-        # targeted demux and the ingest dedup filter reason about one
-        # row per key per batch; the join/broadcast forms' duplicate-
-        # (key,lsn) survivors are byte-identical (harmless to the
-        # merges) but keep the strict one-row contract there anyway.
-        needs_one_row = (
-            self.demux_domains and self.demux_tombstones == "targeted"
-        ) or self.dedup_filter_index is not None
-        if hot_rows >= self.salt_task_row_budget:
-            mode = "salted"
-        elif est_rows <= self.broadcast_dedup_max_rows and not needs_one_row:
-            mode = "broadcast"
-        elif n_exec >= 4 and cores <= 8 and not needs_one_row:
-            mode = "join"
-        else:
-            mode = "strict"
+        # r6 re-measure: with the merge-reduction skip (merge_epoch
+        # batch_deduped — only the one-row-per-key forms qualify), the
+        # WINDOW form is fastest in absolute terms AND scaling at
+        # every measured regime — pinned 2→8 strict 0.768 vs join
+        # 0.708 vs broadcast 0.710 (BENCH/scaling.json r6; r4's join
+        # advantage, 0.773 vs 0.535, predates the skip), and the
+        # 200k-epoch small-batch A/B is a tie within noise (strict
+        # 3.25-4.67 s vs broadcast 3.62-3.90 s) where broadcast was
+        # 1.8× ahead in r5.  So auto now resolves to just two forms:
+        # salted when one key's absolute rows would swamp a task,
+        # else strict.  The join/broadcast forms remain explicit
+        # opt-ins (they also forfeit the merge skip, since their
+        # duplicate-(key,lsn) survivors void the one-row guarantee).
+        mode = "salted" if hot_rows >= self.salt_task_row_budget else "strict"
         return mode, {
             "resolved": mode,
             "top_key_share_est": round(share, 4),
