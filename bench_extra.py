@@ -52,11 +52,18 @@ def _session():
 
 def dump_cdc_plans(tag: str) -> None:
     """Capture the physical plans of the CDC epoch's stages: the
-    deduped+mapped batch (the observe job), the CoW merge pre-write
-    frame, the MoR merge pre-write frame, and the demux slices."""
+    deduped+mapped batch (the observe job) and the CoW merge pre-write
+    frame, reconstructed exactly as the CURRENT pipeline builds them.
+
+    The committed ``*_before.txt`` files were captured by this function
+    at round start, when the defaults were mapper="udf" and the merge's
+    own ``max_by(struct)`` per-key reduction; the function now mirrors
+    the post-optimization defaults (mapper="join",
+    ``batch_deduped=True`` merge fed by the window dedup), so a run
+    with tag "after" documents the new shape."""
     from etl_cms_spark.fixtures.generator import gen_source_changes
     from etl_cms_spark.operators.dedup import latest_by_lsn_window
-    from etl_cms_spark.plans.mapping import map_concepts_udf
+    from etl_cms_spark.plans.mapping import map_concepts_join
     from etl_cms_spark.plans.pipeline import KEY_COLS, CDCPipeline
 
     spark = _session()
@@ -71,7 +78,7 @@ def dump_cdc_plans(tag: str) -> None:
 
         batch = spark.read.parquet(os.path.join(stage, "_epoch=1"))
         latest = latest_by_lsn_window(batch, KEY_COLS, "lsn")
-        mapped = map_concepts_udf(spark, latest)
+        mapped = map_concepts_join(spark, latest)
         is_unmapped = (F.col("domain") == "unmapped") & (F.col("op") != "D")
         updates = mapped.withColumn("_quar", is_unmapped).withColumn(
             "op", F.when(F.col("_quar"), F.lit("D")).otherwise(F.col("op"))
@@ -94,13 +101,13 @@ def dump_cdc_plans(tag: str) -> None:
             (F.col("op") == "D").alias("_deleted"),
         )
         payload = [c for c in up_norm.columns if c not in key_cols]
-        u = up_norm.groupBy(*key_cols).agg(
-            F.max_by(F.struct(*payload), F.col("_lsn")).alias("_u")
-        )
-        uw = u.select(*key_cols, *[F.col(f"_u.{c}").alias(c) for c in payload])
+        # batch_deduped=True path: the window dedup already guarantees
+        # one row per key, so the batch feeds the outer join directly —
+        # no groupBy(max_by(struct)) reduction (the before-plan's two
+        # SortAggregates + Sorts + Exchange).
         target = t._read_buckets(manifest, None)
         ts = target.select(*key_cols, F.struct(*payload).alias("_t"))
-        us = uw.select(*key_cols, F.struct(*payload).alias("_u"))
+        us = up_norm.select(*key_cols, F.struct(*payload).alias("_u"))
         joined = ts.join(us.hint("SHUFFLE_HASH"), list(key_cols), "full")
         pick = (
             F.when(F.col("_t").isNull(), F.col("_u"))
