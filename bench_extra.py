@@ -193,10 +193,95 @@ def small_batch_ab(n: int = 4_000_000) -> None:
     spark.stop()
 
 
+def dump_rewrite_plans() -> None:
+    """Before/after physical plans for the round-6 ROW_NUMBER rewrites
+    at their other two sites (the CoW merge pair lives in
+    ``dump_cdc_plans``):
+
+    * ``salted_dedup``: before = the round-start two-phase
+      ``max_by(struct)`` form (reconstructed verbatim from the
+      pre-rewrite ``operators/skew.py``), after = the shipped
+      two-phase ROW_NUMBER-window form.
+    * ``mor_merge``: the un-pre-deduped MoR batch reduction (the
+      chain-transport / foreachBatch path), before = the round-start
+      ``groupBy(max_by(struct))``, after = the shipped
+      ``_window_one_per_key`` + repartition-to-bucket frame.
+    """
+    from pyspark.sql import Window
+
+    from etl_cms_spark.fixtures.generator import gen_source_changes
+    from etl_cms_spark.operators.skew import salted_latest_by_lsn
+    from etl_cms_spark.plans.pipeline import KEY_COLS
+
+    spark = _session()
+    stage = tempfile.mkdtemp(prefix="plan_rw_")
+    try:
+        n = 200_000
+        ch = gen_source_changes(spark, n_events=n, n_keys=n // 5, n_repos=100)
+        ch.repartition(CPUS).write.mode("overwrite").parquet(stage)
+        df = spark.read.parquet(stage)
+        key_cols = list(KEY_COLS)
+        payload = [c for c in df.columns if c not in key_cols]
+
+        # -- salted dedup, round-start form (pre-5ac1b4c skew.py) --
+        n_salts = 16
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("lsn")), F.lit(n_salts))
+        )
+        phase1 = salted.groupBy(*key_cols, "_salt").agg(
+            F.max_by(F.struct(*payload), F.col("lsn")).alias("_w"),
+            F.max("lsn").alias("_max_lsn"),
+        )
+        phase2 = phase1.groupBy(*key_cols).agg(
+            F.max_by(F.col("_w"), F.col("_max_lsn")).alias("_w")
+        )
+        old_salted = phase2.select(
+            *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload]
+        )
+        _dump("salted_dedup", "before", old_salted)
+        _dump("salted_dedup", "after", salted_latest_by_lsn(df, key_cols, "lsn"))
+
+        # -- MoR merge batch reduction (un-pre-deduped caller path) --
+        up_norm = (
+            df.withColumn("_lsn", F.col("lsn").cast("long"))
+            .withColumn(
+                "_bucket",
+                F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(64)).cast(
+                    "int"
+                ),
+            )
+            .withColumn("_deleted", F.col("op") == "D")
+            .drop("lsn", "op")
+        )
+        pay2 = [c for c in up_norm.columns if c not in key_cols]
+        old_u = up_norm.groupBy(*key_cols).agg(
+            F.max_by(F.struct(*pay2), F.col("_lsn")).alias("_u")
+        )
+        old_winner = old_u.select(
+            *key_cols, *[F.col(f"_u.{c}").alias(c) for c in pay2]
+        )
+        w = Window.partitionBy(*key_cols).orderBy(F.col("_lsn").desc())
+        new_winner = (
+            up_norm.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        for tag, winner in (("before", old_winner), ("after", new_winner)):
+            final = winner.repartition(64, F.col("_bucket")).sortWithinPartitions(
+                "_bucket", *key_cols
+            )
+            _dump("mor_merge", tag, final)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "plans"
     if cmd == "plans":
         dump_cdc_plans(sys.argv[2] if len(sys.argv) > 2 else "before")
+    elif cmd == "rewrite-plans":
+        dump_rewrite_plans()
     elif cmd == "smallbatch-ab":
         small_batch_ab(int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000)
     elif cmd == "epoch-decompose":
